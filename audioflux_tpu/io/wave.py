@@ -1,0 +1,155 @@
+"""WAV I/O (pure NumPy + stdlib; no external audio deps).
+
+Covers the reference's audio surface (``python/audioflux/audio.py`` and the
+C streaming objects ``src/util/flux_wave.c``): one-shot read/write, streaming
+WaveReader/WaveWriter, chirp synthesis, and mono conversion. Host-side only —
+decoded float32 buffers are handed to jitted transforms.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave as _wave
+
+import numpy as np
+
+__all__ = ["read", "write", "WaveReader", "WaveWriter", "chirp", "convert_mono"]
+
+
+def _decode(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        data = vals.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).T  # (channels, samples)
+    return data
+
+
+def read(path, is_mono: bool = True):
+    """Read a PCM WAV file. Returns (audio float32, samplate).
+
+    Mono audio is (n,); multichannel is (channels, n) unless ``is_mono``.
+    """
+    with _wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    data = _decode(raw, sw, ch)
+    if ch > 1 and is_mono:
+        data = data.mean(axis=0)
+    return data, sr
+
+
+def write(path, data, samplate: int = 32000, subtype: str = "PCM_16"):
+    """Write float32 audio (mono (n,) or (channels, n)) to a PCM WAV file."""
+    data = np.asarray(data, dtype=np.float32)
+    if data.ndim == 2:
+        data = data.T.reshape(-1)  # interleave
+    width = {"PCM_16": 2, "PCM_32": 4}.get(subtype, 2)
+    pcm = np.clip(data, -1.0, 1.0)
+    if width == 2:
+        pcm = (pcm * 32767.0).astype("<i2")
+    else:
+        pcm = (pcm * 2147483647.0).astype("<i4")
+    nch = 1 if np.asarray(data).ndim == 1 else data.shape[0]
+    with _wave.open(str(path), "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(samplate)
+        w.writeframes(pcm.tobytes())
+
+
+class WaveReader:
+    """Streaming WAV reader (chunked), mirroring waveReadObj_* semantics."""
+
+    def __init__(self, path):
+        self._w = _wave.open(str(path), "rb")
+        self.samplate = self._w.getframerate()
+        self.channel_num = self._w.getnchannels()
+        self.sample_width = self._w.getsampwidth()
+        self.total_frames = self._w.getnframes()
+
+    def read(self, n_frames: int) -> np.ndarray:
+        raw = self._w.readframes(n_frames)
+        if not raw:
+            return np.zeros((0,), dtype=np.float32)
+        data = _decode(raw, self.sample_width, self.channel_num)
+        return data
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class WaveWriter:
+    """Streaming WAV writer, mirroring waveWriteObj_* semantics."""
+
+    def __init__(self, path, samplate: int = 32000, channel_num: int = 1,
+                 sample_width: int = 2):
+        self._w = _wave.open(str(path), "wb")
+        self._w.setnchannels(channel_num)
+        self._w.setsampwidth(sample_width)
+        self._w.setframerate(samplate)
+        self._width = sample_width
+
+    def write(self, data: np.ndarray):
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 2:
+            data = data.T.reshape(-1)
+        pcm = np.clip(data, -1.0, 1.0)
+        if self._width == 2:
+            pcm = (pcm * 32767.0).astype("<i2")
+        else:
+            pcm = (pcm * 2147483647.0).astype("<i4")
+        self._w.writeframes(pcm.tobytes())
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def chirp(fmin: float, fmax: float, duration: float, samplate: int = 32000,
+          phi: float | None = None, linear: bool = False) -> np.ndarray:
+    """Swept-frequency sinusoid (log sweep by default, like the reference)."""
+    t = np.arange(int(duration * samplate), dtype=np.float64) / samplate
+    if phi is None:
+        phi = -np.pi / 2
+    if linear:
+        phase = 2 * np.pi * (fmin * t + 0.5 * (fmax - fmin) / duration * t * t)
+    else:
+        if fmin <= 0 or fmax <= 0:
+            raise ValueError("log chirp requires positive fmin/fmax")
+        k = (fmax / fmin) ** (1.0 / duration)
+        phase = 2 * np.pi * fmin * (np.power(k, t) - 1) / np.log(k)
+    return np.cos(phase + phi).astype(np.float32)
+
+
+def convert_mono(x: np.ndarray) -> np.ndarray:
+    """Average channels to mono; accepts (n,), (channels, n)."""
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        return x
+    return x.mean(axis=0)

@@ -1,0 +1,179 @@
+"""STFT / ISTFT — batched, jitted, TPU-first.
+
+Replaces the reference's per-frame FFT loop (``src/stft_algorithm.c:696-806``)
+with a single framed-tile ``jnp.fft.rfft`` over ``(..., T, fft)``; the window
+multiply fuses into the same XLA computation. ISTFT implements weighted
+overlap-add with COA normalization (``stft_algorithm.c:304-409``).
+
+Frame-count semantics are bit-exact with the C library:
+``(n - fft) // slide + 1`` unpadded, ``n // slide + 1`` padded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioflux_tpu.ops.frame import cal_data_length, cal_time_length, frame_signal
+from audioflux_tpu.ops.pad import pad_signal
+from audioflux_tpu.ops.window import get_fft_window
+from audioflux_tpu.types import PaddingModeType, PaddingPositionType, WindowType
+
+__all__ = ["STFT", "stft", "istft"]
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length", "is_pad",
+                                   "position", "mode"))
+def _stft_impl(x, window, *, fft_length, slide_length, is_pad,
+               position, mode, value1=0.0, value2=0.0):
+    if is_pad:
+        x = pad_signal(x, fft_length, slide_length,
+                       PaddingPositionType(position), PaddingModeType(mode),
+                       value1, value2)
+    frames = frame_signal(x, fft_length, slide_length)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)  # (..., fft//2+1, T)
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
+def _istft_impl(D, window, *, fft_length, slide_length, method_type):
+    # D: (..., fft//2+1, T) complex -> (..., (T-1)*slide + fft) real
+    spec = jnp.swapaxes(D, -1, -2)  # (..., T, F/2+1)
+    frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
+
+    e = 1.0 if method_type == 0 else 0.0  # 0='weighted OLA', 1='OLA'
+    win1 = jnp.power(window, e)
+    win2 = jnp.power(window, e + 1.0)
+
+    T = frames.shape[-2]
+    out_len = cal_data_length(T, fft_length, slide_length)
+    idx = (np.arange(T)[:, None] * slide_length
+           + np.arange(fft_length)[None, :]).reshape(-1)
+
+    contrib = (frames * win1).reshape(frames.shape[:-2] + (-1,))
+    y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+    y = y.at[..., idx].add(contrib)
+
+    norm = jnp.zeros((out_len,), frames.dtype)
+    norm = norm.at[idx].add(jnp.tile(win2, T))
+    norm = jnp.where(norm < 1e-6, 1.0, norm)
+    return y / norm
+
+
+def stft(x, fft_length: int, slide_length: int,
+         window_type: WindowType = WindowType.RECT,
+         is_pad: bool = False,
+         position: PaddingPositionType = PaddingPositionType.CENTER,
+         mode: PaddingModeType = PaddingModeType.CONSTANT,
+         value1: float = 0.0, value2: float = 0.0,
+         window=None):
+    """Functional STFT. Returns complex64 (..., fft_length//2+1, time)."""
+    if window is None:
+        window = get_fft_window(window_type, fft_length)
+    return _stft_impl(jnp.asarray(x, jnp.float32), jnp.asarray(window),
+                      fft_length=fft_length, slide_length=slide_length,
+                      is_pad=is_pad, position=int(position), mode=int(mode),
+                      value1=value1, value2=value2)
+
+
+def istft(D, fft_length: int, slide_length: int,
+          window_type: WindowType = WindowType.RECT, method_type: int = 0,
+          window=None):
+    """Functional ISTFT (weighted overlap-add by default)."""
+    if window is None:
+        window = get_fft_window(window_type, fft_length)
+    return _istft_impl(jnp.asarray(D), jnp.asarray(window),
+                       fft_length=fft_length, slide_length=slide_length,
+                       method_type=method_type)
+
+
+class STFT:
+    """Short-time Fourier transform plan.
+
+    Parameters mirror the reference Python API (``python/audioflux/stft.py``):
+    ``radix2_exp`` sets ``fft_length = 2**radix2_exp``; default window RECT,
+    default slide 1024.
+    """
+
+    def __init__(self, radix2_exp: int = 12,
+                 window_type: WindowType = WindowType.RECT,
+                 slide_length: int = 1024):
+        if not 1 <= radix2_exp <= 30:
+            raise ValueError("radix2_exp must be in [1, 30]")
+        self.radix2_exp = radix2_exp
+        self.fft_length = 1 << radix2_exp
+        self.window_type = WindowType(window_type)
+        self.slide_length = slide_length if slide_length else self.fft_length // 4
+
+        self.window = get_fft_window(self.window_type, self.fft_length)
+        self.is_pad = False
+        self.position = PaddingPositionType.CENTER
+        self.mode = PaddingModeType.CONSTANT
+        self.value1 = 0.0
+        self.value2 = 0.0
+
+    # -- config ------------------------------------------------------------
+    def set_slide_length(self, slide_length: int):
+        if slide_length > 0:
+            self.slide_length = slide_length
+
+    def enable_padding(self, flag: bool):
+        self.is_pad = bool(flag)
+
+    def set_padding(self, position_type=None, mode_type=None,
+                    value1=None, value2=None):
+        if not self.is_pad:
+            return
+        if position_type is not None:
+            self.position = PaddingPositionType(position_type)
+        if mode_type is not None:
+            self.mode = PaddingModeType(mode_type)
+        if value1 is not None:
+            self.value1 = float(value1)
+        if value2 is not None:
+            self.value2 = float(value2)
+
+    def use_window_data_arr(self, win: np.ndarray):
+        if win.shape[-1] != self.fft_length:
+            raise ValueError(f"window length must be {self.fft_length}")
+        self.window = np.asarray(win, dtype=np.float32)
+
+    def get_window_data_arr(self) -> np.ndarray:
+        return self.window
+
+    # -- shape math ---------------------------------------------------------
+    def cal_time_length(self, data_length: int) -> int:
+        return cal_time_length(data_length, self.fft_length, self.slide_length,
+                               self.is_pad)
+
+    def cal_data_length(self, time_length: int) -> int:
+        return cal_data_length(time_length, self.fft_length, self.slide_length)
+
+    # -- exec ----------------------------------------------------------------
+    def stft(self, data_arr):
+        """Compute the STFT. data_arr: (..., n) -> complex64 (..., fre, time)."""
+        return _stft_impl(jnp.asarray(data_arr, jnp.float32),
+                          jnp.asarray(self.window),
+                          fft_length=self.fft_length,
+                          slide_length=self.slide_length,
+                          is_pad=self.is_pad,
+                          position=int(self.position), mode=int(self.mode),
+                          value1=self.value1, value2=self.value2)
+
+    def istft(self, m_data_arr, method_type: int = 0):
+        """Inverse STFT. m_data_arr: complex (..., fre, time) -> (..., n)."""
+        return _istft_impl(jnp.asarray(m_data_arr), jnp.asarray(self.window),
+                           fft_length=self.fft_length,
+                           slide_length=self.slide_length,
+                           method_type=method_type)
+
+    # -- coords (API parity) --------------------------------------------------
+    def y_coords(self, samplate: int = 32000):
+        return np.linspace(0, samplate / 2, self.fft_length // 2 + 1)
+
+    def x_coords(self, data_length: int, samplate: int = 32000):
+        T = self.cal_time_length(data_length)
+        return np.arange(T) * self.slide_length / samplate

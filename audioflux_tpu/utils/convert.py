@@ -1,0 +1,151 @@
+"""Conversion utilities (dB scaling, deltas, note/midi/hz).
+
+jnp-based so they compose under jit; semantics follow the reference
+``src/util/flux_util.c`` (powerToDB family) and
+``python/audioflux/utils/convert.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "power_to_db", "power_to_abs_db", "mag_to_abs_db",
+    "log_compress", "log10_compress", "delta", "get_phase",
+    "note_to_midi", "midi_to_note", "note_to_hz", "midi_to_hz", "hz_to_midi",
+    "sample_path",
+]
+
+
+def power_to_db(X, min_db: float = -80.0):
+    """Relative dB: 10*log10(p/max(p)), floored at ``min_db``.
+
+    The max is global over the whole array (reference util_powerToDB,
+    flux_util.c).
+    """
+    X = jnp.asarray(X)
+    mx = jnp.max(X)
+    v = 10.0 * jnp.log10(X / mx)
+    return jnp.maximum(v, min_db)
+
+
+def power_to_abs_db(X, fft_length: int = 4096, is_norm: bool = False,
+                    min_db: float = -80.0):
+    """Absolute dB: 10*log10(p/fft_length^2), floored at ``min_db``."""
+    X = jnp.asarray(X)
+    v = 10.0 * jnp.log10(X / float(fft_length) ** 2)
+    v = jnp.maximum(v, min_db)
+    if is_norm:
+        # reference: subtract from the dB value at the power argmax
+        idx = jnp.argmax(X)
+        v = v.reshape(-1)[idx] - v
+    return v
+
+
+def mag_to_abs_db(X, fft_length: int = 4096, is_norm: bool = False,
+                  min_db: float = -80.0):
+    """Absolute dB from magnitude: 20*log10(m/fft_length)."""
+    X = jnp.asarray(X)
+    v = 20.0 * jnp.log10(X / float(fft_length))
+    v = jnp.maximum(v, min_db)
+    if is_norm:
+        idx = jnp.argmax(X)
+        v = v.reshape(-1)[idx] - v
+    return v
+
+
+def log_compress(X, gamma: float = 1.0):
+    """ln(1 + gamma * X)"""
+    return jnp.log1p(gamma * jnp.asarray(X))
+
+
+def log10_compress(X, gamma: float = 1.0):
+    """log10(1 + gamma * X)"""
+    return jnp.log1p(gamma * jnp.asarray(X)) / np.log(10.0)
+
+
+def delta(X, order: int = 9):
+    """Savitzky-Golay style delta over the time (last) axis.
+
+    delta_t = sum_{k=-M..M} k * x_{t+k} / sum k^2, window ``order`` odd
+    (reference util_delta / xxcc standard deltas). Edges use edge padding.
+    """
+    if order < 3 or order % 2 == 0:
+        raise ValueError("order must be odd and >= 3")
+    X = jnp.asarray(X)
+    m = order // 2
+    kernel = np.arange(-m, m + 1, dtype=np.float32)
+    denom = float((kernel ** 2).sum())
+    Xp = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(m, m)], mode="edge")
+    out = jnp.zeros_like(X)
+    for i, k in enumerate(kernel):
+        if k == 0:
+            continue
+        out = out + k * Xp[..., i:i + X.shape[-1]]
+    return out / denom
+
+
+def get_phase(D, eps: float = 1e-16):
+    """Phase angle of a complex spectrogram."""
+    D = jnp.asarray(D)
+    re = jnp.where(jnp.real(D) < eps, eps, jnp.real(D))
+    return jnp.arctan2(jnp.imag(D), re)
+
+
+_NOTE_MAP = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+_ACC_MAP = {"": 0, "#": 1, "♯": 1, "b": -1, "♭": -1, "!": -1,
+            "##": 2, "bb": -2, "x": 2}
+_NOTE_RE = re.compile(r"^([A-Ga-g])([#♯b♭!x]{0,2})(-?\d+)?$")
+
+
+def note_to_midi(note: str) -> float:
+    m = _NOTE_RE.match(note.strip())
+    if not m:
+        raise ValueError(f"invalid note {note!r}")
+    letter, acc, octave = m.groups()
+    octave = 0 if octave is None else int(octave)
+    return _NOTE_MAP[letter.upper()] + _ACC_MAP.get(acc, 0) + 12 * (octave + 1)
+
+
+def midi_to_note(midi, is_octave: bool = True) -> str:
+    names = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A", "A#", "B"]
+    midi = int(round(float(midi)))
+    name = names[midi % 12]
+    return f"{name}{midi // 12 - 1}" if is_octave else name
+
+
+def midi_to_hz(midi):
+    return 440.0 * np.power(2.0, (np.asarray(midi, dtype=np.float64) - 69) / 12.0)
+
+
+def hz_to_midi(frequencies):
+    return 12.0 * np.log2(np.asarray(frequencies, dtype=np.float64) / 440.0) + 69.0
+
+
+def note_to_hz(note: str) -> float:
+    return float(midi_to_hz(note_to_midi(note)))
+
+
+def sample_path(name: str = "220") -> str:
+    """Path to a bundled sample WAV (generated synthetically on first use)."""
+    import os
+    import wave as _wave
+
+    base = os.path.join(os.path.dirname(__file__), "sample_data")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"{name}.wav")
+    if not os.path.exists(path):
+        sr = 32000
+        freq = float(name) if name.replace(".", "").isdigit() else 220.0
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+        with _wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+    return path

@@ -1,0 +1,57 @@
+"""Test config: force CPU platform with 8 virtual devices for sharding tests.
+
+Must run before any JAX backend initialization. The axon TPU plugin ignores
+the JAX_PLATFORMS env var, so we set the config flag programmatically.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    def load(name):
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"golden fixture {name}.npz not generated")
+        return np.load(path)
+    return load
+
+
+@pytest.fixture(scope="session")
+def signals():
+    sr = 32000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    sine = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    k = 8000.0 / 20.0
+    chirp = (0.5 * np.cos(2 * np.pi * 20 * (np.power(k, t) - 1) / np.log(k))
+             ).astype(np.float32)
+    short = sine[:4096].copy()
+    chord = (0.3 * np.sin(2 * np.pi * 261.63 * t)
+             + 0.3 * np.sin(2 * np.pi * 392.0 * t)).astype(np.float32)
+    return {"sine": sine, "chirp": chirp, "short": short, "chord": chord}
+
+
+def assert_close_to_golden(ours, ref, rtol_of_peak=5e-5, name=""):
+    """Max abs error relative to the golden's peak magnitude."""
+    ours = np.asarray(ours)
+    ref = np.asarray(ref)
+    assert ours.shape == ref.shape, f"{name}: shape {ours.shape} != {ref.shape}"
+    peak = np.abs(ref).max()
+    err = np.abs(ours - ref).max()
+    assert err <= rtol_of_peak * max(peak, 1e-20), (
+        f"{name}: max|err|={err:.3e} peak={peak:.3e} "
+        f"(rel {err / max(peak, 1e-20):.3e} > {rtol_of_peak})")

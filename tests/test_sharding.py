@@ -1,0 +1,67 @@
+"""Sharding equality tests: N-chip (8 virtual CPU devices) == single-chip."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from audioflux_tpu.ops.window import get_fft_window
+from audioflux_tpu.parallel import (
+    make_mesh, sharded_istft_fn, sharded_spectrogram_fn, sharded_stft_fn,
+)
+from audioflux_tpu.parallel.sharded import valid_frames
+from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+from audioflux_tpu.types import WindowType
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+FFT, SLIDE, SR = 2048, 512, 32000
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, time=4)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(1)
+    return (rng.standard_normal((4, 32768)) * 0.2).astype(np.float32)
+
+
+def test_sharded_mel_equals_single(mesh, batch):
+    plan = MelSpectrogram(num=128, samplate=SR, radix2_exp=11,
+                          slide_length=SLIDE)
+    fn = sharded_spectrogram_fn(plan, mesh, with_xxcc=13)
+    xs = jax.device_put(batch, NamedSharding(mesh, P("data", "time")))
+    spec, cc = fn(xs)
+    T = valid_frames(batch.shape[-1], FFT, SLIDE)
+    ref_spec = np.asarray(plan.spectrogram(batch))
+    ref_cc = np.asarray(plan.mfcc(ref_spec, 13))
+    np.testing.assert_array_equal(np.asarray(spec)[..., :T], ref_spec)
+    np.testing.assert_array_equal(np.asarray(cc)[..., :T], ref_cc)
+
+
+def test_sharded_stft_istft_roundtrip(mesh, batch):
+    win = get_fft_window(WindowType.HANN, FFT)
+    stf = sharded_stft_fn(mesh, FFT, SLIDE, win)
+    istf = sharded_istft_fn(mesh, FFT, SLIDE, win)
+    xs = jax.device_put(batch, NamedSharding(mesh, P("data", "time")))
+    y = np.asarray(istf(stf(xs)))
+    assert y.shape == batch.shape
+    n = batch.shape[-1]
+    err = np.abs(y[:, FFT:n - FFT] - batch[:, FFT:n - FFT]).max()
+    assert err < 1e-3
+
+
+def test_sharded_stft_matches_unsharded_frames(mesh, batch):
+    from audioflux_tpu.transforms.stft import stft as stft_fn
+    win = get_fft_window(WindowType.HANN, FFT)
+    stf = sharded_stft_fn(mesh, FFT, SLIDE, win)
+    xs = jax.device_put(batch, NamedSharding(mesh, P("data", "time")))
+    D = np.asarray(stf(xs))  # (B, T, fre)
+    ref = np.asarray(stft_fn(batch, FFT, SLIDE, window=win))  # (B, fre, T)
+    T = valid_frames(batch.shape[-1], FFT, SLIDE)
+    np.testing.assert_array_equal(D[:, :T].swapaxes(-1, -2), ref)

@@ -1,0 +1,270 @@
+"""Generate golden test fixtures from the reference C library.
+
+Runs the reference (built from /root/reference sources into .ref/, driven via
+its own ctypes wrapper staged in .ref/pkg) on deterministic synthetic signals
+and writes compressed .npz fixtures into tests/goldens/. The test suite
+compares audioflux_tpu outputs against these fixtures, so tests are hermetic
+(no reference needed at test time).
+
+Usage: python tools/gen_goldens.py [group ...]
+Groups: windows filterbanks spectrogram stft chroma cqt cwt features mir all
+"""
+
+import ctypes
+import os
+import sys
+import importlib.util
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(ROOT, "tests", "goldens")
+REF_PKG = os.path.join(ROOT, ".ref", "pkg")
+REF_LIB = os.path.join(ROOT, ".ref", "libaudioflux.so")
+
+
+def _setup_reference():
+    spec = importlib.util.spec_from_file_location(
+        "soundfile", os.path.join(ROOT, ".ref", "soundfile_stub.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sys.modules["soundfile"] = m
+    sys.path.insert(0, REF_PKG)
+    import warnings
+    warnings.filterwarnings("ignore")
+    import audioflux as af
+    return af
+
+
+def signals():
+    sr = 32000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    sine = (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    k = (8000.0 / 20.0) ** (1.0 / 1.0)
+    chirp = (0.5 * np.cos(2 * np.pi * 20 * (np.power(k, t) - 1) / np.log(k))
+             ).astype(np.float32)
+    short = sine[:4096].copy()
+    # 2-note "chord" for pitch/chroma style tests
+    chord = (0.3 * np.sin(2 * np.pi * 261.63 * t)
+             + 0.3 * np.sin(2 * np.pi * 392.0 * t)).astype(np.float32)
+    return {"sine": sine, "chirp": chirp, "short": short, "chord": chord}
+
+
+def save(name, **arrs):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    np.savez_compressed(path, **arrs)
+    print(f"wrote {path}: {', '.join(f'{k}{v.shape}' for k, v in arrs.items())}")
+
+
+def gen_windows():
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    fn = lib["window_calFFTWindow"]
+    fn.restype = ctypes.POINTER(ctypes.c_float)
+    out = {}
+    for wt in range(14):
+        for length in (256, 1024, 255):
+            p = fn(ctypes.c_int(wt), ctypes.c_int(length))
+            out[f"w{wt}_{length}"] = np.ctypeslib.as_array(p, (length,)).copy()
+    save("windows", **out)
+
+
+
+# (scale, style, norm, num, low, high, bpo)
+_FB_CASES = [
+    (2, 0, 0, 128, 0.0, 16000.0, 12),    # mel slaney
+    (2, 1, 0, 128, 0.0, 16000.0, 12),    # mel etsi
+    (2, 0, 1, 128, 0.0, 16000.0, 12),    # mel slaney area
+    (2, 0, 2, 128, 0.0, 16000.0, 12),    # mel slaney bandwidth
+    (2, 5, 0, 64, 0.0, 16000.0, 12),     # mel hann
+    (2, 10, 0, 64, 0.0, 16000.0, 12),    # mel gauss
+    (2, 3, 0, 64, 0.0, 16000.0, 12),     # mel point
+    (2, 4, 0, 64, 0.0, 16000.0, 12),     # mel rect
+    (3, 0, 0, 128, 0.0, 16000.0, 12),    # bark slaney
+    (4, 0, 0, 128, 0.0, 16000.0, 12),    # erb slaney
+    (4, 2, 0, 128, 0.0, 16000.0, 12),    # erb gammatone
+    (1, 0, 0, 64, 100.0, 8000.0, 12),    # linspace
+    (5, 0, 0, 84, 32.703, 16000.0, 12),  # octave
+    (6, 0, 0, 84, 32.703, 16000.0, 12),  # logspace
+]
+
+
+def gen_filterbanks():
+    # one subprocess per case: reference heap overflows would otherwise
+    # corrupt the allocator between cases
+    import subprocess
+    out = {}
+    for i in range(len(_FB_CASES)):
+        path = os.path.join(GOLDEN_DIR, f"_fbcase{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fbcase{i}"])
+        # a crash during interpreter teardown (reference heap quirks) is fine
+        # as long as the fixture was written
+        if not os.path.exists(path):
+            raise RuntimeError(f"filterbank case {i} failed")
+        part = np.load(path)
+        out.update({k: part[k] for k in part.files})
+        os.remove(os.path.join(GOLDEN_DIR, f"_fbcase{i}.npz"))
+    save("filterbanks", **out)
+
+
+def gen_filterbank_case(i):
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    fn = lib["auditory_filterBank"]
+    out = {}
+    fft_length = 2048
+    sr = 32000
+    m_len = fft_length // 2 + 1
+    cases = [_FB_CASES[i]]
+    for (scale, style, norm, num, low, high, bpo) in cases:
+        if scale == 0:
+            det = sr / float(fft_length)
+            low_i = int(np.round(np.float32(low) / np.float32(det)))
+            high_i = int(np.round(np.float32(high) / np.float32(det)))
+            num = high_i - low_i + 1
+        # NOTE: buffers oversized by 8 floats — the reference writes one
+        # harmless 0 past the last row for bands touching the Nyquist edge
+        # (ETSI/window styles, auditory_filterBank.c:402-404).
+        fb = np.zeros((num * m_len + 8,), dtype=np.float32)
+        fre = np.zeros(num + 8, dtype=np.float32)
+        bins = np.zeros(num + 8, dtype=np.int32)
+        fn(ctypes.c_int(num), ctypes.c_int(fft_length), ctypes.c_int(sr),
+           ctypes.c_int(0), ctypes.c_int(scale), ctypes.c_int(style),
+           ctypes.c_int(norm), ctypes.c_float(low), ctypes.c_float(high),
+           ctypes.c_int(bpo),
+           fb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           fre.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        key = f"s{scale}_st{style}_n{norm}_{num}"
+        out[f"{key}_fb"] = fb[:num * m_len].reshape(num, m_len)
+        out[f"{key}_fre"] = fre[:num]
+        out[f"{key}_bin"] = bins[:num]
+    save(f"_fbcase{i}", **out)
+
+
+def gen_spectrogram(af):
+    from audioflux.spectrogram import Spectrogram as _Spectrogram
+    sigs = signals()
+    out = {}
+    x = sigs["sine"]
+
+    mel = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    spec = mel.spectrogram(x)
+    out["mel_spec"] = spec
+    out["mel_fre"] = mel.get_fre_band_arr()
+    out["mel_mfcc"] = mel.mfcc(spec, cc_num=13)
+
+    bark = af.BarkSpectrogram(num=64, samplate=32000, radix2_exp=11,
+                              slide_length=512)
+    bspec = bark.spectrogram(x)
+    out["bark_spec"] = bspec
+    out["bark_bfcc"] = bark.bfcc(bspec, cc_num=13)
+
+    erb = af.ErbSpectrogram(num=64, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    out["erb_spec"] = erb.spectrogram(x)
+
+    gt = _Spectrogram(num=64, samplate=32000, radix2_exp=11,
+                        slide_length=512,
+                        filter_bank_type=af.type.SpectralFilterBankType.ERB,
+                        style_type=af.type.SpectralFilterBankStyleType.GAMMATONE)
+    gspec = gt.spectrogram(x)
+    out["gamma_spec"] = gspec
+    out["gamma_gtcc"] = gt.gtcc(gspec, cc_num=13)
+
+    lin = _Spectrogram(samplate=32000, radix2_exp=11, slide_length=512,
+                         filter_bank_type=af.type.SpectralFilterBankType.LINEAR)
+    out["linear_spec"] = lin.spectrogram(x)
+
+    linsub = _Spectrogram(samplate=32000, radix2_exp=11, slide_length=512,
+                            low_fre=100.0, high_fre=8000.0,
+                            filter_bank_type=af.type.SpectralFilterBankType.LINEAR)
+    out["linear_sub_spec"] = linsub.spectrogram(x)
+
+    octv = _Spectrogram(num=84, samplate=32000, radix2_exp=11,
+                          slide_length=512,
+                          filter_bank_type=af.type.SpectralFilterBankType.OCTAVE)
+    out["octave_spec"] = octv.spectrogram(sigs["chirp"])
+
+    mag = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512,
+                            data_type=af.type.SpectralDataType.MAG)
+    out["mel_mag_spec"] = mag.spectrogram(x)
+    save("spectrogram", **out)
+
+
+def gen_chroma(af):
+    from audioflux.spectrogram import Spectrogram as _Spectrogram
+    sigs = signals()
+    out = {}
+    ch = _Spectrogram(num=12, samplate=32000, radix2_exp=11, slide_length=512,
+                        filter_bank_type=af.type.SpectralFilterBankType.CHROMA)
+    out["chroma_spec"] = ch.spectrogram(sigs["chord"])
+    save("chroma", **out)
+
+
+def gen_stft(af):
+    sigs = signals()
+    out = {}
+    x = sigs["sine"]
+    st = af.STFT(radix2_exp=11, window_type=af.type.WindowType.HANN,
+                 slide_length=512)
+    D = st.stft(x)
+    out["stft_re"] = D.real.astype(np.float32)
+    out["stft_im"] = D.imag.astype(np.float32)
+    out["istft_w"] = st.istft(D, method_type=0)
+    out["istft_ola"] = st.istft(D, method_type=1)
+
+    # padded variants
+    for pos, mode, tag in ((0, 0, "center_const"), (0, 1, "center_reflect"),
+                           (0, 2, "center_wrap"), (1, 1, "right_reflect"),
+                           (2, 1, "left_reflect")):
+        stp = af.STFT(radix2_exp=11, window_type=af.type.WindowType.HANN,
+                      slide_length=512)
+        stp.enable_padding(True)
+        stp.set_padding(af.type.PaddingPositionType(pos),
+                        af.type.PaddingModeType(mode), 0.0, 0.0)
+        Dp = stp.stft(x)
+        out[f"stft_{tag}_re"] = Dp.real.astype(np.float32)
+        out[f"stft_{tag}_im"] = Dp.imag.astype(np.float32)
+    save("stft", **out)
+
+
+GROUPS = {
+    "windows": lambda af: gen_windows(),
+    "filterbanks": lambda af: gen_filterbanks(),
+    "spectrogram": gen_spectrogram,
+    "chroma": gen_chroma,
+    "stft": gen_stft,
+}
+
+
+def main():
+    groups = sys.argv[1:] or ["all"]
+    if "all" in groups:
+        groups = list(GROUPS)
+    if len(groups) == 1 and groups[0].startswith("_fbcase"):
+        gen_filterbank_case(int(groups[0][7:]))
+        return
+    if len(groups) > 1:
+        # Run each group in its own subprocess: the reference C library has
+        # latent heap overflows (e.g. Nyquist-edge filterbank rows) that can
+        # corrupt the allocator across successive calls in one process.
+        import subprocess
+        for g in groups:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), g])
+            if r.returncode != 0:
+                print(f"group {g} FAILED (rc={r.returncode})")
+        return
+    af = _setup_reference()
+    for g in groups:
+        GROUPS[g](af)
+
+
+if __name__ == "__main__":
+    main()
