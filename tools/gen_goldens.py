@@ -235,12 +235,92 @@ def gen_stft(af):
     save("stft", **out)
 
 
+def gen_spectral(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"]
+
+    mel = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    spec = mel.spectrogram(x)  # (128, T) power
+    fre = mel.get_fre_band_arr()
+    T = spec.shape[-1]
+    out["in_spec"] = spec
+    out["in_fre"] = fre
+
+    sp = af.Spectral(num=128, fre_band_arr=fre)
+    sp.set_time_length(T)
+    out["flatness"] = sp.flatness(spec)
+    out["flux"] = sp.flux(spec)
+    out["flux_pos_exp_mean"] = sp.flux(spec, step=2, p=2, is_positive=True,
+                                       is_exp=True, tp=1)
+    out["rolloff"] = sp.rolloff(spec, threshold=0.95)
+    out["centroid"] = sp.centroid(spec)
+    out["spread"] = sp.spread(spec)
+    out["skewness"] = sp.skewness(spec)
+    out["kurtosis"] = sp.kurtosis(spec)
+    out["entropy"] = sp.entropy(spec)
+    out["entropy_norm"] = sp.entropy(spec, is_norm=True)
+    out["crest"] = sp.crest(spec)
+    out["slope"] = sp.slope(spec)
+    out["decrease"] = sp.decrease(spec)
+    out["band_width"] = sp.band_width(spec)
+    out["band_width_p1"] = sp.band_width(spec, p=1)
+    out["rms"] = sp.rms(spec)
+    out["energy"] = sp.energy(spec)
+    out["energy_log"] = sp.energy(spec, is_log=True, gamma=10.0)
+    out["hfc"] = sp.hfc(spec)
+    out["sd"] = sp.sd(spec)
+    out["sf"] = sp.sf(spec)
+    out["mkl"] = sp.mkl(spec)
+    out["broadband"] = sp.broadband(spec, threshold=0)
+    out["novelty"] = sp.novelty(spec)
+    out["novelty_kl_num"] = sp.novelty(spec, step=1, threshold=0.0,
+                                       method_type=af.type.SpectralNoveltyMethodType.KL,
+                                       data_type=af.type.SpectralNoveltyDataType.NUMBER)
+    out["eef"] = sp.eef(spec)
+    out["eer"] = sp.eer(spec, gamma=1.0)
+    mx_v, mx_f = sp.max(spec)
+    out["max_v"], out["max_f"] = mx_v, mx_f
+    mn_v, mn_f = sp.mean(spec)
+    out["mean_v"], out["mean_f"] = mn_v, mn_f
+    vr_v, vr_f = sp.var(spec)
+    out["var_v"], out["var_f"] = vr_v, vr_f
+
+    # band-subset variant
+    sp.set_edge(10, 99)
+    out["edge_centroid"] = sp.centroid(spec)
+    out["edge_hfc"] = sp.hfc(spec)
+    out["edge_decrease"] = sp.decrease(spec)
+    out["edge_rms"] = sp.rms(spec)
+
+    # phase-based features on a linear STFT
+    st = af.STFT(radix2_exp=11, window_type=af.type.WindowType.HANN,
+                 slide_length=512)
+    D = st.stft(x)
+    mspec = np.abs(D).astype(np.float32)
+    mphase = af.utils.get_phase(D).astype(np.float32)
+    out["in_mspec"] = mspec
+    out["in_mphase"] = mphase
+    sp2 = af.Spectral(num=mspec.shape[0],
+                      fre_band_arr=np.linspace(0, 16000, mspec.shape[0]
+                                               ).astype(np.float32))
+    sp2.set_time_length(mspec.shape[-1])
+    out["pd"] = sp2.pd(mspec, mphase)
+    out["wpd"] = sp2.wpd(mspec, mphase)
+    out["nwpd"] = sp2.nwpd(mspec, mphase)
+    out["cd"] = sp2.cd(mspec, mphase)
+    out["rcd"] = sp2.rcd(mspec, mphase)
+    save("spectral", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
     "spectrogram": gen_spectrogram,
     "chroma": gen_chroma,
     "stft": gen_stft,
+    "spectral": gen_spectral,
 }
 
 
