@@ -314,6 +314,59 @@ def gen_spectral(af):
     save("spectral", **out)
 
 
+def gen_features(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"]
+
+    mel = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    spec = mel.spectrogram(x)
+    T = spec.shape[-1]
+    out["in_spec"] = spec
+
+    # xxcc + standard deltas
+    xx = af.XXCC(num=128)
+    xx.set_time_length(T)
+    out["xxcc"] = xx.xxcc(spec, cc_num=13)
+    out["xxcc_cbrt"] = xx.xxcc(spec, cc_num=13,
+                               rectify_type=af.type.CepstralRectifyType.CUBIC_ROOT)
+    rng = np.random.default_rng(1)
+    energy = (rng.uniform(0.1, 5.0, T)).astype(np.float32)
+    out["in_energy"] = energy
+    coe, d1, d2 = xx.xxcc_standard(spec, energy, cc_num=13,
+                                   delta_window_length=9,
+                                   energy_type=af.type.CepstralEnergyType.REPLACE)
+    out["std_coe"], out["std_d1"], out["std_d2"] = coe, d1, d2
+    # NOTE: APPEND energy mode crashes the reference (its Python wrapper
+    # allocates timeLength*ccNum but C writes timeLength*(ccNum+1)); covered
+    # by shape/consistency tests on our side only.
+
+    # deconv
+    dc = af.Deconv(num=128)
+    dc.set_time_length(T)
+    timbre, pitch = dc.deconv(spec)
+    out["deconv_timbre"], out["deconv_pitch"] = timbre, pitch
+
+    # temporal
+    tp = af.Temporal(frame_length=2048, slide_length=512)
+    res = tp.temporal(x, has_energy=True, has_rms=True, has_zcr=True)
+    out["temp_energy"] = res["energy_arr"]
+    out["temp_rms"] = res["rms_arr"]
+    out["temp_zcr"] = res["zcr_arr"]
+    # ezr is C-only (temporalObj_ezr); golden from its exact formula
+    e32 = res["energy_arr"].astype(np.float32)
+    z32 = res["zcr_arr"].astype(np.float32)
+    out["temp_ezr"] = (np.log10(1 + e32 * np.float32(1.0))
+                       / (z32 * np.float32(2048) + 1)).astype(np.float32)
+
+    # cepstrogram
+    cp = af.Cepstrogram(radix2_exp=11, samplate=32000, slide_length=512)
+    c1, c2, c3 = cp.cepstrogram(x, cep_num=32)
+    out["ceps"], out["ceps_env"], out["ceps_det"] = c1, c2, c3
+    save("features", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -321,6 +374,7 @@ GROUPS = {
     "chroma": gen_chroma,
     "stft": gen_stft,
     "spectral": gen_spectral,
+    "features": gen_features,
 }
 
 
