@@ -1,0 +1,189 @@
+"""Spectral reassignment — time/frequency corrected STFT.
+
+Reference ``src/reassign_algorithm.c``: three STFTs with windows h, dh/dn
+(wrap-padded central gradient, :initWindowData) and n*h; corrections
+w' = w - (sr/2pi)*Im(S_dh/S_h), t' = t + Re(S_th/S_h)/sr
+(:_reassignTimeFre), thresholded/clipped to the grid (:_filterTimeFre),
+then scatter-added onto (time, fre) bins with a (-1)^j sign twist
+(:_rearrage). The three per-frame FFT loops fuse into one batched rfft of
+a stacked window tensor; the scatter is one ``.at[].add(mode='drop')``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioflux_tpu.ops.frame import cal_time_length, frame_signal
+from audioflux_tpu.ops.pad import pad_signal
+from audioflux_tpu.ops.window import get_fft_window
+from audioflux_tpu.types import (PaddingModeType, PaddingPositionType,
+                                 ReassignType, WindowType)
+
+__all__ = ["Reassign", "reassign_windows"]
+
+
+def reassign_windows(window: np.ndarray) -> tuple:
+    """(h, dh, th) per reassign_algorithm.c:_reassignObj_initWindowData.
+
+    dh: central gradient of the wrap-padded window; th: n*h with
+    n = -N/2 .. N/2-1.
+    """
+    h = np.asarray(window, np.float32)
+    N = h.shape[0]
+    pad = np.empty(N + 2, np.float32)
+    pad[1:N + 1] = h
+    pad[0] = h[N - 1]
+    pad[N + 1] = h[0]
+    g = np.empty(N + 2, np.float32)
+    g[0] = pad[1] - pad[0]
+    g[-1] = pad[-1] - pad[-2]
+    g[1:-1] = (pad[2:] - pad[:-2]) / 2.0
+    dh = g[1:N + 1].copy()
+    n = np.arange(-(N // 2), N // 2, dtype=np.float32)
+    th = n * h
+    return h, dh, th
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length", "re_type",
+                                   "order", "result_type", "is_padding"))
+def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
+                   re_type, order, result_type, is_padding):
+    m = fft_length // 2 + 1
+    if is_padding:
+        x = pad_signal(x, fft_length, slide_length,
+                       PaddingPositionType.CENTER, PaddingModeType.CONSTANT,
+                       0.0, 0.0)
+    frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
+    T = frames.shape[-2]
+    # one batched rfft over all three windows: (..., 3, T, m)
+    S = jnp.fft.rfft(frames[..., None, :, :] * wins[:, None, :], axis=-1)
+    Sh, Sdh, Sth = S[..., 0, :, :], S[..., 1, :, :], S[..., 2, :, :]
+
+    rt = ReassignType(re_type)
+    if rt == ReassignType.NONE:
+        out = jnp.swapaxes(Sh, -1, -2)
+        return out, out
+
+    fre = jnp.linspace(0.0, samplate / 2.0, m, dtype=jnp.float32)
+    tim = (jnp.arange(T, dtype=jnp.float32) * slide_length) / samplate
+    power = jnp.real(Sh) ** 2 + jnp.imag(Sh) ** 2
+    good = power >= thresh * thresh
+    denom = jnp.where(jnp.abs(Sh) == 0, 1.0, Sh)
+
+    fmax = samplate / 2.0
+    tmax = tim[-1]
+
+    if rt in (ReassignType.ALL, ReassignType.FRE):
+        corr = jnp.imag(Sdh / denom) * (-0.5 * samplate / np.pi)
+        w2 = fre + corr
+        w2 = jnp.where(good, w2, fre)
+        w2 = jnp.clip(w2, 0.0, fmax)
+    else:
+        w2 = jnp.broadcast_to(fre, Sh.shape)
+
+    if rt in (ReassignType.ALL, ReassignType.TIME):
+        tcorr = jnp.real(Sth / denom) / samplate
+        t2 = tim[..., :, None] + tcorr
+        t2 = jnp.where(good, t2, tim[..., :, None])
+        t2 = jnp.clip(t2, 0.0, tmax)
+    else:
+        t2 = jnp.broadcast_to(tim[..., :, None], Sh.shape)
+
+    # grid indices (roundf == floor(x+0.5) for non-negative values)
+    if T > 1:
+        ti = jnp.floor(t2 * (T - 1) / tmax + 0.5).astype(jnp.int32)
+    else:
+        ti = jnp.zeros(Sh.shape, jnp.int32)
+    fi = jnp.floor(w2 * (fft_length // 2) / fmax + 0.5).astype(jnp.int32)
+
+    # order>1: iterate composition fi <- fi[fi] along the fre axis
+    # (reassign_algorithm.c:_rearrage order loop)
+    for _ in range(max(order, 1) - 1):
+        valid = (fi >= 0) & (fi < m)
+        gathered = jnp.take_along_axis(fi, jnp.clip(fi, 0, m - 1), axis=-1)
+        fi = jnp.where(valid, gathered, 0)
+
+    sign = jnp.where(jnp.arange(m) % 2 == 1, -1.0, 1.0)
+    vals = Sh * sign
+
+    in_range = (ti >= 0) & (ti < T) & (fi >= 0) & (fi < m)
+    flat_idx = jnp.where(in_range, ti * m + fi, T * m)  # T*m drops
+
+    def scatter(v):
+        flat = jnp.zeros(v.shape[:-2] + (T * m,), v.dtype)
+        flat = flat.at[..., flat_idx.reshape(flat_idx.shape[:-2] + (-1,))
+                       ].add(v.reshape(v.shape[:-2] + (-1,)), mode="drop")
+        return flat.reshape(v.shape[:-2] + (T, m))
+
+    if result_type == 0:
+        out = scatter(vals)
+    else:
+        out = scatter(jnp.abs(vals).astype(jnp.float32)).astype(jnp.complex64)
+    return jnp.swapaxes(out, -1, -2), jnp.swapaxes(Sh, -1, -2)
+
+
+class Reassign:
+    """API mirrors ``python/audioflux/reassign.py``.
+
+    ``reassign(x)`` returns the reassigned spectrogram (..., fre, time):
+    complex (result_type 0) or the scatter of |S_h| as real (result_type 1).
+    """
+
+    def __init__(self, radix2_exp: int = 12, samplate: int = 32000,
+                 window_type: WindowType = WindowType.HANN,
+                 slide_length: int = None,
+                 re_type: ReassignType = ReassignType.ALL,
+                 thresh: float = 0.001,
+                 is_padding: bool = False):
+        if not 1 < radix2_exp < 31:
+            raise ValueError("radix2_exp must be in [2, 30]")
+        self.radix2_exp = radix2_exp
+        self.samplate = samplate
+        self.fft_length = 1 << radix2_exp
+        self.window_type = WindowType(window_type)
+        self.slide_length = (slide_length if slide_length
+                             else self.fft_length // 4)
+        self.re_type = ReassignType(re_type)
+        self.thresh = float(thresh)
+        self.is_padding = bool(is_padding)
+        self.result_type = 0
+        self.order = 1
+
+        h, dh, th = reassign_windows(
+            get_fft_window(self.window_type, self.fft_length))
+        self._wins = np.stack([h, dh, th])
+
+    def set_result_type(self, t: int):
+        self.result_type = int(t)
+
+    def set_order(self, order: int):
+        if order >= 1:
+            self.order = int(order)
+
+    def cal_time_length(self, data_length: int) -> int:
+        n = data_length
+        if self.is_padding:
+            n += self.fft_length  # center pad fft/2 each side
+        return cal_time_length(n, self.fft_length, self.slide_length)
+
+    def reassign(self, data_arr, with_stft: bool = False):
+        out, stft = _reassign_impl(
+            jnp.asarray(data_arr, jnp.float32), jnp.asarray(self._wins),
+            fft_length=self.fft_length, slide_length=self.slide_length,
+            samplate=self.samplate, thresh=self.thresh,
+            re_type=int(self.re_type), order=self.order,
+            result_type=self.result_type, is_padding=self.is_padding)
+        if self.result_type == 1:
+            out = jnp.real(out)
+        return (out, stft) if with_stft else out
+
+    def y_coords(self):
+        return np.linspace(0, self.samplate / 2, self.fft_length // 2 + 1)
+
+    def x_coords(self, data_length: int):
+        T = self.cal_time_length(data_length)
+        return np.arange(T) * self.slide_length / self.samplate

@@ -367,6 +367,53 @@ def gen_features(af):
     save("features", **out)
 
 
+def gen_bft(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:16000]
+
+    # reassign (ALL) on its own
+    rs = af.Reassign(radix2_exp=11, samplate=32000,
+                     window_type=af.type.WindowType.HANN, slide_length=512,
+                     re_type=af.type.ReassignType.ALL, thresh=0.001,
+                     is_padding=False)
+    D, _ = rs.reassign(x)
+    out["reassign_re"] = D.real.astype(np.float32)
+    out["reassign_im"] = D.imag.astype(np.float32)
+
+    rs2 = af.Reassign(radix2_exp=11, samplate=32000,
+                      window_type=af.type.WindowType.HANN, slide_length=512,
+                      re_type=af.type.ReassignType.FRE, thresh=0.001,
+                      is_padding=False)
+    D2, _ = rs2.reassign(x)
+    out["reassign_fre_re"] = D2.real.astype(np.float32)
+    out["reassign_fre_im"] = D2.imag.astype(np.float32)
+
+    # BFT mel mag real result
+    bft = af.BFT(num=128, radix2_exp=11, samplate=32000, slide_length=512,
+                 scale_type=af.type.SpectralFilterBankScaleType.MEL,
+                 data_type=af.type.SpectralDataType.MAG,
+                 is_reassign=False)
+    out["bft_mel_mag"] = np.abs(bft.bft(x, result_type=1))
+
+    # BFT linear complex (power dataType -> squared complex)
+    bft2 = af.BFT(num=1025, radix2_exp=11, samplate=32000, slide_length=512,
+                  scale_type=af.type.SpectralFilterBankScaleType.LINEAR,
+                  data_type=af.type.SpectralDataType.POWER,
+                  is_reassign=False)
+    C = bft2.bft(x, result_type=0)
+    out["bft_lin_cpx_re"] = C.real.astype(np.float32)
+    out["bft_lin_cpx_im"] = C.imag.astype(np.float32)
+
+    # BFT mel power with reassign
+    bft3 = af.BFT(num=128, radix2_exp=11, samplate=32000, slide_length=512,
+                  scale_type=af.type.SpectralFilterBankScaleType.MEL,
+                  data_type=af.type.SpectralDataType.POWER,
+                  is_reassign=True)
+    out["bft_mel_rea"] = np.abs(bft3.bft(x, result_type=1))
+    save("bft", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -375,6 +422,7 @@ GROUPS = {
     "stft": gen_stft,
     "spectral": gen_spectral,
     "features": gen_features,
+    "bft": gen_bft,
 }
 
 
