@@ -1,0 +1,93 @@
+"""CQT/VQT + postprocessing parity vs reference C goldens, and resampler
+parity (the CQT multirate chain exercises it at every octave)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_close_to_golden
+
+from audioflux_tpu.dsp.resample import Resample
+from audioflux_tpu.transforms.cqt import CQT, SimpleCQT, VQT
+from audioflux_tpu.types import ResampleQualityType
+
+
+@pytest.fixture(scope="module")
+def cqt_pair(goldens, signals):
+    g = goldens("cqt")
+    obj = CQT(num=84, samplate=32000)
+    C = np.asarray(obj.cqt(signals["chord"]))
+    return obj, C, g
+
+
+def test_cqt(cqt_pair):
+    obj, C, g = cqt_pair
+    ref = g["cqt_re"] + 1j * g["cqt_im"]
+    assert obj.fft_length == g["cqt_fft_length"][0]
+    np.testing.assert_allclose(obj.get_fre_band_arr(), g["cqt_fre"], atol=1e-3)
+    assert_close_to_golden(C.real, ref.real, 5e-5, "cqt_re")
+    assert_close_to_golden(C.imag, ref.imag, 5e-5, "cqt_im")
+
+
+def test_cqt_chroma(cqt_pair):
+    obj, C, g = cqt_pair
+    out = np.asarray(obj.chroma(C))
+    assert_close_to_golden(out, g["cqt_chroma"], 2e-4, "cqt_chroma")
+
+
+def test_cqcc(cqt_pair):
+    # feed the golden CQT: log10 on noise-floor bins would otherwise amplify
+    # the 5e-6-level cqt differences into the cepstral comparison
+    obj, _, g = cqt_pair
+    ref_C = np.abs(g["cqt_re"] + 1j * g["cqt_im"])
+    out = np.asarray(obj.cqcc(ref_C, cc_num=13))
+    np.testing.assert_allclose(out, g["cqt_cqcc"], atol=2e-3)
+
+
+def test_cqhc(cqt_pair):
+    obj, C, g = cqt_pair
+    out = np.asarray(obj.cqhc(np.abs(C) ** 2, hc_num=13))
+    assert_close_to_golden(out, g["cqt_cqhc"], 2e-4, "cqt_cqhc")
+
+
+def test_cqt_deconv(cqt_pair):
+    obj, C, g = cqt_pair
+    t, p = obj.deconv(np.abs(C))
+    assert_close_to_golden(t, g["cqt_dec_t"], 2e-4, "cqt_dec_t")
+    assert_close_to_golden(p, g["cqt_dec_p"], 2e-3, "cqt_dec_p")
+
+
+def test_vqt(goldens, signals):
+    g = goldens("vqt")
+    obj = VQT(num=84, samplate=32000, beta=0.5)
+    C = np.asarray(obj.cqt(signals["chord"]))
+    ref = g["vqt_re"] + 1j * g["vqt_im"]
+    assert_close_to_golden(C.real, ref.real, 5e-5, "vqt_re")
+    assert_close_to_golden(C.imag, ref.imag, 5e-5, "vqt_im")
+
+
+def test_cqt_batched(signals):
+    obj = CQT(num=84, samplate=32000)
+    x = signals["chord"][:16000]
+    out = np.asarray(obj.cqt(np.stack([x, 0.3 * x])))
+    single = np.asarray(obj.cqt(x))
+    assert out.shape[0] == 2
+    np.testing.assert_allclose(out[0], single, rtol=1e-5, atol=1e-7)
+
+
+def test_simple_cqt(signals):
+    obj = SimpleCQT(num=84, samplate=32000)
+    C = np.asarray(obj.cqt(signals["chord"][:16000]))
+    assert C.shape[0] == 84 and np.isfinite(C).all()
+
+
+def test_resample_ratio_2_3(signals):
+    """General rational ratio p/q with a non-trivial phase pattern."""
+    x = signals["sine"][:9000]
+    rs = Resample(ResampleQualityType.MID)
+    rs.set_samplate(48000, 32000)  # p=2, q=3
+    y = np.asarray(rs.resample(x))
+    assert y.shape[-1] == 6000
+    # downsampling a 440 Hz tone keeps the tone: compare spectra peak
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    f_peak = np.argmax(spec) * (32000 / 3 * 2) / len(y)
+    assert abs(f_peak - 440) < 10

@@ -414,6 +414,37 @@ def gen_bft(af):
     save("bft", **out)
 
 
+def gen_cqt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"]
+
+    cqt = af.CQT(num=84, samplate=32000)
+    C = cqt.cqt(x)
+    out["cqt_re"] = C.real.astype(np.float32)
+    out["cqt_im"] = C.imag.astype(np.float32)
+    out["cqt_fre"] = cqt.get_fre_band_arr()
+    out["cqt_fft_length"] = np.array([cqt.get_fft_length()], np.int64)
+    mag = np.abs(C).astype(np.float32)
+    out["cqt_chroma"] = cqt.chroma(C)
+    out["cqt_cqcc"] = cqt.cqcc(mag, cc_num=13)
+    out["cqt_cqhc"] = cqt.cqhc(np.abs(C)**2, hc_num=13)
+    t, p = cqt.deconv(mag)
+    out["cqt_dec_t"], out["cqt_dec_p"] = t, p
+    save("cqt", **out)
+
+
+def gen_vqt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"]
+    vqt = af.CQT(num=84, samplate=32000, beta=0.5)
+    C = vqt.cqt(x)
+    out["vqt_re"] = C.real.astype(np.float32)
+    out["vqt_im"] = C.imag.astype(np.float32)
+    save("vqt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -423,6 +454,8 @@ GROUPS = {
     "spectral": gen_spectral,
     "features": gen_features,
     "bft": gen_bft,
+    "cqt": gen_cqt,
+    "vqt": gen_vqt,
 }
 
 
