@@ -1,0 +1,109 @@
+"""Pseudo wavelet transform — auditory-filterbank-shaped CWT.
+
+Reference ``src/pwt_algorithm.c``: same full-signal-FFT -> bank multiply ->
+per-band IFFT pipeline as CWT, but the bank is a *pseudo* auditory
+filterbank (real, full-fftLength grid, auditory_filterBank with isPseudo=1,
+pwt_algorithm.c:315-319). Rows stay in ascending frequency order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioflux_tpu.filterbank.auditory import auditory_filter_bank, _revise_fre
+from audioflux_tpu.types import (SpectralFilterBankNormalType,
+                                 SpectralFilterBankScaleType,
+                                 SpectralFilterBankStyleType)
+from audioflux_tpu.utils.convert import note_to_hz
+
+__all__ = ["PWT"]
+
+
+class PWT:
+    """API mirrors ``python/audioflux/pwt.py:116-287``."""
+
+    def __init__(self, num=84, radix2_exp=12, samplate=32000,
+                 low_fre=None, high_fre=None, bin_per_octave=12,
+                 scale_type=SpectralFilterBankScaleType.OCTAVE,
+                 style_type=SpectralFilterBankStyleType.SLANEY,
+                 normal_type=SpectralFilterBankNormalType.NONE,
+                 is_padding=True):
+        S = SpectralFilterBankScaleType
+        scale_type = S(scale_type)
+        if scale_type > S.LOG:
+            raise ValueError(f"PWT does not support scale {scale_type.name}")
+        data_length = 1 << radix2_exp
+        if not 2 <= num <= data_length // 2 + 1:
+            raise ValueError(f"num={num} out of range")
+
+        log_like = scale_type in (S.OCTAVE, S.LOG)
+        if low_fre is None:
+            low_fre = note_to_hz("C1") if log_like else 0.0
+        if high_fre is None:
+            high_fre = samplate / 2.0
+        if log_like and low_fre < round(note_to_hz("C1"), 3):
+            raise ValueError(f"{scale_type.name} low_fre must be >= 32.703")
+
+        if scale_type in (S.LINEAR, S.OCTAVE):
+            low_fre, high_fre, _ = _revise_fre(
+                scale_type, num, low_fre, high_fre, bin_per_octave,
+                samplate, data_length, is_edge=True)
+            if high_fre > samplate / 2.0:
+                raise ValueError("lowFre and num too large, overflow")
+
+        self.num = num
+        self.radix2_exp = radix2_exp
+        self.samplate = samplate
+        self.data_length = data_length
+        self.fft_length = data_length
+        self.low_fre = float(low_fre)
+        self.high_fre = float(high_fre)
+        self.bin_per_octave = bin_per_octave
+        self.scale_type = scale_type
+        self.style_type = SpectralFilterBankStyleType(style_type)
+        self.normal_type = SpectralFilterBankNormalType(normal_type)
+        self.is_padding = bool(is_padding)
+
+        if self.is_padding:
+            self.pad_length = (data_length // 2 if data_length <= 1e5
+                               else int(np.ceil(np.log2(data_length))))
+        else:
+            self.pad_length = 0
+        w_length = data_length + 2 * self.pad_length
+
+        fb, fre, bins = auditory_filter_bank(
+            num, w_length, samplate, scale_type, self.style_type,
+            self.normal_type, self.low_fre, self.high_fre, bin_per_octave,
+            is_pseudo=True)
+        self._bank = fb
+        self.fre_band_arr = fre
+        self.bin_band_arr = bins
+
+    def get_fre_band_arr(self):
+        return self.fre_band_arr
+
+    def get_bin_band_arr(self):
+        return self.bin_band_arr
+
+    def pwt(self, data_arr):
+        """(..., data_length) -> complex64 (..., num, data_length)."""
+        x = jnp.asarray(data_arr, jnp.float32)
+        if x.shape[-1] != self.data_length:
+            raise ValueError(f"data length must be exactly {self.data_length}")
+        p = self.pad_length
+        if p:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
+                        mode="symmetric")
+        F = jnp.fft.fft(x, axis=-1)
+        out = jnp.fft.ifft(jnp.asarray(self._bank) * F[..., None, :], axis=-1)
+        if p:
+            out = out[..., p:p + self.data_length]
+        return out
+
+    def y_coords(self):
+        return self.fre_band_arr
+
+    def x_coords(self):
+        return np.arange(self.data_length) / self.samplate

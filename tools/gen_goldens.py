@@ -445,6 +445,54 @@ def gen_vqt(af):
     save("vqt", **out)
 
 
+def gen_cwt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:4096]
+    W = af.type.WaveletContinueType
+    S = af.type.SpectralFilterBankScaleType
+    cases = {
+        "morse_oct": dict(wavelet_type=W.MORSE, scale_type=S.OCTAVE),
+        "morlet_oct": dict(wavelet_type=W.MORLET, scale_type=S.OCTAVE),
+        "bump_oct": dict(wavelet_type=W.BUMP, scale_type=S.OCTAVE),
+        "paul_oct": dict(wavelet_type=W.PAUL, scale_type=S.OCTAVE),
+        "dog_oct": dict(wavelet_type=W.DOG, scale_type=S.OCTAVE),
+        "mexican_oct": dict(wavelet_type=W.MEXICAN, scale_type=S.OCTAVE),
+        "hermit_oct": dict(wavelet_type=W.HERMIT, scale_type=S.OCTAVE),
+        "ricker_oct": dict(wavelet_type=W.RICKER, scale_type=S.OCTAVE),
+        "morse_linear": dict(wavelet_type=W.MORSE, scale_type=S.LINEAR,
+                             num=64, low_fre=100.0, high_fre=8000.0),
+        "morse_mel": dict(wavelet_type=W.MORSE, scale_type=S.MEL, num=64),
+        "morse_nopad": dict(wavelet_type=W.MORSE, scale_type=S.OCTAVE,
+                            is_padding=False),
+    }
+    for name, kw in cases.items():
+        kw.setdefault("num", 84)
+        obj = af.CWT(radix2_exp=12, samplate=32000, **kw)
+        C = obj.cwt(x)
+        out[f"{name}_re"] = C.real.astype(np.float32)
+        out[f"{name}_im"] = C.imag.astype(np.float32)
+        out[f"{name}_fre"] = obj.get_fre_band_arr()
+    save("cwt", **out)
+
+
+def gen_pwt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:4096]
+    S = af.type.SpectralFilterBankScaleType
+    obj = af.PWT(num=84, radix2_exp=12, samplate=32000, scale_type=S.OCTAVE)
+    C = obj.pwt(x)
+    out["oct_re"] = C.real.astype(np.float32)
+    out["oct_im"] = C.imag.astype(np.float32)
+    out["oct_fre"] = obj.get_fre_band_arr()
+    obj2 = af.PWT(num=64, radix2_exp=12, samplate=32000, scale_type=S.MEL)
+    C2 = obj2.pwt(x)
+    out["mel_re"] = C2.real.astype(np.float32)
+    out["mel_im"] = C2.imag.astype(np.float32)
+    save("pwt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -455,6 +503,8 @@ GROUPS = {
     "features": gen_features,
     "bft": gen_bft,
     "cqt": gen_cqt,
+    "cwt": gen_cwt,
+    "pwt": gen_pwt,
     "vqt": gen_vqt,
 }
 
