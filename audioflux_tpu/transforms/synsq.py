@@ -1,0 +1,125 @@
+"""Synchrosqueezing of CWT-family output.
+
+Reference ``src/synsq_algorithm.c``: per-cell instantaneous frequency from
+the unwrapped phase derivative, mapped to an output bin by the band layout
+(log / linear / nearest-neighbor), then a scatter-add of the complex values
+above threshold. The reference's per-cell loops become one vectorized
+pipeline + a single ``.at[].add(mode='drop')`` scatter; the C unwrap
+(flux_vector.c:__vunwrap — direction picked from the *wrapped* previous
+sample) is reproduced exactly with a ``lax.scan`` over time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioflux_tpu.types import SpectralFilterBankScaleType
+
+__all__ = ["Synsq"]
+
+
+def _c_unwrap(x):
+    """Reference __vunwrap along the last axis. It runs in place, so both
+    the step size and the direction compare against the *unwrapped*
+    previous sample (flux_vector.c:__vunwrap with vArr2=NULL)."""
+    two_pi = 2 * np.pi
+
+    def step(y_prev, cur):
+        sub = jnp.abs(cur - y_prev)
+        t = jnp.floor(sub / two_pi)
+        mod = sub - t * two_pi
+        t = t + (mod > np.pi)
+        y = jnp.where(sub < np.pi, cur,
+                      jnp.where(cur > y_prev, cur - t * two_pi,
+                                cur + t * two_pi))
+        return y, y
+
+    x0 = x[..., 0]
+    xt = jnp.moveaxis(x[..., 1:], -1, 0)
+    _, ys = jax.lax.scan(step, x0, xt)
+    return jnp.concatenate([x0[..., None], jnp.moveaxis(ys, 0, -1)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("scale_kind", "num", "order"))
+def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order):
+    T = D.shape[-1]
+    # 1-3. phase (atan2(REAL, IMAG) — reference argument order,
+    # synsq_algorithm.c:155), C unwrap, forward diff / 2pi
+    phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
+    ph = _c_unwrap(phase)
+    # backward diff stored at j, first column 0 (__mdiff2 axis=1 semantics)
+    d = ph[..., 1:] - ph[..., :-1]
+    d = jnp.concatenate([jnp.zeros_like(d[..., :1]), d], axis=-1) / (2 * np.pi)
+
+    v = jnp.abs(d)
+    f = fre_arr / samplate
+    if scale_kind == "log":
+        fmin, fmax = f[0], f[num - 1]
+        fi = jnp.floor((jnp.log2(v) - jnp.log2(fmin)) * num
+                       / (jnp.log2(fmax) - jnp.log2(fmin)) + 0.5)
+    elif scale_kind == "linear":
+        fmin, fmax = f[0], f[num - 1]
+        fi = jnp.floor(jnp.abs(d - fmin) * num / (fmax - fmin) + 0.5)
+    else:  # nearest band (mel/bark/erb, __arr_roundIndex)
+        idx = jnp.clip(jnp.searchsorted(f, v, side="right") - 1, 0, num - 2)
+        in_range = (v >= f[0]) & (v < f[num - 1])
+        left = v - f[idx]
+        right = f[idx + 1] - v
+        fi = jnp.where(left < right, idx, idx + 1)
+        fi = jnp.where(in_range, fi, -1)
+    fi = fi.astype(jnp.int32)
+
+    # order composition over the transposed flat view
+    # (synsq_algorithm.c:222-238 indexes [t*num+j])
+    for _ in range(max(order, 1) - 1):
+        flat = fi.reshape(fi.shape[:-2] + (T, num))
+        valid = (flat >= 0) & (flat < num)
+        g = jnp.take_along_axis(flat, jnp.clip(flat, 0, num - 1), axis=-1)
+        flat = jnp.where(valid, g, 0)
+        fi = flat.reshape(fi.shape)
+
+    power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
+    ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
+    j = jnp.broadcast_to(jnp.arange(T), fi.shape)
+    flat_idx = jnp.where(ok, fi * T + j, num * T)
+
+    out = jnp.zeros(D.shape[:-2] + (num * T,), D.dtype)
+    out = out.at[..., flat_idx.reshape(flat_idx.shape[:-2] + (-1,))
+                 ].add(D.reshape(D.shape[:-2] + (-1,)), mode="drop")
+    return out.reshape(D.shape[:-2] + (num, T))
+
+
+class Synsq:
+    """API mirrors ``python/audioflux/synsq.py``."""
+
+    def __init__(self, num: int, radix2_exp: int, samplate: int = 32000,
+                 order: int = 1, thresh: float = 0.001):
+        self.num = int(num)
+        self.radix2_exp = radix2_exp
+        self.fft_length = 1 << radix2_exp
+        self.samplate = samplate
+        self.order = max(int(order), 1)
+        self.thresh = float(thresh)
+
+    def synsq(self, m_data_arr, filter_bank_type, fre_arr):
+        """m_data_arr: complex (..., num, time) CWT-family output;
+        fre_arr: (num,) ascending band frequencies."""
+        S = SpectralFilterBankScaleType
+        st = S(filter_bank_type)
+        if st > S.LOG:
+            raise ValueError(f"unsupported scale {st.name}")
+        if st in (S.OCTAVE, S.LOG):
+            kind = "log"
+        elif st in (S.LINEAR, S.LINSPACE):
+            kind = "linear"
+        else:
+            kind = "nearest"
+        return _synsq_impl(jnp.asarray(m_data_arr),
+                           jnp.asarray(fre_arr, jnp.float32),
+                           scale_kind=kind, num=self.num,
+                           samplate=float(self.samplate),
+                           thresh=self.thresh, order=self.order)

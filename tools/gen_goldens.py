@@ -493,6 +493,32 @@ def gen_pwt(af):
     save("pwt", **out)
 
 
+def gen_synsq(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:4096]
+    S = af.type.SpectralFilterBankScaleType
+    W = af.type.WaveletContinueType
+
+    cwt = af.CWT(num=84, radix2_exp=12, samplate=32000,
+                 wavelet_type=W.MORSE, scale_type=S.OCTAVE)
+    C = cwt.cwt(x)
+    fre = cwt.get_fre_band_arr()
+    out["in_re"], out["in_im"] = C.real.astype(np.float32), C.imag.astype(np.float32)
+    out["in_fre"] = fre
+    sq = af.Synsq(num=84, radix2_exp=12, samplate=32000)
+    R = sq.synsq(C, S.OCTAVE, fre)
+    out["synsq_re"] = R.real.astype(np.float32)
+    out["synsq_im"] = R.imag.astype(np.float32)
+
+    ws = af.WSST(num=84, radix2_exp=12, samplate=32000,
+                 wavelet_type=W.MORSE, scale_type=S.OCTAVE)
+    A, B = ws.wsst(x)
+    out["wsst_sq_re"], out["wsst_sq_im"] = A.real.astype(np.float32), A.imag.astype(np.float32)
+    out["wsst_cwt_re"], out["wsst_cwt_im"] = B.real.astype(np.float32), B.imag.astype(np.float32)
+    save("synsq", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -505,6 +531,7 @@ GROUPS = {
     "cqt": gen_cqt,
     "cwt": gen_cwt,
     "pwt": gen_pwt,
+    "synsq": gen_synsq,
     "vqt": gen_vqt,
 }
 
