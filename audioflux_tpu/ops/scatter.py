@@ -1,0 +1,32 @@
+"""Batched flat scatter-add used by reassign/synsq/wsst.
+
+``x.at[..., idx].add(v)`` with a batched ``idx`` performs an outer gather
+(every batch scatters into every batch), so batched reassignment needs
+explicit per-batch index offsets into one flattened buffer with a trash
+slot per batch for dropped cells.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["batched_scatter_add"]
+
+
+def batched_scatter_add(values, flat_idx, out_size: int):
+    """Scatter-add ``values`` into per-batch buffers of ``out_size`` slots.
+
+    values, flat_idx: (..., n); indices equal to ``out_size`` are dropped.
+    Returns (..., out_size).
+    """
+    batch_shape = values.shape[:-1]
+    n = values.shape[-1]
+    v = values.reshape(-1, n)
+    i = flat_idx.reshape(-1, n)
+    nb = v.shape[0]
+    stride = out_size + 1  # one trash slot per batch
+    offs = jnp.arange(nb, dtype=i.dtype)[:, None] * stride
+    flat = jnp.zeros((nb * stride,), values.dtype)
+    flat = flat.at[(i + offs).reshape(-1)].add(v.reshape(-1))
+    out = flat.reshape(nb, stride)[:, :out_size]
+    return out.reshape(batch_shape + (out_size,))

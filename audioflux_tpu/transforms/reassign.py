@@ -19,6 +19,7 @@ import numpy as np
 
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
 from audioflux_tpu.ops.pad import pad_signal
+from audioflux_tpu.ops.scatter import batched_scatter_add
 from audioflux_tpu.ops.window import get_fft_window
 from audioflux_tpu.types import (PaddingModeType, PaddingPositionType,
                                  ReassignType, WindowType)
@@ -114,9 +115,9 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     flat_idx = jnp.where(in_range, ti * m + fi, T * m)  # T*m drops
 
     def scatter(v):
-        flat = jnp.zeros(v.shape[:-2] + (T * m,), v.dtype)
-        flat = flat.at[..., flat_idx.reshape(flat_idx.shape[:-2] + (-1,))
-                       ].add(v.reshape(v.shape[:-2] + (-1,)), mode="drop")
+        flat = batched_scatter_add(
+            v.reshape(v.shape[:-2] + (-1,)),
+            flat_idx.reshape(flat_idx.shape[:-2] + (-1,)), T * m)
         return flat.reshape(v.shape[:-2] + (T, m))
 
     if result_type == 0:

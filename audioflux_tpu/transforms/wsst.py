@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audioflux_tpu.ops.scatter import batched_scatter_add
 from audioflux_tpu.transforms.cwt import CWT
 from audioflux_tpu.types import (SpectralFilterBankScaleType,
                                  WaveletContinueType)
@@ -56,9 +57,9 @@ def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
     ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
     j = jnp.broadcast_to(jnp.arange(T), fi.shape)
     flat_idx = jnp.where(ok, fi * T + j, num * T)
-    out = jnp.zeros(D.shape[:-2] + (num * T,), D.dtype)
-    out = out.at[..., flat_idx.reshape(flat_idx.shape[:-2] + (-1,))
-                 ].add(D.reshape(D.shape[:-2] + (-1,)), mode="drop")
+    out = batched_scatter_add(D.reshape(D.shape[:-2] + (-1,)),
+                              flat_idx.reshape(flat_idx.shape[:-2] + (-1,)),
+                              num * T)
     return out.reshape(D.shape[:-2] + (num, T))
 
 

@@ -80,3 +80,12 @@ def test_bft_temporal(x):
     bft.bft(x, result_type=1)
     e, r, z = bft.get_temporal_data()
     assert e.shape == r.shape == z.shape
+
+
+def test_reassign_batched(x):
+    rs = Reassign(radix2_exp=11, samplate=32000, window_type=WindowType.HANN,
+                  slide_length=512, re_type=ReassignType.ALL)
+    single = np.asarray(rs.reassign(x))
+    batch = np.asarray(rs.reassign(np.stack([x, x])))
+    np.testing.assert_allclose(batch[0], single, atol=1e-6)
+    np.testing.assert_allclose(batch[1], single, atol=1e-6)
