@@ -519,6 +519,33 @@ def gen_synsq(af):
     save("synsq", **out)
 
 
+def gen_st(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:1024]
+
+    st = af.ST(radix2_exp=10, min_index=1, max_index=511)
+    C = st.st(x)
+    out["st_re"] = C.real.astype(np.float32)
+    out["st_im"] = C.imag.astype(np.float32)
+
+    st2 = af.ST(radix2_exp=10, min_index=10, max_index=100, factor=2.0,
+                norm=0.8)
+    C2 = st2.st(x)
+    out["st2_re"] = C2.real.astype(np.float32)
+    out["st2_im"] = C2.imag.astype(np.float32)
+
+    fst = af.FST(radix2_exp=10, min_index=1, max_index=511, samplate=32000)
+    C3 = fst.fst(x)
+    out["fst_re"] = C3.real.astype(np.float32)
+    out["fst_im"] = C3.imag.astype(np.float32)
+    fstb = af.FST(radix2_exp=10, min_index=5, max_index=100, samplate=32000)
+    C4 = fstb.fst(x)
+    out["fst2_re"] = C4.real.astype(np.float32)
+    out["fst2_im"] = C4.imag.astype(np.float32)
+    save("st", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -532,6 +559,7 @@ GROUPS = {
     "cwt": gen_cwt,
     "pwt": gen_pwt,
     "synsq": gen_synsq,
+    "st": gen_st,
     "vqt": gen_vqt,
 }
 
