@@ -546,6 +546,48 @@ def gen_st(af):
     save("st", **out)
 
 
+def gen_dwt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:1024]
+    W = af.type.WaveletDiscreteType
+    # NOTE: the reference Python DWT wrapper passes samplate where the C
+    # ctor expects waveletType*, so it always uses sym4 regardless of
+    # wavelet_type. Drive dwtObj_* directly for per-wavelet goldens.
+    obj = af.DWT(num=5, radix2_exp=10, samplate=32000,
+                 wavelet_type=W.SYM, t1=4, t2=0)
+    coef, m = obj.dwt(x)
+    out["dwt_sym4_coef"] = coef
+    out["dwt_sym4_m"] = m
+
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    for name, wt, t1, t2 in [("db4", 1, 4, 0), ("coif3", 3, 3, 0),
+                             ("haar", 0, 0, 0), ("bior3_5", 5, 3, 5),
+                             ("fk8", 4, 8, 0), ("dmey", 6, 0, 0)]:
+        o = ctypes.c_void_p()
+        fn = lib["dwtObj_new"]
+        fn(ctypes.byref(o), ctypes.c_int(5), ctypes.c_int(10),
+           ctypes.byref(ctypes.c_int(wt)), ctypes.byref(ctypes.c_int(t1)),
+           ctypes.byref(ctypes.c_int(t2)))
+        coef = np.zeros(1024, np.float32)
+        m = np.zeros((5, 1024), np.float32)
+        lib["dwtObj_dwt"](o, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          coef.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out[f"dwt_{name}_coef"] = coef
+        out[f"dwt_{name}_m"] = m
+
+    wobj = af.WPT(num=4, radix2_exp=10, samplate=32000,
+                  wavelet_type=W.SYM, t1=4)
+    coef, m = wobj.wpt(x)
+    out["wpt_coef"], out["wpt_m"] = coef, m
+
+    sobj = af.SWT(num=4, fft_length=1024, wavelet_type=W.DB, t1=4)
+    a, d = sobj.swt(x)
+    out["swt_a"], out["swt_d"] = a, d
+    save("dwt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -560,6 +602,7 @@ GROUPS = {
     "pwt": gen_pwt,
     "synsq": gen_synsq,
     "st": gen_st,
+    "dwt": gen_dwt,
     "vqt": gen_vqt,
 }
 
