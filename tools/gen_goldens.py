@@ -588,6 +588,28 @@ def gen_dwt(af):
     save("dwt", **out)
 
 
+def gen_nsgt(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"][:4096]
+    S = af.type.SpectralFilterBankScaleType
+
+    obj = af.NSGT(num=84, radix2_exp=12, samplate=32000, scale_type=S.OCTAVE)
+    C = obj.nsgt(x)
+    out["oct_re"] = C.real.astype(np.float32)
+    out["oct_im"] = C.imag.astype(np.float32)
+    out["oct_fre"] = obj.get_fre_band_arr()
+    out["oct_lens"] = np.asarray(obj.get_time_length_arr(), np.int64)
+
+    obj2 = af.NSGT(num=64, radix2_exp=12, samplate=32000, scale_type=S.MEL,
+                   nsgt_filter_bank_type=af.type.NSGTFilterBankType.STANDARD)
+    C2 = obj2.nsgt(x)
+    out["mel_std_re"] = C2.real.astype(np.float32)
+    out["mel_std_im"] = C2.imag.astype(np.float32)
+    out["mel_std_lens"] = np.asarray(obj2.get_time_length_arr(), np.int64)
+    save("nsgt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -603,6 +625,7 @@ GROUPS = {
     "synsq": gen_synsq,
     "st": gen_st,
     "dwt": gen_dwt,
+    "nsgt": gen_nsgt,
     "vqt": gen_vqt,
 }
 
