@@ -1,0 +1,127 @@
+"""YIN pitch estimation.
+
+Reference ``src/mir/_pitch_yin.c``: per frame, the difference function is
+built from an FFT autocorrelation plus energy cumsums (:330-430), the
+cumulative-mean-normalized difference (CMND) is thresholded at 0.1, the
+first local trough below threshold is refined by parabolic interpolation
+(:462-560). All frames run batched: the per-frame FFT loop becomes one
+rfft over the framed tile and the sequential trough search becomes a
+vectorized first-true-index reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioflux_tpu.ops.frame import frame_signal
+
+__all__ = ["PitchYIN"]
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length",
+                                   "auto_length", "min_index", "max_index"))
+def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
+              max_index, samplate, thresh):
+    diff_length = fft_length - auto_length
+    yin_length = max_index - min_index + 1
+    frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
+
+    # autocorrelation via circular convolution with the reversed prefix
+    # (_pitch_yin.c:351-369); no aliasing in the taken range
+    A = jnp.fft.fft(frames, axis=-1)
+    rev = jnp.flip(frames[..., :auto_length + 1], axis=-1)
+    B = jnp.fft.fft(rev, n=fft_length, axis=-1)
+    acf_full = jnp.real(jnp.fft.ifft(A * B, axis=-1))
+    acf = acf_full[..., auto_length:]
+    acf = jnp.where(jnp.abs(acf) >= 1e-6, acf, 0.0)  # (..., T, diff)
+
+    # frame energies over sliding auto_length windows (:372-390)
+    csum = jnp.cumsum(frames * frames, axis=-1)
+    e2 = csum[..., auto_length:] - csum[..., :diff_length]
+    e2 = jnp.where(jnp.abs(e2) >= 1e-6, e2, 0.0)
+
+    diff = e2[..., :1] + e2 - 2.0 * acf  # (..., T, diff)
+
+    # CMND (:398-430)
+    num = diff[..., min_index:max_index + 1]
+    csum_d = jnp.cumsum(diff[..., 1:max_index + 1], axis=-1)
+    mean = csum_d / jnp.arange(1, max_index + 1, dtype=jnp.float32)
+    den = mean[..., min_index - 1:max_index]
+    yin = num / (den + 1e-16)  # (..., T, yin_length)
+
+    # parabolic interp offsets (:462-494)
+    v1 = yin[..., :-2]
+    v2 = yin[..., 1:-1]
+    v3 = yin[..., 2:]
+    offs = -(v3 - v1) / 2.0 / (2.0 * ((v1 + v3 - 2 * v2) / 2.0) + 1e-16)
+    offs = jnp.where(jnp.abs(offs) <= 1.0, offs, 0.0)
+    interp = jnp.pad(offs, [(0, 0)] * (yin.ndim - 1) + [(1, 1)])
+
+    # first trough below thresh (:520-548)
+    below = yin < thresh
+    nxt = jnp.pad(yin[..., 1:], [(0, 0)] * (yin.ndim - 1) + [(0, 1)],
+                  constant_values=np.inf)
+    prv = jnp.pad(yin[..., :-1], [(0, 0)] * (yin.ndim - 1) + [(1, 0)],
+                  constant_values=np.inf)
+    is_trough = jnp.concatenate(
+        [(yin[..., :1] < nxt[..., :1]) & below[..., :1],
+         (yin[..., 1:-1] <= nxt[..., 1:-1]) & (yin[..., 1:-1] < prv[..., 1:-1])
+         & below[..., 1:-1],
+         jnp.zeros_like(below[..., -1:], bool)], axis=-1)
+    any_t = jnp.any(is_trough, axis=-1)
+    t_idx = jnp.argmax(is_trough, axis=-1)
+    off = jnp.take_along_axis(interp, t_idx[..., None], axis=-1)[..., 0]
+    fre = samplate / (min_index + t_idx + off)
+    fre = jnp.where(any_t, fre, 0.0)
+    value = jnp.take_along_axis(yin, t_idx[..., None], axis=-1)[..., 0]
+    value = jnp.where(any_t, value, 0.0)
+    return fre, value
+
+
+class PitchYIN:
+    """API mirrors ``python/audioflux/mir/pitch_yin.py:64-200``."""
+
+    def __init__(self, samplate: int = 32000, low_fre: float = 27.0,
+                 high_fre: float = 2000.0, radix2_exp: int = 12,
+                 slide_length: int = 1024, auto_length: int = 2048):
+        if low_fre < 27:
+            low_fre = 27.0
+        fft_length = 1 << radix2_exp
+        if not (high_fre > low_fre and high_fre < samplate / 2):
+            low_fre, high_fre = 27.0, 2093.0
+        self.samplate = samplate
+        self.low_fre = float(low_fre)
+        self.high_fre = float(high_fre)
+        self.radix2_exp = radix2_exp
+        self.fft_length = fft_length
+        self.slide_length = slide_length if slide_length else fft_length // 4
+        self.auto_length = (auto_length if 0 <= auto_length < fft_length
+                            else fft_length // 2)
+        self.thresh = 0.1
+
+        diff_length = fft_length - self.auto_length
+        self.min_index = int(np.floor(samplate / self.high_fre))
+        self.max_index = min(int(np.ceil(samplate / self.low_fre)),
+                             diff_length - 1)
+
+    def set_thresh(self, thresh: float):
+        if thresh > 0:
+            self.thresh = float(thresh)
+
+    def cal_time_length(self, data_length: int) -> int:
+        if data_length < self.fft_length:
+            return 0
+        return (data_length - self.fft_length) // self.slide_length + 1
+
+    def pitch(self, data_arr):
+        """(..., n) -> (fre_arr, value_arr) each (..., time)."""
+        return _yin_impl(jnp.asarray(data_arr, jnp.float32),
+                         fft_length=self.fft_length,
+                         slide_length=self.slide_length,
+                         auto_length=self.auto_length,
+                         min_index=self.min_index, max_index=self.max_index,
+                         samplate=float(self.samplate), thresh=self.thresh)

@@ -610,6 +610,45 @@ def gen_nsgt(af):
     save("nsgt", **out)
 
 
+def gen_mir(af):
+    sigs = signals()
+    out = {}
+    sr = 32000
+    t = np.arange(sr) / sr
+    # gliding tone + percussive clicks for onset/hpss/pitch
+    tone = 0.6 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out_sig = tone.copy()
+    for p in (4000, 12000, 20000, 28000):
+        out_sig[p:p+200] += (0.8 * np.random.default_rng(3).standard_normal(200)).astype(np.float32)
+    x = out_sig.astype(np.float32)
+    out["in_x"] = x
+
+    # YIN
+    yin = af.PitchYIN(samplate=sr, radix2_exp=12, slide_length=1024)
+    fre, v1, v2 = yin.pitch(tone)
+    out["yin_fre"], out["yin_val"] = fre, v1
+
+    # HPSS
+    hp = af.HPSS(radix2_exp=11, window_type=af.type.WindowType.HAMM,
+                 slide_length=512, h_order=21, p_order=31)
+    h, p = hp.hpss(x)
+    out["hpss_h"], out["hpss_p"] = h, p
+
+    # Onset on a mel BFT spectrogram
+    bft = af.BFT(num=128, radix2_exp=11, samplate=sr, slide_length=512,
+                 scale_type=af.type.SpectralFilterBankScaleType.MEL,
+                 data_type=af.type.SpectralDataType.POWER)
+    spec = np.abs(bft.bft(x, result_type=1))
+    out["onset_spec"] = spec
+    on = af.Onset(time_length=spec.shape[-1], fre_length=128,
+                  slide_length=512, samplate=sr,
+                  novelty_type=af.type.NoveltyType.FLUX)
+    point_arr, evn_arr, time_arr, value_arr = on.onset(spec)
+    out["onset_points"] = np.asarray(point_arr, np.int64)
+    out["onset_env"] = evn_arr
+    save("mir", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -626,6 +665,7 @@ GROUPS = {
     "st": gen_st,
     "dwt": gen_dwt,
     "nsgt": gen_nsgt,
+    "mir": gen_mir,
     "vqt": gen_vqt,
 }
 
