@@ -649,6 +649,49 @@ def gen_mir(af):
     save("mir", **out)
 
 
+def gen_pitch(af):
+    out = {}
+    sr = 32000
+    t = np.arange(sr) / sr
+    # 220 Hz tone with harmonics (so HPS/LHS/PEF lock properly)
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)
+            + 0.12 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    out["in_tone"] = tone
+    W = af.type.WindowType
+    ncf = af.PitchNCF(samplate=sr, radix2_exp=12, slide_length=1024)
+    out["ncf"] = ncf.pitch(tone)
+    cep = af.PitchCEP(samplate=sr, radix2_exp=12, slide_length=1024)
+    out["cep"] = cep.pitch(tone)
+    hps = af.PitchHPS(samplate=sr, radix2_exp=12, slide_length=1024)
+    out["hps"] = hps.pitch(tone)
+    lhs = af.PitchLHS(samplate=sr, radix2_exp=12, slide_length=1024)
+    out["lhs"] = lhs.pitch(tone)
+    pef = af.PitchPEF(samplate=sr, radix2_exp=12, slide_length=1024)
+    out["pef"] = pef.pitch(tone)
+    save("pitch", **out)
+
+
+def gen_mir2(af):
+    out = {}
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out["in_tone"] = tone
+
+    hr = af.HarmonicRatio(samplate=sr, radix2_exp=12, slide_length=512)
+    out["hr"] = hr.harmonic_ratio(tone)
+
+    ts = af.TimeStretch(radix2_exp=11, slide_length=512)
+    out["ts_fast"] = ts.time_stretch(tone, 1.5)
+    out["ts_slow"] = ts.time_stretch(tone, 0.8)
+
+    ps = af.PitchShift(radix2_exp=11, slide_length=512)
+    out["ps_up5"] = ps.pitch_shift(tone, 5, sr)
+    save("mir2", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -666,6 +709,8 @@ GROUPS = {
     "dwt": gen_dwt,
     "nsgt": gen_nsgt,
     "mir": gen_mir,
+    "pitch": gen_pitch,
+    "mir2": gen_mir2,
     "vqt": gen_vqt,
 }
 
