@@ -1,1 +1,6 @@
 from audioflux_tpu.dsp.resample import Resample, WindowResample, resample
+from audioflux_tpu.dsp.czt import CZT, czt
+from audioflux_tpu.dsp.xcorr import Xcorr, XcorrNormalType, xcorr
+from audioflux_tpu.dsp.hilbert import Hilbert, hilbert
+from audioflux_tpu.dsp.dct import DCT, dct, idct
+from audioflux_tpu.dsp.phase_vocoder import phase_vocoder
