@@ -692,6 +692,20 @@ def gen_mir2(af):
     save("mir2", **out)
 
 
+def gen_deep(af):
+    sigs = signals()
+    out = {}
+    x = sigs["chord"]
+    out["in_x"] = x
+    from audioflux.spectrogram import Deep as _Deep, DeepChroma as _DeepChroma
+    dp = _Deep(num=84, samplate=32000, radix2_exp=12)
+    D = dp.spectrogram(x)
+    out["deep"] = D
+    dc = _DeepChroma(samplate=32000, radix2_exp=12)
+    out["deep_chroma"] = dc.spectrogram(x)
+    save("deep", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -711,6 +725,7 @@ GROUPS = {
     "mir": gen_mir,
     "pitch": gen_pitch,
     "mir2": gen_mir2,
+    "deep": gen_deep,
     "vqt": gen_vqt,
 }
 
