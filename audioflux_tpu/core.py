@@ -1,0 +1,198 @@
+"""One-shot functional API.
+
+Mirrors ``python/audioflux/core.py:17-1358``: convenience wrappers that
+build the matching plan object, run it, and return numpy-compatible arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from audioflux_tpu.transforms.cqt import CQT as _CQT, VQT as _VQT
+from audioflux_tpu.transforms.spectrogram import (BarkSpectrogram,
+                                                  ErbSpectrogram,
+                                                  MelSpectrogram,
+                                                  Spectrogram)
+from audioflux_tpu.types import (CepstralRectifyType, ChromaDataNormalType,
+                                 SpectralDataType,
+                                 SpectralFilterBankNormalType,
+                                 SpectralFilterBankScaleType,
+                                 SpectralFilterBankStyleType, WindowType)
+from audioflux_tpu.utils.convert import note_to_hz
+
+__all__ = [
+    "linear_spectrogram", "mel_spectrogram", "bark_spectrogram",
+    "erb_spectrogram", "mfcc", "bfcc", "gtcc", "cqcc", "cqt", "vqt",
+    "chroma_linear", "chroma_octave", "chroma_cqt",
+]
+
+
+def linear_spectrogram(X, num=None, radix2_exp=12, samplate=32000,
+                       slide_length=None, low_fre=0.0, high_fre=None,
+                       window_type=WindowType.HANN,
+                       data_type=SpectralDataType.POWER):
+    if high_fre is None:
+        high_fre = samplate / 2.0
+    obj = Spectrogram(samplate=samplate, radix2_exp=radix2_exp,
+                      slide_length=slide_length, low_fre=low_fre,
+                      high_fre=high_fre, window_type=window_type,
+                      data_type=data_type,
+                      filter_bank_type=SpectralFilterBankScaleType.LINEAR)
+    return obj.spectrogram(X)
+
+
+def _band_spectrogram(cls, X, num, radix2_exp, samplate, slide_length,
+                      low_fre, high_fre, window_type, data_type, style_type,
+                      normal_type):
+    obj = cls(num=num, samplate=samplate, radix2_exp=radix2_exp,
+              slide_length=slide_length, low_fre=low_fre, high_fre=high_fre,
+              window_type=window_type, data_type=data_type,
+              style_type=style_type, normal_type=normal_type)
+    return obj, obj.spectrogram(X)
+
+
+def mel_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
+                    slide_length=None, low_fre=0.0, high_fre=None,
+                    window_type=WindowType.HANN,
+                    data_type=SpectralDataType.POWER,
+                    style_type=SpectralFilterBankStyleType.SLANEY,
+                    normal_type=SpectralFilterBankNormalType.NONE):
+    return _band_spectrogram(MelSpectrogram, X, num, radix2_exp, samplate,
+                             slide_length, low_fre, high_fre, window_type,
+                             data_type, style_type, normal_type)[1]
+
+
+def bark_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
+                     slide_length=None, low_fre=0.0, high_fre=None,
+                     window_type=WindowType.HANN,
+                     data_type=SpectralDataType.POWER,
+                     style_type=SpectralFilterBankStyleType.SLANEY,
+                     normal_type=SpectralFilterBankNormalType.NONE):
+    return _band_spectrogram(BarkSpectrogram, X, num, radix2_exp, samplate,
+                             slide_length, low_fre, high_fre, window_type,
+                             data_type, style_type, normal_type)[1]
+
+
+def erb_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
+                    slide_length=None, low_fre=0.0, high_fre=None,
+                    window_type=WindowType.HANN,
+                    data_type=SpectralDataType.POWER,
+                    style_type=SpectralFilterBankStyleType.SLANEY,
+                    normal_type=SpectralFilterBankNormalType.NONE):
+    return _band_spectrogram(ErbSpectrogram, X, num, radix2_exp, samplate,
+                             slide_length, low_fre, high_fre, window_type,
+                             data_type, style_type, normal_type)[1]
+
+
+def mfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+         radix2_exp=12, samplate=32000, slide_length=None,
+         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
+    obj, spec = _band_spectrogram(
+        MelSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, SpectralDataType.POWER,
+        SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
+    return obj.xxcc(spec, cc_num, rectify_type)
+
+
+def bfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+         radix2_exp=12, samplate=32000, slide_length=None,
+         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
+    obj, spec = _band_spectrogram(
+        BarkSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, SpectralDataType.POWER,
+        SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
+    return obj.xxcc(spec, cc_num, rectify_type)
+
+
+def gtcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+         radix2_exp=12, samplate=32000, slide_length=None,
+         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
+    obj, spec = _band_spectrogram(
+        ErbSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, SpectralDataType.POWER,
+        SpectralFilterBankStyleType.GAMMATONE,
+        SpectralFilterBankNormalType.NONE)
+    return obj.xxcc(spec, cc_num, rectify_type)
+
+
+def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
+        factor=1.0, thresh=0.01, window_type=WindowType.HANN,
+        slide_length=None,
+        normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
+    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
+               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+               window_type=window_type, slide_length=slide_length,
+               normal_type=normal_type, is_scale=is_scale)
+    return obj.cqt(X)
+
+
+def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
+        factor=1.0, beta=0.5, thresh=0.01, window_type=WindowType.HANN,
+        slide_length=None,
+        normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
+    obj = _VQT(num=num, samplate=samplate, low_fre=low_fre,
+               bin_per_octave=bin_per_octave, factor=factor, beta=beta,
+               thresh=thresh, window_type=window_type,
+               slide_length=slide_length, normal_type=normal_type,
+               is_scale=is_scale)
+    return obj.cqt(X)
+
+
+def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=84,
+         samplate=32000, low_fre=None, bin_per_octave=12, factor=1.0,
+         thresh=0.01, window_type=WindowType.HANN, slide_length=None,
+         normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
+    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
+               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+               window_type=window_type, slide_length=slide_length,
+               normal_type=normal_type, is_scale=is_scale)
+    C = obj.cqt(X)
+    return obj.cqcc(np.abs(np.asarray(C)), cc_num, rectify_type)
+
+
+def chroma_linear(X, chroma_num=12, radix2_exp=12, samplate=32000,
+                  low_fre=0.0, high_fre=16000.0, slide_length=None,
+                  window_type=WindowType.HANN,
+                  data_type=SpectralDataType.POWER,
+                  norm_type=ChromaDataNormalType.MAX):
+    obj = Spectrogram(num=chroma_num, samplate=samplate,
+                      radix2_exp=radix2_exp, slide_length=slide_length,
+                      low_fre=low_fre, high_fre=high_fre,
+                      window_type=window_type, data_type=data_type,
+                      filter_bank_type=SpectralFilterBankScaleType.CHROMA)
+    obj.set_chroma_data_normal_type(norm_type)
+    return obj.spectrogram(X)
+
+
+def chroma_octave(X, chroma_num=12, radix2_exp=12, samplate=32000,
+                  low_fre=None, high_fre=16000.0, bin_per_octave=12,
+                  slide_length=None, window_type=WindowType.HANN,
+                  data_type=SpectralDataType.POWER,
+                  style_type=SpectralFilterBankStyleType.SLANEY,
+                  normal_type=SpectralFilterBankNormalType.NONE,
+                  norm_type=ChromaDataNormalType.MAX):
+    if low_fre is None:
+        low_fre = note_to_hz("C1")
+    obj = Spectrogram(num=chroma_num, samplate=samplate,
+                      radix2_exp=radix2_exp, slide_length=slide_length,
+                      low_fre=low_fre, high_fre=high_fre,
+                      bin_per_octave=bin_per_octave, window_type=window_type,
+                      data_type=data_type, style_type=style_type,
+                      normal_type=normal_type,
+                      filter_bank_type=SpectralFilterBankScaleType.LOG_CHROMA)
+    obj.set_chroma_data_normal_type(norm_type)
+    return obj.spectrogram(X)
+
+
+def chroma_cqt(X, chroma_num=12, num=84, samplate=32000, low_fre=None,
+               bin_per_octave=12, factor=1.0, thresh=0.01,
+               window_type=WindowType.HANN, slide_length=None,
+               normal_type=SpectralFilterBankNormalType.AREA, is_scale=True,
+               data_type=SpectralDataType.POWER,
+               norm_type=ChromaDataNormalType.MAX):
+    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
+               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+               window_type=window_type, slide_length=slide_length,
+               normal_type=normal_type, is_scale=is_scale)
+    C = obj.cqt(X)
+    return obj.chroma(C, chroma_num, data_type, norm_type)

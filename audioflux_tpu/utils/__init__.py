@@ -8,3 +8,7 @@ from audioflux_tpu.utils.scale import (
     min_max_scale, standard_scale, max_abs_scale, robust_scale,
     center_scale, mean_scale, arctan_scale,
 )
+from audioflux_tpu.utils.weight import weight_a, weight_b, weight_c, weight_d
+from audioflux_tpu.utils.util import (
+    check_audio, format_channel, revoke_channel, synth_f0,
+)
