@@ -27,7 +27,7 @@ R2E = 11  # fft 2048
 SLIDE = 512
 TIME_STEP = 1000
 N_SAMPLES = 1000
-CHUNK = 50  # clips per jit call
+CHUNK = 250  # clips per jit call (tunnel round-trips dominate at small chunks)
 
 # audioFlux C mel-only, same workload (BASELINE.md, AMD TR 3970X)
 BASELINE_S = 1.43854
