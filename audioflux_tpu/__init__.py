@@ -36,7 +36,7 @@ from audioflux_tpu.types import (
 )
 
 # transforms
-from audioflux_tpu.transforms.stft import STFT
+from audioflux_tpu.transforms.stft import STFT, StreamingSTFT
 from audioflux_tpu.transforms.spectrogram import (
     Spectrogram, MelSpectrogram, BarkSpectrogram, ErbSpectrogram,
 )

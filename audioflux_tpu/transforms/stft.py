@@ -177,3 +177,42 @@ class STFT:
     def x_coords(self, data_length: int, samplate: int = 32000):
         T = self.cal_time_length(data_length)
         return np.arange(T) * self.slide_length / samplate
+
+
+class StreamingSTFT:
+    """Chunked STFT with tail-carry, matching the reference ``isContinue``
+    semantics (stft_algorithm.c:474-600): each call consumes
+    ``tail + chunk``, emits the frames that fit, and carries the last
+    ``(n - fft) % slide + (fft - slide)`` samples into the next call.
+
+    The carried tail is exactly the halo a frame-block shard must receive
+    from its left neighbor in the sharded pipeline (see
+    ``audioflux_tpu.parallel``).
+    """
+
+    def __init__(self, radix2_exp: int = 12,
+                 window_type: WindowType = WindowType.RECT,
+                 slide_length: int = 1024):
+        self._stft = STFT(radix2_exp, window_type, slide_length)
+        self.fft_length = self._stft.fft_length
+        self.slide_length = self._stft.slide_length
+        self._tail = np.zeros(0, np.float32)
+
+    def reset(self):
+        self._tail = np.zeros(0, np.float32)
+
+    def process(self, chunk):
+        """Feed a chunk; returns the complex (fre, frames) for the frames
+        completed by this chunk (possibly 0 columns)."""
+        x = np.concatenate([self._tail, np.asarray(chunk, np.float32)])
+        n = len(x)
+        fft, slide = self.fft_length, self.slide_length
+        if n < fft:
+            self._tail = x
+            m = fft // 2 + 1
+            return np.zeros((m, 0), np.complex64)
+        t_len = (n - fft) // slide + 1
+        tail_len = (n - fft) % slide + (fft - slide)
+        out = self._stft.stft(x[:(t_len - 1) * slide + fft])
+        self._tail = x[n - tail_len:].copy()
+        return np.asarray(out)
