@@ -2,3 +2,5 @@ from audioflux_tpu.parallel.mesh import make_mesh
 from audioflux_tpu.parallel.sharded import (
     sharded_spectrogram_fn, sharded_stft_fn, sharded_istft_fn,
 )
+from audioflux_tpu.parallel.features import sharded_spectral_stats_fn
+from audioflux_tpu.parallel.runner import BatchRunner

@@ -65,3 +65,41 @@ def test_sharded_stft_matches_unsharded_frames(mesh, batch):
     ref = np.asarray(stft_fn(batch, FFT, SLIDE, window=win))  # (B, fre, T)
     T = valid_frames(batch.shape[-1], FFT, SLIDE)
     np.testing.assert_array_equal(D[:, :T].swapaxes(-1, -2), ref)
+
+
+def test_sharded_spectral_stats():
+    from audioflux_tpu.parallel import make_mesh, sharded_spectral_stats_fn
+    import jax, numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(data=2, time=4)
+    rng = np.random.default_rng(0)
+    S = rng.random((4, 16, 64)).astype(np.float32)
+    fn = sharded_spectral_stats_fn(mesh)
+    Sd = jax.device_put(S, NamedSharding(mesh, P("data", None, "time")))
+    out = fn(Sd)
+    np.testing.assert_allclose(np.asarray(out["mean"]), S.mean(-1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["max"]), S.max(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["var"]), S.var(-1),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_batch_runner(tmp_path):
+    import numpy as np
+    from audioflux_tpu.parallel import make_mesh, BatchRunner
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+    from audioflux_tpu.io.wave import write as wav_write
+    mesh = make_mesh(data=2, time=4)
+    plan = MelSpectrogram(num=32, samplate=32000, radix2_exp=10,
+                          slide_length=256)
+    clip = 256 * 4 * 16  # divisible by time_shards*slide
+    paths = []
+    for i in range(4):
+        t = np.arange(clip) / 32000
+        x = (0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(np.float32)
+        p = tmp_path / f"c{i}.wav"
+        wav_write(str(p), x, 32000)
+        paths.append(str(p))
+    runner = BatchRunner(plan, mesh, clip_length=clip)
+    out, good = runner.run_files(paths)
+    assert good == 4
+    assert np.asarray(out).shape == (4, 32, clip // 256)
