@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audioflux_tpu.ops.filter import median_filter
+from audioflux_tpu.ops.pallas_median import median_filter_last_axis
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
 from audioflux_tpu.ops.window import get_fft_window
 from audioflux_tpu.transforms.stft import _istft_impl
@@ -31,8 +32,10 @@ def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
     mag = jnp.abs(D)
     phase = D / jnp.maximum(mag, 1e-16)
 
-    h = median_filter(mag, h_order, axis=-2)  # along time
-    p = median_filter(mag, p_order, axis=-1)  # along frequency
+    # Pallas sliding-median kernel on TPU, jnp fallback elsewhere
+    h = jnp.swapaxes(
+        median_filter_last_axis(jnp.swapaxes(mag, -1, -2), h_order), -1, -2)
+    p = median_filter_last_axis(mag, p_order)
     h2, p2 = h * h, p * p
     denom = jnp.maximum(h2 + p2, 1e-16)
     Hm = h2 / denom * mag
