@@ -64,6 +64,7 @@ from audioflux_tpu.features.extractor import FeatureExtractor, FeatureResult
 # MIR
 from audioflux_tpu.mir.pitch_yin import PitchYIN
 from audioflux_tpu.mir.pitch_stft import PitchSTFT
+from audioflux_tpu.mir.pitch_ffp import PitchFFP
 from audioflux_tpu.mir.pitch import (
     PitchNCF, PitchCEP, PitchHPS, PitchLHS, PitchPEF,
 )

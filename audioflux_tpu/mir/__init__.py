@@ -8,3 +8,4 @@ from audioflux_tpu.mir.harmonic import Harmonic
 from audioflux_tpu.mir.harmonic_ratio import HarmonicRatio
 from audioflux_tpu.mir.time_stretch import TimeStretch, PitchShift
 from audioflux_tpu.mir.pitch_stft import PitchSTFT
+from audioflux_tpu.mir.pitch_ffp import PitchFFP

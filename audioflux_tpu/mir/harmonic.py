@@ -75,6 +75,7 @@ class Harmonic:
         P = power[..., s:e + 1]
         dB = 10 * np.log10(np.maximum(P, 1e-30)
                            / self.fft_length / self.fft_length)
+        self._power = P
         self._peaks = [self._filter_chain(dB[i]) for i in range(dB.shape[0])]
         return self
 
