@@ -74,6 +74,9 @@ from audioflux_tpu.mir.harmonic import Harmonic
 from audioflux_tpu.mir.harmonic_ratio import HarmonicRatio
 from audioflux_tpu.mir.time_stretch import TimeStretch, PitchShift
 
+# tracking
+from audioflux_tpu.track import TuneTrack
+
 # classic ML
 from audioflux_tpu.classic import NMF, HMM, nmf, viterbi
 
