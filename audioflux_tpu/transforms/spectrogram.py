@@ -411,3 +411,83 @@ class ErbSpectrogram(Spectrogram):
                          slide_length=slide_length, data_type=data_type,
                          filter_bank_type=SpectralFilterBankScaleType.ERB,
                          style_type=style_type, normal_type=normal_type)
+
+
+# ---------------------------------------------------------------------------
+# SpectrogramBase feature forwarding (python/audioflux/spectrogram.py:328-1770)
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_FWD = [
+    "flatness", "flux", "rolloff", "centroid", "spread", "skewness",
+    "kurtosis", "entropy", "crest", "slope", "decrease", "band_width",
+    "rms", "energy", "hfc", "sd", "sf", "mkl", "pd", "wpd", "nwpd", "cd",
+    "rcd", "broadband", "novelty", "eef", "eer", "max", "mean", "var",
+]
+
+
+def _make_forward(name):
+    def fwd(self, m_data_arr, *args, **kwargs):
+        sp = self._spectral_obj()
+        return getattr(sp, name)(m_data_arr, *args, **kwargs)
+    fwd.__name__ = name
+    fwd.__doc__ = (f"Forwarded Spectral.{name} over this plan's bands "
+                   f"(edge subset applies). See features.spectral.")
+    return fwd
+
+
+def _spectral_obj(self):
+    from audioflux_tpu.features.spectral import Spectral
+    if getattr(self, "_spectral_cache", None) is None:
+        self._spectral_cache = Spectral(self.num, self.fre_band_arr)
+        if getattr(self, "_edge", None) is not None:
+            kind, val = self._edge
+            if kind == "range":
+                self._spectral_cache.set_edge(*val)
+            else:
+                self._spectral_cache.set_edge_arr(val)
+    return self._spectral_cache
+
+
+def _set_edge(self, start: int, end: int):
+    """Restrict forwarded spectral features to bands [start, end]."""
+    self._edge = ("range", (start, end))
+    self._spectral_cache = None
+
+
+def _set_edge_arr(self, index_arr):
+    self._edge = ("arr", np.asarray(index_arr, np.int64))
+    self._spectral_cache = None
+
+
+def _preprocess(self, m_data_arr):
+    """COA normalization of a band spectrogram
+    (spectrogramObj_preprocess, spectrogram_algorithm.c:2080-2118)."""
+    w_sum = float(np.sum(self.window, dtype=np.float64))
+    if self.data_type == SpectralDataType.MAG:
+        value = 0.5 * w_sum
+    else:
+        value = 0.5 * w_sum * w_sum
+    x = jnp.asarray(m_data_arr) / value
+    scale = np.ones(self.num, np.float32)
+    if self.bin_band_arr is not None:
+        edge = (np.asarray(self.bin_band_arr) == 0) | \
+               (np.asarray(self.bin_band_arr) == self.fft_length // 2)
+        scale[edge[:self.num]] = 0.5
+    else:
+        scale[0] = 0.5
+    return x * scale[:, None]
+
+
+def _deconv(self, m_data_arr):
+    """Timbre/pitch deconvolution of this plan's spectrogram."""
+    from audioflux_tpu.features.deconv import Deconv
+    return Deconv(self.num).deconv(m_data_arr)
+
+
+Spectrogram._spectral_obj = _spectral_obj
+Spectrogram.set_edge = _set_edge
+Spectrogram.set_edge_arr = _set_edge_arr
+Spectrogram.preprocess = _preprocess
+Spectrogram.deconv = _deconv
+for _name in _SPECTRAL_FWD:
+    setattr(Spectrogram, _name, _make_forward(_name))

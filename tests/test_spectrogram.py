@@ -120,3 +120,24 @@ def test_time_length_formula():
     assert obj.cal_time_length(32000) == (32000 - 2048) // 512 + 1
     assert obj.cal_time_length(2048) == 1
     assert obj.cal_time_length(2047) == 0
+
+
+def test_spectral_forwarding(goldens, signals):
+    """SpectrogramBase forwards the Spectral surface + deconv/preprocess."""
+    import audioflux_tpu as af
+    obj = af.MelSpectrogram(num=64, samplate=SR, radix2_exp=R2E,
+                            slide_length=SLIDE)
+    spec = obj.spectrogram(signals["sine"])
+    from audioflux_tpu.features.spectral import Spectral
+    sp = Spectral(64, obj.get_fre_band_arr())
+    np.testing.assert_allclose(np.asarray(obj.centroid(spec)),
+                               np.asarray(sp.centroid(spec)), rtol=1e-6)
+    obj.set_edge(4, 40)
+    sp2 = Spectral(64, obj.get_fre_band_arr())
+    sp2.set_edge(4, 40)
+    np.testing.assert_allclose(np.asarray(obj.flatness(spec)),
+                               np.asarray(sp2.flatness(spec)), rtol=1e-6)
+    t, p = obj.deconv(spec)
+    assert np.asarray(t).shape == np.asarray(spec).shape
+    pre = np.asarray(obj.preprocess(spec))
+    assert pre.shape == np.asarray(spec).shape
