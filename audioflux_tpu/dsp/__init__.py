@@ -8,3 +8,4 @@ from audioflux_tpu.dsp.filter_design import (
     FilterBandType, fir1, fir2, smooth1, filter_, filtfilt,
     freqz_ba, freqz_sos,
 )
+from audioflux_tpu.dsp.conv import ConvModeType, conv
