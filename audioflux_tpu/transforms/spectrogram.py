@@ -333,6 +333,38 @@ class Spectrogram:
         """Compute the band spectrogram: (..., n) -> (..., num, time)."""
         return self._run(jnp.asarray(data_arr, jnp.float32))
 
+    def spectrogram_mfcc_fused(self, data_arr, cc_num: int = 13,
+                               tile: int = 200, fast: bool = True):
+        """Fused-Pallas band spectrogram + cepstral coefficients (TPU).
+
+        Single-kernel VMEM-resident framing -> DFT -> power -> filterbank
+        -> log-DCT pipeline (``ops.pallas_spectrogram``); the throughput
+        path for bulk extraction.  Requires a plain power-domain filterbank
+        config (POWER data type, no chroma fold, norm_value 1), slide
+        dividing fft, 128 | slide, and frame count divisible by ``tile``.
+        ``fast=True`` uses bf16x3 MXU dots (~2e-6 relative error);
+        ``fast=False`` is full fp32 (~2e-7).  Returns
+        ((..., num, T), (..., cc_num, T)).
+        """
+        S = SpectralFilterBankScaleType
+        if (self.filter_bank is None
+                or self.filter_bank_type in (S.CHROMA, S.LOG_CHROMA)
+                or self.data_type != SpectralDataType.POWER
+                or self.norm_value != 1):
+            raise ValueError("fused path needs a plain POWER filterbank "
+                             "spectrogram; use .spectrogram()")
+        from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
+                                                          fused_mel_mfcc)
+        key = ("_fused_plan", cc_num)
+        plan = getattr(self, "_fused_cache", {}).get(key)
+        if plan is None:
+            plan = FusedMelPlan(self.window, self.filter_bank,
+                                self._dct[:cc_num], self.slide_length)
+            if not hasattr(self, "_fused_cache"):
+                self._fused_cache = {}
+            self._fused_cache[key] = plan
+        return fused_mel_mfcc(plan, data_arr, tile=tile, fast=fast)
+
     def xxcc(self, m_data_arr, cc_num: int = 13,
              rectify_type: CepstralRectifyType = CepstralRectifyType.LOG):
         if cc_num > self.num:

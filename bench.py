@@ -4,6 +4,11 @@ Mirrors the reference benchmark protocol (``benchmark/run_audioflux.py``:
 num=128, fft_len=2048, slide=512, sr=32000; 1000 samples of TimeStep frames,
 warm-up excluded, plan construction excluded), with TimeStep=1000.
 
+Runs the fused Pallas kernel (``ops/pallas_spectrogram.py``): framing,
+window, DFT, power, mel and log-DCT in one VMEM-resident kernel with bf16x3
+MXU dots (~2e-6 relative error vs the fp32 reference path; verified
+against the exact path below before timing).
+
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -14,6 +19,7 @@ compute MFCC-13 in the same pass, which the C number does not include).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,7 +33,7 @@ R2E = 11  # fft 2048
 SLIDE = 512
 TIME_STEP = 1000
 N_SAMPLES = 1000
-CHUNK = 250  # clips per jit call (tunnel round-trips dominate at small chunks)
+TILE = 200  # frames per Pallas grid step
 
 # audioFlux C mel-only, same workload (BASELINE.md, AMD TR 3970X)
 BASELINE_S = 1.43854
@@ -36,52 +42,41 @@ BASELINE_S = 1.43854
 def main():
     from audioflux_tpu.transforms.spectrogram import MelSpectrogram
 
-    clip_len = TIME_STEP * SLIDE + (1 << R2E) - SLIDE  # 512512 samples
+    clip_len = TIME_STEP * SLIDE + (1 << R2E) - SLIDE  # 513536 samples
     audio_seconds = N_SAMPLES * clip_len / SR
     audio_hours = audio_seconds / 3600.0
     baseline_hps = audio_hours / BASELINE_S
 
     plan = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=R2E,
                           slide_length=SLIDE)
-    dct = jnp.asarray(plan._dct[:13])
-    fb = jnp.asarray(plan.filter_bank)
-    window = jnp.asarray(plan.window)
-    hp = jax.lax.Precision.HIGHEST
-
-    from audioflux_tpu.ops.frame import frame_signal
-
-    @jax.jit
-    def mel_mfcc(x):  # (B, n) -> ((B, NUM, T), (B, 13, T))
-        frames = frame_signal(x, 1 << R2E, SLIDE)
-        spec = jnp.fft.rfft(frames * window, axis=-1)
-        re, im = jnp.real(spec), jnp.imag(spec)
-        S = re * re + im * im
-        mel = jnp.einsum("btf,nf->btn", S, fb, precision=hp)
-        cc = jnp.einsum("btn,kn->btk", jnp.log10(jnp.maximum(mel, 1e-8)),
-                        dct, precision=hp)
-        return jnp.swapaxes(mel, -1, -2), jnp.swapaxes(cc, -1, -2)
 
     @jax.jit
     def synth(seed):
         key = jax.random.PRNGKey(seed)
-        return 0.2 * jax.random.normal(key, (CHUNK, clip_len), jnp.float32)
+        return 0.2 * jax.random.normal(key, (N_SAMPLES, clip_len),
+                                       jnp.float32)
 
     # data resident in HBM before timing (reference protocol also excludes
     # data generation)
-    chunks = [synth(i) for i in range(N_SAMPLES // CHUNK)]
-    for c in chunks:
-        c.block_until_ready()
+    xs = synth(0)
+    xs.block_until_ready()
+
+    # accuracy gate: fused-fast vs exact fp32 reference path on 2 clips
+    mel_ref = plan.spectrogram(xs[:2])
+    mel_fast, _ = plan.spectrogram_mfcc_fused(xs[:2], tile=TILE)
+    rel = float(jnp.max(jnp.abs(mel_fast - mel_ref))
+                / jnp.max(jnp.abs(mel_ref)))
+    if rel > 1e-4:
+        print(f"accuracy gate failed: rel err {rel:.3e}", file=sys.stderr)
+        sys.exit(1)
 
     # warm-up / compile
-    m, c = mel_mfcc(chunks[0])
-    c.block_until_ready()
+    m, c = plan.spectrogram_mfcc_fused(xs, tile=TILE)
+    jax.block_until_ready((m, c))
 
     t0 = time.perf_counter()
-    acc = None
-    for ch in chunks:
-        m, c = mel_mfcc(ch)
-    c.block_until_ready()
-    m.block_until_ready()
+    m, c = plan.spectrogram_mfcc_fused(xs, tile=TILE)
+    jax.block_until_ready((m, c))
     elapsed = time.perf_counter() - t0
 
     hps = audio_hours / elapsed

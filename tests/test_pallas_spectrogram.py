@@ -1,0 +1,75 @@
+"""Fused Pallas mel+MFCC kernel vs the exact XLA path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audioflux_tpu.transforms.spectrogram import (BarkSpectrogram,
+                                                  MelSpectrogram)
+from audioflux_tpu.ops.pallas_spectrogram import FusedMelPlan, fused_mel_mfcc
+
+
+def _ref(plan, x, cc_num=13):
+    mel = plan.spectrogram(x)
+    cc = plan.xxcc(mel, cc_num=cc_num)
+    return np.asarray(mel), np.asarray(cc)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_fused_matches_exact_path(fast):
+    plan = MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                          slide_length=512)
+    T = 16
+    n = T * 512 + 2048 - 512
+    x = (np.random.default_rng(0).standard_normal((2, n)) * 0.2
+         ).astype(np.float32)
+    mel_ref, cc_ref = _ref(plan, x)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:13], 512)
+    mel, cc = fused_mel_mfcc(fp, x, tile=8, interpret=True, fast=fast)
+    tol = 2e-4 if fast else 1e-5
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        tol * np.max(np.abs(mel_ref)))
+    assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
+        tol * np.max(np.abs(cc_ref)))
+
+
+def test_fused_method_and_1d(monkeypatch):
+    plan = BarkSpectrogram(num=64, samplate=32000, radix2_exp=11,
+                           slide_length=512)
+    T = 8
+    n = T * 512 + 2048 - 512
+    x = (np.random.default_rng(1).standard_normal(n) * 0.1
+         ).astype(np.float32)
+    # route the method through interpret mode (no TPU in CI)
+    import audioflux_tpu.ops.pallas_spectrogram as mod
+    orig = mod.fused_mel_mfcc
+    monkeypatch.setattr(
+        mod, "fused_mel_mfcc",
+        lambda p, d, tile=200, **kw: orig(
+            p, d, tile=tile, **{**kw, "interpret": True}))
+    mel, cc = plan.spectrogram_mfcc_fused(x, cc_num=5, tile=8, fast=False)
+    mel_ref, cc_ref = _ref(plan, x, cc_num=5)
+    assert mel.shape == mel_ref.shape and cc.shape == cc_ref.shape
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        1e-5 * np.max(np.abs(mel_ref)))
+    assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
+        1e-5 * np.max(np.abs(cc_ref)))
+
+
+def test_fused_rejects_bad_config():
+    from audioflux_tpu.types import SpectralDataType
+    plan = MelSpectrogram(num=32, samplate=32000, radix2_exp=11,
+                          slide_length=512,
+                          data_type=SpectralDataType.MAG)
+    with pytest.raises(ValueError):
+        plan.spectrogram_mfcc_fused(np.zeros(4096, np.float32))
+
+
+def test_fused_rejects_bad_length():
+    plan = MelSpectrogram(num=32, samplate=32000, radix2_exp=11,
+                          slide_length=512)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:13], 512)
+    with pytest.raises(ValueError):
+        fused_mel_mfcc(fp, np.zeros(10 * 512 + 1536, np.float32), tile=8,
+                       interpret=True)
