@@ -11,6 +11,14 @@ TPU-first design: for a rational ratio p/q the per-output tap phase repeats
 every p outputs, so the whole reference inner loop collapses into p
 strided cross-correlations (``lax.conv_general_dilated`` stride=q) with
 precomputed per-phase tap vectors — no data-dependent gathers.
+
+Numerical note: the C computes the per-output phase as ``float t=i/ratio``
+(float32, resample_algorithm.c:483), so its interpolation phase carries a
+rounding jitter that grows with the output index (~0.005 samples by
+i~40000); the exact rational phases here do not reproduce that jitter, so
+outputs agree to ~1e-5 for small p (e.g. 2:1) but only to ~4e-3 on long
+signals at large-p ratios (e.g. 441/640). The deviation is the C's table
+-lookup jitter, not a systematic shift.
 """
 
 from __future__ import annotations
@@ -125,7 +133,8 @@ class WindowResample:
     def __init__(self, zero_num: int = 64, nbit: int = 9,
                  window_type: WindowType = WindowType.HANN,
                  value: float = None, roll_off: float = 0.945,
-                 is_scale: bool = False, is_continue: bool = False):
+                 is_scale: bool = False, is_continue: bool = False,
+                 tail_carry: bool = False):
         if value is None or value < 0:
             value = {WindowType.KAISER: 5.0,
                      WindowType.GAUSS: 2.5}.get(WindowType(window_type), 0.0)
@@ -136,12 +145,20 @@ class WindowResample:
         self.value = float(value)
         self.roll_off = float(roll_off)
         self.is_scale = bool(is_scale)
+        self.is_continue = bool(is_continue)
+        # The reference's streaming tail-carry is dead code: the tail store
+        # (resample_algorithm.c:377-383) is guarded by dealArr, which is
+        # only non-NULL once a tail exists (:416), so the remainder samples
+        # are silently DROPPED each chunk. Default mirrors the C exactly;
+        # tail_carry=True enables the evidently-intended seamless carry.
+        self.tail_carry = bool(tail_carry)
         self._interp = _interp_table(self.zero_num, self.nbit,
                                      self.window_type, self.value,
                                      self.roll_off)
         self.ratio = 0.5
         self.p, self.q = 1, 2
         self._plans = {}
+        self._tail = np.zeros(0, np.float32)
 
     def set_samplate(self, source_rate: int, target_rate: int):
         if source_rate == target_rate or source_rate <= 0 or target_rate <= 0:
@@ -150,7 +167,19 @@ class WindowResample:
         self.p, self.q = f.numerator, f.denominator
         self.ratio = target_rate / source_rate
 
+    def enable_continue(self, flag: bool):
+        """Toggle streaming mode; resets the carried tail
+        (resampleObj_enableContinue, resample_algorithm.c:334-341)."""
+        if not flag:
+            self._tail = np.zeros(0, np.float32)
+        self.is_continue = bool(flag)
+
     def cal_data_length(self, data_length: int) -> int:
+        if self.is_continue and self.q > 1:
+            # streaming: source truncated to a multiple of the down factor,
+            # remainder carried to the next call (resample_algorithm.c:235-244)
+            src = data_length - data_length % self.q
+            return src * self.p // self.q
         return int(np.floor(data_length * self.ratio))
 
     def _plan(self):
@@ -161,9 +190,26 @@ class WindowResample:
         return self._plans[key]
 
     def resample(self, data_arr):
-        """(..., n) -> (..., floor(n*ratio))."""
+        """(..., n) -> (..., floor(n*ratio)).
+
+        With ``is_continue`` (1-D input only): the source is truncated to a
+        multiple of the down factor per chunk (resample_algorithm.c:235-244);
+        the remainder is dropped as in the C (see ctor comment), or carried
+        into the next call when ``tail_carry=True``.
+        """
         x = jnp.asarray(data_arr, jnp.float32)
-        out_len = self.cal_data_length(x.shape[-1])
+        if self.is_continue and self.q > 1:
+            if x.ndim != 1:
+                raise ValueError("is_continue streaming expects 1-D input")
+            if self.tail_carry:
+                x = jnp.concatenate([jnp.asarray(self._tail), x])
+            n = x.shape[-1] - x.shape[-1] % self.q
+            if self.tail_carry:
+                self._tail = np.asarray(x[n:])
+            x = x[:n]
+            out_len = n * self.p // self.q
+        else:
+            out_len = int(np.floor(x.shape[-1] * self.ratio))
         plan = self._plan()
         y = _poly_resample(x, jnp.asarray(plan.filts), p=plan.p, q=plan.q,
                            out_len=out_len, max_l=plan.max_l,
@@ -177,12 +223,13 @@ class Resample(WindowResample):
     """Quality-preset resampler (``python/audioflux/dsp/resample.py:118``)."""
 
     def __init__(self, qual_type: ResampleQualityType = ResampleQualityType.BEST,
-                 is_scale: bool = False, is_continue: bool = False):
+                 is_scale: bool = False, is_continue: bool = False,
+                 tail_carry: bool = False):
         zero_num, nbit, beta, roll_off = _QUALITY[ResampleQualityType(qual_type)]
         super().__init__(zero_num=zero_num, nbit=nbit,
                          window_type=WindowType.KAISER, value=beta,
                          roll_off=roll_off, is_scale=is_scale,
-                         is_continue=is_continue)
+                         is_continue=is_continue, tail_carry=tail_carry)
 
 
 def resample(x, source_rate: int, target_rate: int,

@@ -2,7 +2,7 @@ from audioflux_tpu.utils.convert import (
     power_to_db, power_to_abs_db, mag_to_abs_db,
     log_compress, log10_compress, delta, get_phase,
     note_to_midi, midi_to_note, note_to_hz, midi_to_hz, hz_to_midi,
-    sample_path,
+    hz_to_note, sample_path,
 )
 from audioflux_tpu.utils.scale import (
     min_max_scale, standard_scale, max_abs_scale, robust_scale,

@@ -16,6 +16,7 @@ __all__ = [
     "power_to_db", "power_to_abs_db", "mag_to_abs_db",
     "log_compress", "log10_compress", "delta", "get_phase",
     "note_to_midi", "midi_to_note", "note_to_hz", "midi_to_hz", "hz_to_midi",
+    "hz_to_note",
     "sample_path",
 ]
 
@@ -127,6 +128,11 @@ def hz_to_midi(frequencies):
 
 def note_to_hz(note: str) -> float:
     return float(midi_to_hz(note_to_midi(note)))
+
+
+def hz_to_note(frequencies) -> str:
+    """Frequency (Hz) -> note name (utils/convert.py:529 in the reference)."""
+    return midi_to_note(hz_to_midi(frequencies))
 
 
 def sample_path(name: str = "220") -> str:

@@ -91,3 +91,31 @@ def test_resample_ratio_2_3(signals):
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     f_peak = np.argmax(spec) * (32000 / 3 * 2) / len(y)
     assert abs(f_peak - 440) < 10
+
+
+def test_resample_streaming_continue(signals):
+    """is_continue: per-chunk q-multiple truncation (C-exact lengths) and
+    the tail_carry=True corrected mode (seamless, matches whole-shot)."""
+    x = np.asarray(signals["chirp"][:30000], np.float32)
+    chunks = [x[:7000], x[7000:15500], x[15500:]]
+
+    rs = Resample(is_continue=True)
+    rs.set_samplate(32000, 22050)  # p=441, q=640
+    lens = [np.asarray(rs.resample(c)).shape[-1] for c in chunks]
+    # C drops each chunk's remainder: (n - n%640)*441//640
+    assert lens == [(len(c) - len(c) % 640) * 441 // 640 for c in chunks]
+    assert rs.cal_data_length(7000) == lens[0]
+
+    rc = Resample(is_continue=True, tail_carry=True)
+    rc.set_samplate(32000, 22050)
+    parts = [np.asarray(rc.resample(c)) for c in chunks]
+    y = np.concatenate(parts)
+    # unflushed trailing remainder stays in the carried tail
+    carried = len(x) - len(rc._tail)
+    assert carried % 640 == 0 and len(y) == carried * 441 // 640
+    rw = Resample()
+    rw.set_samplate(32000, 22050)
+    yw = np.asarray(rw.resample(x))[:len(y)]
+    # interiors identical; only the chunk-boundary filter context differs
+    mism = np.abs(y - yw) > 1e-4
+    assert mism.mean() < 0.02
