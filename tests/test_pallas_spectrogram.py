@@ -73,3 +73,23 @@ def test_fused_rejects_bad_length():
     with pytest.raises(ValueError):
         fused_mel_mfcc(fp, np.zeros(10 * 512 + 1536, np.float32), tile=8,
                        interpret=True)
+
+
+def test_fused_other_configs():
+    """fft=4096/slide=1024 and a 64-band Erb bank (padding paths)."""
+    from audioflux_tpu.transforms.spectrogram import ErbSpectrogram
+    plan = ErbSpectrogram(num=64, samplate=32000, radix2_exp=12,
+                          slide_length=1024)
+    T = 8
+    n = T * 1024 + 4096 - 1024
+    x = (np.random.default_rng(2).standard_normal(n) * 0.2
+         ).astype(np.float32)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:4], 1024)
+    mel, cc = fused_mel_mfcc(fp, x, tile=8, interpret=True)
+    mel_ref = np.asarray(plan.spectrogram(x))
+    cc_ref = np.asarray(plan.xxcc(mel_ref, cc_num=4))
+    assert mel.shape == mel_ref.shape and cc.shape == cc_ref.shape
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        2e-5 * np.max(np.abs(mel_ref)))
+    assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
+        2e-5 * np.max(np.abs(cc_ref)))
