@@ -95,6 +95,48 @@ class FusedMelPlan:
         self.dct_t = dct_t
         self.cc_pad = self.cc_num + cc_pad
 
+        # --- four-step (Cooley-Tukey N = n1*128) constants -------------
+        # x reshaped (frames, n1, 128) with n = n1_idx*128 + n2; with bin
+        # index k = k1 + n1*k2:
+        #   A[k1,f,n2] = sum_q W_n1[k1,q] x[f,q,n2]          (thin matmul)
+        #   B = A * W_N^(k1*n2)                              (twiddle)
+        #   X[k1,f,k2] = sum_n2 B[k1,f,n2] W_128[k2,n2]      (MXU matmul)
+        # ~4.5x fewer MACs than the dense real-DFT; the k = k1 + n1*k2
+        # permutation is folded into a per-k1 stack of mel matrices.
+        n1 = self.n_fft // 128
+        self.fs_n1 = n1 if (n1 >= 2 and self.n_fft == n1 * 128) else 0
+        if self.fs_n1:
+            import ml_dtypes
+            w1 = np.exp(-2j * np.pi * np.outer(np.arange(n1),
+                                               np.arange(n1)) / n1)
+            tw = np.exp(-2j * np.pi * np.outer(np.arange(n1),
+                                               np.arange(128)) / self.n_fft)
+            w2 = np.exp(-2j * np.pi * np.outer(np.arange(128),
+                                               np.arange(128)) / 128)
+            self.fs_w1r = w1.real.astype(np.float32)
+            self.fs_w1i = w1.imag.astype(np.float32)
+            self.fs_twr = tw.real.astype(np.float32).reshape(n1, 1, 128)
+            self.fs_twi = tw.imag.astype(np.float32).reshape(n1, 1, 128)
+            self.fs_w2r = w2.real.astype(np.float32)
+            self.fs_w2i = w2.imag.astype(np.float32)
+            for name in ("fs_w2r", "fs_w2i"):
+                full = getattr(self, name)
+                hi = full.astype(ml_dtypes.bfloat16)
+                lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+                setattr(self, name + "_hi", hi)
+                setattr(self, name + "_lo", lo)
+            self.fs_win = window.reshape(n1, 1, 128)
+            melp4 = np.zeros((n1, 128, self.mel_pad), np.float32)
+            for k1 in range(n1):
+                for k2 in range(128):
+                    kbin = k1 + n1 * k2
+                    if kbin < n_bins:
+                        melp4[k1, k2, :self.num_mel] = mel_fb[:, kbin]
+            self.fs_melp = melp4
+            hi = melp4.astype(ml_dtypes.bfloat16)
+            lo = (melp4 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self.fs_melp_hi, self.fs_melp_lo = hi, lo
+
 
 def _kernel(*refs, n_shift: int, log_floor: float, precision, fast: bool):
     if fast:
@@ -128,6 +170,128 @@ def _kernel(*refs, n_shift: int, log_floor: float, precision, fast: bool):
     mel_out[0, :, :] = mel
     logm = jnp.log10(jnp.maximum(mel, log_floor))
     cc_out[0, :, :] = jax.lax.dot(logm, dct_ref[...], precision=precision)
+
+
+def _bf16x3(a, b_hi_ref, b_lo_ref, contract=None):
+    """fp32-accurate matmul from three single-pass bf16 MXU dots."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh, bl = b_hi_ref, b_lo_ref
+    if contract is None:
+        d = functools.partial(jax.lax.dot,
+                              preferred_element_type=jnp.float32)
+    else:
+        d = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=contract,
+                              preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _kernel4(*refs, n1: int, tile: int, log_floor: float, precision,
+             fast: bool):
+    idx = n1
+    win_ref = refs[idx]
+    w1r_ref, w1i_ref, twr_ref, twi_ref = refs[idx + 1:idx + 5]
+    idx += 5
+    if fast:
+        w2rh_ref, w2rl_ref, w2ih_ref, w2il_ref = refs[idx:idx + 4]
+        melph_ref, melpl_ref, dct_ref = refs[idx + 4:idx + 7]
+        idx += 7
+    else:
+        w2r_ref, w2i_ref = refs[idx:idx + 2]
+        melp_ref, dct_ref = refs[idx + 2:idx + 4]
+        idx += 4
+    mel_out, cc_out = refs[idx:]
+
+    # framing: stack the n1 128-wide row views along a leading axis
+    x = jnp.concatenate([refs[q][...] for q in range(n1)], axis=0)
+    x = x * win_ref[...]  # (n1, tile, 128) windowed pieces
+
+    # stage 1: thin DFT over the n1 pieces -> A[k1, f, n2]
+    cd_first = (((1,), (0,)), ((), ()))
+    ar = jax.lax.dot_general(w1r_ref[...], x, cd_first, precision=precision)
+    ai = jax.lax.dot_general(w1i_ref[...], x, cd_first, precision=precision)
+    # stage 2: twiddle
+    br = (ar * twr_ref[...] - ai * twi_ref[...]).reshape(n1 * tile, 128)
+    bi = (ar * twi_ref[...] + ai * twr_ref[...]).reshape(n1 * tile, 128)
+    # stage 3: DFT-128 over lanes (the dominant matmul)
+    cd_last = (((1,), (1,)), ((), ()))
+    if fast:
+        xr = (_bf16x3(br, w2rh_ref[...], w2rl_ref[...], cd_last)
+              - _bf16x3(bi, w2ih_ref[...], w2il_ref[...], cd_last))
+        xi = (_bf16x3(br, w2ih_ref[...], w2il_ref[...], cd_last)
+              + _bf16x3(bi, w2rh_ref[...], w2rl_ref[...], cd_last))
+    else:
+        xr = (jax.lax.dot_general(br, w2r_ref[...], cd_last,
+                                  precision=precision)
+              - jax.lax.dot_general(bi, w2i_ref[...], cd_last,
+                                    precision=precision))
+        xi = (jax.lax.dot_general(br, w2i_ref[...], cd_last,
+                                  precision=precision)
+              + jax.lax.dot_general(bi, w2r_ref[...], cd_last,
+                                    precision=precision))
+    power = xr * xr + xi * xi  # (n1*tile, 128) = [k1, f, k2]
+
+    # mel: per-k1 accumulating matmuls (bin permutation inside the matrices)
+    mel = None
+    for k1 in range(n1):
+        p_k = power[k1 * tile:(k1 + 1) * tile]
+        if fast:
+            m_k = _bf16x3(p_k, melph_ref[k1], melpl_ref[k1])
+        else:
+            m_k = jax.lax.dot(p_k, melp_ref[k1], precision=precision)
+        mel = m_k if mel is None else mel + m_k
+    mel_out[0, :, :] = mel
+    logm = jnp.log10(jnp.maximum(mel, log_floor))
+    cc_out[0, :, :] = jax.lax.dot(logm, dct_ref[...], precision=precision)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+def _fused_call4(plan: FusedMelPlan, x, n_frames: int, tile: int,
+                 precision, interpret: bool, fast: bool):
+    b = x.shape[0]
+    n1 = plan.fs_n1
+    n_tiles = n_frames // tile
+    s_rows = plan.slide // 128
+    n_rows = x.shape[1] // 128
+    rows = x[:, :n_rows * 128].reshape(b, n_rows, 128)
+    shifts = [jax.lax.slice(rows, (0, q, 0),
+                            (b, q + s_rows * (n_frames - 1) + 1, 128),
+                            (1, s_rows, 1))
+              for q in range(n1)]
+    kern = functools.partial(_kernel4, n1=n1, tile=tile, log_floor=1e-8,
+                             precision=precision, fast=fast)
+
+    def _const(arr):
+        return pl.BlockSpec(arr.shape, lambda i, t: (0,) * arr.ndim)
+
+    if fast:
+        consts = [plan.fs_win, plan.fs_w1r, plan.fs_w1i, plan.fs_twr,
+                  plan.fs_twi, plan.fs_w2r_hi, plan.fs_w2r_lo,
+                  plan.fs_w2i_hi, plan.fs_w2i_lo,
+                  plan.fs_melp_hi, plan.fs_melp_lo, plan.dct_t]
+    else:
+        consts = [plan.fs_win, plan.fs_w1r, plan.fs_w1i, plan.fs_twr,
+                  plan.fs_twi, plan.fs_w2r, plan.fs_w2i,
+                  plan.fs_melp, plan.dct_t]
+    shift_spec = pl.BlockSpec((1, tile, 128), lambda i, t: (i, t, 0))
+    mel, cc = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[shift_spec] * n1 + [_const(c) for c in consts],
+        out_specs=[
+            pl.BlockSpec((1, tile, plan.mel_pad), lambda i, t: (i, t, 0)),
+            pl.BlockSpec((1, tile, plan.cc_pad), lambda i, t: (i, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_frames, plan.mel_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_frames, plan.cc_pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*shifts, *[jnp.asarray(c) for c in consts])
+    return mel[..., :plan.num_mel], cc[..., :plan.cc_num]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
@@ -172,7 +336,8 @@ def _fused_call(plan: FusedMelPlan, x, n_frames: int, tile: int,
 
 def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
                    precision=jax.lax.Precision.HIGHEST,
-                   interpret: bool = False, fast: bool = False):
+                   interpret: bool = False, fast: bool = False,
+                   algo: str = "fourstep"):
     """(B, n) audio -> (B, num_mel, T), (B, cc_num, T).
 
     ``n`` must be at least ``T*slide + (fft - slide)`` with ``T`` divisible
@@ -190,8 +355,9 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
     if n_frames % tile:
         raise ValueError(f"frame count {n_frames} not divisible by tile "
                          f"{tile}; pad the input")
-    mel, cc = _fused_call(plan, x, n_frames, tile, precision, interpret,
-                          fast)
+    call = (_fused_call4 if (algo == "fourstep" and plan.fs_n1)
+            else _fused_call)
+    mel, cc = call(plan, x, n_frames, tile, precision, interpret, fast)
     mel = jnp.swapaxes(mel, -1, -2)
     cc = jnp.swapaxes(cc, -1, -2)
     if squeeze:
