@@ -1,0 +1,90 @@
+"""_queue frequency-ratio primitives vs the reference C (goldens + fuzz)."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from audioflux_tpu.mir._queue_util import (cal_range_times, queue_fre2,
+                                           queue_fre3)
+
+_REF = os.path.join(os.path.dirname(__file__), "..", ".ref",
+                    "libaudioflux.so")
+
+# captured from the reference __queue_fre2/__queue_fre3 (see module doc)
+_GOLD2 = [
+    (110.0, 220.5, 110.000000, 1, 2),
+    (110.0, 331.0, 110.000000, 1, 3),
+    (98.0, 147.2, 49.000000, 2, 3),
+    (65.4, 261.6, 65.400002, 1, 4),
+    (440.0, 442.0, 440.000000, 1, 1),
+    (100.0, 373.0, 0.000000, 0, 0),
+    (82.4, 207.0, 0.000000, 0, 0),
+]
+_GOLD3 = [
+    (110.0, 220.0, 330.5, 110.000000, 1, 1, 1, 2, 3),
+    (98.0, 196.5, 294.0, 98.000000, 1, 1, 1, 2, 3),
+    (110.0, 330.0, 550.0, 110.000000, 2, 2, 1, 3, 5),
+    (130.8, 196.0, 262.0, 65.400002, 1, 1, 2, 3, 4),
+    (100.0, 300.0, 477.0, 0.000000, 0, 0, 0, 0, 0),
+]
+
+
+def test_queue_fre2_goldens():
+    for f1, f2, fre, k1, k2 in _GOLD2:
+        # float32 inputs, as the C receives them
+        f1 = float(np.float32(f1))
+        f2 = float(np.float32(f2))
+        got = queue_fre2(f1, f2)
+        assert (got[1], got[2]) == (k1, k2), (f1, f2, got)
+        assert got[0] == pytest.approx(fre, abs=1e-3)
+
+
+def test_queue_fre3_goldens():
+    for f1, f2, f3, fre, s1, s2, k1, k2, k3 in _GOLD3:
+        f1, f2, f3 = (float(np.float32(v)) for v in (f1, f2, f3))
+        got = queue_fre3(f1, f2, f3)
+        assert got[1:] == (s1, s2, k1, k2, k3), (f1, f2, f3, got)
+        assert got[0] == pytest.approx(fre, abs=1e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_util_fuzz_vs_c():
+    lib = ctypes.CDLL(_REF)
+    lib.__queue_fre2.restype = ctypes.c_float
+    lib.__queue_fre2.argtypes = [ctypes.c_float, ctypes.c_float,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int)]
+    lib.__queue_fre3.restype = ctypes.c_float
+    lib.__queue_fre3.argtypes = ([ctypes.c_float] * 3
+                                 + [ctypes.POINTER(ctypes.c_int)] * 5)
+    lib.util_calRangeTimes.restype = ctypes.c_int
+    lib.util_calRangeTimes.argtypes = [ctypes.c_float, ctypes.c_float,
+                                       ctypes.POINTER(ctypes.c_int)]
+    rng = np.random.default_rng(11)
+    for _ in range(600):
+        base = float(np.float32(rng.uniform(30, 900)))
+        if rng.random() < 0.6:
+            vals = [base * int(rng.integers(1, 8)) + rng.normal(0, 2)
+                    for _ in range(3)]
+        else:
+            vals = [rng.uniform(30, 2000) for _ in range(3)]
+        f1, f2, f3 = sorted(float(np.float32(abs(v) + 1.0)) for v in vals)
+        if f2 - f1 < 1e-3 or f3 - f2 < 1e-3:
+            continue
+        t = ctypes.c_int(0)
+        kc = lib.util_calRangeTimes(f1, f2, ctypes.byref(t))
+        assert cal_range_times(f1, f2) == (kc, t.value), (f1, f2)
+        a = ctypes.c_int()
+        b = ctypes.c_int()
+        fc = lib.__queue_fre2(f1, f2, ctypes.byref(a), ctypes.byref(b))
+        fp, p1, p2 = queue_fre2(f1, f2)
+        assert (p1, p2) == (a.value, b.value), (f1, f2)
+        assert fp == pytest.approx(fc, abs=1e-3 * max(fc, 1))
+        outs = [ctypes.c_int() for _ in range(5)]
+        fc3 = lib.__queue_fre3(f1, f2, f3, *[ctypes.byref(o) for o in outs])
+        r = queue_fre3(f1, f2, f3)
+        assert r[1:] == tuple(o.value for o in outs), (f1, f2, f3)
+        assert r[0] == pytest.approx(fc3, abs=1e-3 * max(fc3, 1))
