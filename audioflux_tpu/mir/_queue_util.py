@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 
 __all__ = ["cal_tone", "cal_tone_times", "cal_range_times",
-           "queue_fre2", "queue_fre3"]
+           "queue_fre2", "queue_fre3", "queue_direct", "queue_weak"]
 
 _EPS = 0.81
 
@@ -214,3 +214,183 @@ def queue_fre3(value1: float, value2: float, value3: float):
     if not base:
         s1 = s2 = k1 = k2 = k3 = 0
     return base, s1, s2, k1, k2, k3
+
+
+# ---------------------------------------------------------------------------
+# strategy helpers (_queue.c statics)
+
+def _valid_fre3(fre1, fre2, fre3, base, k1, k2, k3):
+    """__validFre3 (_queue.c:7583): harmonic numbers must predict fre2/fre3."""
+    s1 = abs(base * k2 - fre2)
+    s2 = abs(base * k3 - fre3)
+    if (s1 > 5 and fre1 < 880) or s1 > 10:
+        return 0
+    if s2 > 10:
+        return 0
+    return 1
+
+
+def _max_index(arr, length):
+    """__arr_maxIndex: argmax with first-win ties (C strict <)."""
+    index = 0
+    value = arr[0]
+    for i in range(1, length):
+        if value < arr[i]:
+            value = arr[i]
+            index = i
+    return index
+
+
+def queue_direct(fre_arr, db_arr, height_arr, index_arr, length,
+                 light=0.0, valid=0):
+    """__queue_direct (_queue.c:5516): resolve obvious 1:2:3-style stacks.
+
+    Inputs are per-frame candidate arrays (frequency-ascending with their
+    dominance ranks in ``index_arr``); returns the fundamental or 0.
+    """
+    if valid:
+        return 0.0
+    fre = 0.0
+    if length >= 3:
+        _index = _max_index(db_arr, length)
+        arr1 = sorted(db_arr[:3], reverse=True)
+        if arr1[0] - arr1[2] < 12:
+            i1, i2, i3 = index_arr[0], index_arr[1], index_arr[2]
+            us = uk = (0, 0, 0)
+            uk1 = uk2 = uk3 = 0
+            if i1 + i2 + i3 == 3:
+                fre, _, _, uk1, uk2, uk3 = queue_fre3(
+                    fre_arr[0], fre_arr[1], fre_arr[2])
+            if fre:
+                q_flag = _valid_fre3(fre_arr[0], fre_arr[1], fre_arr[2],
+                                     fre, uk1, uk2, uk3)
+                if not q_flag:  # format noise
+                    fre = 0.0
+                    if length >= 4:
+                        _, _, _, uk1, uk2, uk3 = queue_fre3(
+                            fre_arr[1], fre_arr[2], fre_arr[3])
+                        if uk1 == 1:
+                            fre = fre_arr[1]
+                    if not fre and length >= 5:
+                        _, _, _, uk1, uk2, uk3 = queue_fre3(
+                            fre_arr[2], fre_arr[3], fre_arr[4])
+                        if uk1 == 1:
+                            fre = fre_arr[2]
+                else:
+                    if uk1 == 1 and uk2 == 3 and uk3 == 6:
+                        if fre > 100:  # high-fre stack
+                            if db_arr[0] < db_arr[1] < db_arr[2]:
+                                fre = fre_arr[1]
+                            elif length >= 4:
+                                _, _, _, uk1, uk2, uk3 = queue_fre3(
+                                    fre_arr[1], fre_arr[2], fre_arr[3])
+                                if uk1 == 1:
+                                    fre = fre_arr[1]
+                    elif uk1 == 1 and uk2 == 2 and uk3 == 4:
+                        if db_arr[1] > db_arr[2] > db_arr[0]:
+                            return 0.0
+                    elif 2 * uk1 == uk3:  # 1:x:2 -> slide
+                        return 0.0
+                    elif 2 * uk2 == uk3:  # x:1:2
+                        fre = 0.0 if length > 5 else fre_arr[1]
+                    elif (uk1 == 2 and uk2 == 4 and uk3 == 5
+                          and _index == 2 and db_arr[0] < db_arr[1]
+                          and 240 < fre_arr[2] < 250):
+                        fre = 0.0
+                    elif (uk1 == 7 and uk2 == 8 and uk3 == 12
+                          and _index == 1
+                          and 130 < fre_arr[1] / 2 < 160):
+                        fre = fre_arr[1] / 2
+                    else:
+                        if uk1 != 1 and length >= 4:
+                            _, _, _, uk1, uk2, uk3 = queue_fre3(
+                                fre_arr[1], fre_arr[2], fre_arr[3])
+                            if uk1 == 1:
+                                fre = fre_arr[1]
+
+    if not fre and length >= 3:
+        if index_arr[0] + index_arr[1] + index_arr[2] == 3:
+            _, _, _, uk1, uk2, uk3 = queue_fre3(
+                fre_arr[0], fre_arr[1], fre_arr[2])
+            if uk1 == 1 and uk2 == 2 and uk3 == 4:
+                if db_arr[1] > db_arr[2] > db_arr[0]:
+                    return 0.0
+            elif uk1 and 2 * uk1 == uk3:
+                return 0.0
+    return fre
+
+
+def _queue_weak_valid(fre_arr, db_arr, height_arr, index_arr, length):
+    """__queue_weakValid (_queue.c:6774)."""
+    index = _max_index(db_arr, length)
+    if index == 1 and fre_arr[index] - fre_arr[index - 1] < 50:
+        for i in range(index + 1, length):
+            _fre, k1, k2 = queue_fre2(fre_arr[index], fre_arr[i])
+            if k1 == 1:
+                return _fre
+    return 0.0
+
+
+def queue_weak(fre_arr, db_arr, height_arr, index_arr, length,
+               light=0.0, valid=0):
+    """__queue_weak (_queue.c:6618): low-evidence frames (<=3 candidates)."""
+    if length < 2:
+        return 0.0
+    fre = _queue_weak_valid(fre_arr, db_arr, height_arr, index_arr, length)
+    if fre:
+        return fre
+    k1 = k2 = k3 = k4 = 0
+    if length == 2:
+        fre, k1, k2 = queue_fre2(fre_arr[0], fre_arr[1])
+        if k1 == 2 and k2 == 3:
+            if abs(db_arr[0] - db_arr[1]) > 8:
+                fre = 0.0
+        elif k1 == 1:
+            if db_arr[0] < db_arr[1]:
+                fre = 0.0
+        else:
+            fre = fre_arr[0] if db_arr[0] > db_arr[1] else fre_arr[1]
+    elif length == 3:
+        fre1, k1, k2 = queue_fre2(fre_arr[0], fre_arr[1])
+        fre2, k3, k4 = queue_fre2(fre_arr[1], fre_arr[2])
+        if k1:
+            if k1 == 2 and k2 == 3:
+                fre = fre1
+                if db_arr[0] - db_arr[1] > 20 and fre_arr[0] > 220:
+                    fre = fre_arr[0]
+                if height_arr[0] < 5:
+                    fre = fre_arr[1] if db_arr[1] - db_arr[0] > 10 else 0.0
+            elif k1 == 1:
+                if k2 == 2:
+                    fre = fre2
+                    if fre1 < 90 or db_arr[0] > db_arr[1]:
+                        fre = fre1
+                    elif fre1 > 300 and db_arr[1] - db_arr[0] < 2:
+                        fre = fre1
+                else:
+                    fre = fre2 if db_arr[1] - db_arr[0] > 8 else fre1
+        else:  # first candidate is noise
+            if _max_index(db_arr, length) == 0:
+                fre = fre_arr[0]
+        if not fre:
+            if (db_arr[0] - db_arr[1] > 20 and db_arr[1] > db_arr[2]
+                    and fre_arr[0] > 220):
+                return fre_arr[0]
+        if not fre:
+            if k3 == 1 and k4 < 4:
+                fre = fre2
+        if not fre:
+            fre = fre_arr[_max_index(db_arr, length)]
+    else:
+        for i in range(length - 1):
+            if index_arr[i] + index_arr[i + 1] == 1:
+                if abs(db_arr[i] - db_arr[i + 1]) < 15:
+                    fre = 0.0
+                    break
+    if fre:  # reject >6x spreads from sub-bass guesses
+        _index = _max_index(db_arr, length)
+        if 40 < fre < 50 and fre_arr[_index] / fre > 5.5:
+            fre = fre_arr[_index]
+        elif fre < 40 and fre_arr[_index] / fre > 7:
+            fre = fre_arr[_index]
+    return fre

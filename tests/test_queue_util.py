@@ -88,3 +88,55 @@ def test_queue_util_fuzz_vs_c():
         r = queue_fre3(f1, f2, f3)
         assert r[1:] == tuple(o.value for o in outs), (f1, f2, f3)
         assert r[0] == pytest.approx(fc3, abs=1e-3 * max(fc3, 1))
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_strategies_fuzz_vs_c():
+    from audioflux_tpu.mir._queue_util import queue_direct, queue_weak
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.__queue_direct.restype = ctypes.c_float
+    lib.__queue_direct.argtypes = [FP, FP, FP, IP, ctypes.c_int,
+                                   ctypes.c_float, IP]
+    lib.__queue_weak.restype = ctypes.c_float
+    lib.__queue_weak.argtypes = [FP, FP, FP, IP, ctypes.c_int,
+                                 ctypes.c_float, IP, IP]
+    rng = np.random.default_rng(5)
+    for _ in range(400):
+        n = int(rng.integers(2, 7))
+        base = rng.uniform(40, 500)
+        if rng.random() < 0.7:
+            ks = np.sort(rng.choice(np.arange(1, 10), n, replace=False))
+            fre = np.float32(base * ks + rng.normal(0, 1.5, n))
+        else:
+            fre = np.float32(np.sort(rng.uniform(40, 2000, n)))
+        fre = np.sort(fre).astype(np.float32)
+        if np.min(np.diff(fre)) < 1:
+            continue
+        db = np.float32(rng.uniform(-60, -5, n))
+        if len(np.unique(db)) < n:
+            continue
+        h = np.float32(rng.uniform(0, 30, n))
+        order = np.argsort(-db, kind="stable")
+        idx = np.empty(n, np.int32)
+        idx[order] = np.arange(n)
+        light = float(rng.uniform(0, 1))
+        args = (list(map(float, fre)), list(map(float, db)),
+                list(map(float, h)), list(map(int, idx)), n, light, 0)
+        v = ctypes.c_int(0)
+        fd = lib.__queue_direct(fre.ctypes.data_as(FP),
+                                db.ctypes.data_as(FP),
+                                h.ctypes.data_as(FP),
+                                idx.ctypes.data_as(IP), n, light,
+                                ctypes.byref(v))
+        assert queue_direct(*args) == pytest.approx(fd, abs=1e-3)
+        v = ctypes.c_int(0)
+        st = ctypes.c_int(0)
+        fw = lib.__queue_weak(fre.ctypes.data_as(FP),
+                              db.ctypes.data_as(FP),
+                              h.ctypes.data_as(FP),
+                              idx.ctypes.data_as(IP), n, light,
+                              ctypes.byref(v), ctypes.byref(st))
+        assert queue_weak(*args) == pytest.approx(fw, abs=1e-3)
