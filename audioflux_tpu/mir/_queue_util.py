@@ -34,6 +34,9 @@ def _midi_fre(midi: int) -> float:
 
 def cal_tone(value: float):
     """-> (tone frequency of the nearest midi, the 2nd-nearest tone)."""
+    if value <= 0:
+        # C: log2f(0) = -inf -> powf underflows to 0 for both tones
+        return 0.0, 0.0
     midi = _roundf(12 * math.log2(value / 440.0) + 69)
     cur = _midi_fre(midi)
     pre = _midi_fre(midi - 1)
@@ -393,4 +396,212 @@ def queue_weak(fre_arr, db_arr, height_arr, index_arr, length,
             fre = fre_arr[_index]
         elif fre < 40 and fre_arr[_index] / fre > 7:
             fre = fre_arr[_index]
+    return fre
+
+
+def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
+               fre_arr2=(), db_arr2=(), height_arr2=(), ref_length=0,
+               light=0.0, valid=0):
+    """__queue_fast (_queue.c:5113): strict 1:1-spacing stack resolution.
+
+    ``fre_arr2``/``ref_length`` are the frame's wider (pre-cut) candidate
+    set, consulted by the 1:2:6 validation branch.
+    """
+    def g2(arr, i):
+        return arr[i] if i < len(arr) else 0.0
+
+    if valid and ref_length > 5:
+        return 0.0
+    fre = 0.0
+
+    if length >= 3:
+        # 012 -> 1:1
+        for i in range(length - 2):
+            if index_arr[i] + index_arr[i + 1] + index_arr[i + 2] == 3:
+                _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    fre_arr[i], fre_arr[i + 1], fre_arr[i + 2])
+                if us1 == 1 and us1 == us2:
+                    if (abs(_fre * uk2 - fre_arr[i + 1]) < 5
+                            and abs(_fre * uk3 - fre_arr[i + 2]) < 5):
+                        fre = _fre
+                        if index_arr[i] == 0 and 2 * uk1 == uk3:
+                            return 0.0
+                break
+        # 01x -> 1:1
+        if not fre:
+            for i in range(length - 2):
+                if index_arr[i] + index_arr[i + 1] == 1:
+                    _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                        fre_arr[i], fre_arr[i + 1], fre_arr[i + 2])
+                    if us1 == 1 and us1 == us2:
+                        if (abs(_fre * uk2 - fre_arr[i + 1]) < 5
+                                and abs(_fre * uk3 - fre_arr[i + 2]) < 5):
+                            fre = _fre
+                            if (index_arr[i] == 0 and 2 * uk1 == uk3
+                                    and ref_length > 5):
+                                return 0.0
+                    break
+        # 02x (023) -> 1:1
+        if not fre:
+            for i in range(length - 2):
+                if (index_arr[i] + index_arr[i + 1] == 2
+                        and index_arr[i + 2] == 3):
+                    _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                        fre_arr[i], fre_arr[i + 1], fre_arr[i + 2])
+                    if us1 == 1 and us1 == us2:
+                        if (abs(_fre * uk2 - fre_arr[i + 1]) < 5
+                                and abs(_fre * uk3 - fre_arr[i + 2]) < 5):
+                            fre = _fre
+                            if index_arr[i] == 0 and 2 * uk1 == uk3:
+                                return 0.0
+                    break
+        # 0xx -> 1:1
+        if not fre and index_arr[0] == 0:
+            _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                fre_arr[0], fre_arr[1], fre_arr[2])
+            if us1 == 1 and us1 == us2:
+                if (abs(_fre * uk2 - fre_arr[1]) < 5
+                        and abs(_fre * uk3 - fre_arr[2]) < 5):
+                    fre = _fre
+                    if 2 * uk1 == uk3:
+                        return 0.0
+
+    # 2. 1-24-5/7, 124-8-11, 2347 stacks
+    if not fre and length >= 4:
+        _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+            fre_arr[0], fre_arr[1], fre_arr[2])
+        if uk1:
+            _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(
+                fre_arr[1], fre_arr[2], fre_arr[3])
+            if vk1:
+                if (uk1 == 1 and uk2 == 2 and uk3 == 4
+                        and ((vk1 == 2 and vk2 == 4 and vk3 == 5)
+                             or (vk1 == 2 and vk2 == 4 and vk3 == 7))):
+                    fre = _fre
+                elif (uk1 == 2 and uk2 == 3 and uk3 == 4
+                      and vk1 == 3 and vk2 == 4 and vk3 == 7):
+                    fre = fre_arr[0] / 2
+            else:
+                if length >= 5 and uk1 == 1 and uk2 == 2 and uk3 == 4:
+                    _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(
+                        fre_arr[2], fre_arr[3], fre_arr[4])
+                    if vk1 == 4 and vk2 == 8 and vk3 == 11:
+                        fre = fre_arr[0] / 2
+            if (not fre and uk1 == 1 and uk2 == 2 and uk3 == 4
+                    and db_arr[2] > db_arr[0] and db_arr[2] > db_arr[1]
+                    and db_arr[0] > db_arr[1]
+                    and 380 < fre_arr[2] < 405):
+                fre = fre_arr[2] / 2
+
+    # 3. 1:n around the dB-max candidate
+    if not fre:
+        index1 = _max_index(db_arr, length)
+        if index1 == 1 and fre_arr[0] < 85 and ref_length < 5:
+            _fre, uk1, uk2 = queue_fre2(fre_arr[0], fre_arr[1])
+            if (uk1 == 1 and uk2 == 2
+                    and abs(fre_arr[0] * 2 - fre_arr[1]) < 5):
+                return _fre
+        if index1 + 1 < length:
+            _fre2 = fre_arr[index1 + 1]
+            _fre, uk1, uk2 = queue_fre2(fre_arr[index1], fre_arr[index1 + 1])
+            if not uk1 and index1 + 2 < length:
+                _fre2 = fre_arr[index1 + 2]
+                if 210 < _fre2 < 230:
+                    _fre, uk1, uk2 = queue_fre2(fre_arr[index1],
+                                                fre_arr[index1 + 2])
+            if uk1 == 1 and uk2 in (2, 3):
+                if abs(_fre * uk2 - _fre2) < 5:
+                    fre = _fre
+                    if (db_arr[index1] - db_arr[index1 + 1] > 18
+                            and fre_arr[index1] > 130):
+                        return fre
+                    if fre > 330 and index1 + 2 < length:
+                        _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                            fre_arr[index1], fre_arr[index1 + 1],
+                            fre_arr[index1 + 2])
+                        if us1:
+                            if (abs(fre_arr[index1] / uk1 * uk2
+                                    - fre_arr[index1 + 1]) < 5
+                                    and abs(fre_arr[index1] / uk1 * uk3
+                                            - fre_arr[index1 + 2]) < 5):
+                                fre = _fre
+        if not index1:
+            # validate against 1:2:4 / 1:3:6 overtone traps
+            if fre and index1 + 2 < length:
+                _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    fre_arr[index1], fre_arr[index1 + 1],
+                    fre_arr[index1 + 2])
+                if uk1 == 1 and ((uk2 == 2 and uk3 == 4)
+                                 or (uk2 == 3 and uk3 == 6)):
+                    fre = 0.0
+                elif (uk1 == 1 and uk2 == 2 and uk3 == 6
+                      and 190 < fre_arr[1] < 204):
+                    fre = 0.0
+                else:
+                    if us1 and us1 == 2 * us2:  # 2:1 -> 1:3:4
+                        if (abs(fre_arr[index1] / uk1 * uk2
+                                - fre_arr[index1 + 1]) < 5
+                                and abs(fre_arr[index1] / uk1 * uk3
+                                        - fre_arr[index1 + 2]) < 5):
+                            fre = _fre
+        else:
+            if fre and index1 == 1:
+                _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    g2(fre_arr, 0), g2(fre_arr, 1), g2(fre_arr, 2))
+                if uk1 == 1 and uk2 == 2 and uk3 == 6 and _fre < 90:
+                    if db_arr[1] > db_arr[0] and db_arr[1] - db_arr[2] > 20:
+                        if ref_length < 6:
+                            return _fre
+                        elif ref_length < 8:
+                            _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                                g2(fre_arr2, 0), g2(fre_arr2, 1),
+                                g2(fre_arr2, 2))
+                            if uk1 == 1 and uk2 == 2 and uk3 == 6:
+                                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                                    g2(fre_arr2, 1), g2(fre_arr2, 2),
+                                    g2(fre_arr2, 3))
+                                if uk1 == 2 and uk2 == 6 and uk3 == 7:
+                                    return _fre
+                                if (g2(fre_arr2, 1) + g2(fre_arr2, 2)
+                                        < g2(fre_arr2, 3)):
+                                    _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                                        g2(fre_arr2, 1) + g2(fre_arr2, 2),
+                                        g2(fre_arr2, 3), g2(fre_arr2, 4))
+                                    if uk1 == 8 and uk2 == 11 and uk3 == 12:
+                                        return _fre
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    g2(fre_arr, 1), g2(fre_arr, 2), g2(fre_arr, 3))
+                if (uk1 == 1 and ((uk2 == 2 and uk3 == 4)
+                                  or (uk2 == 2 and uk3 == 6))
+                        and 190 < fre_arr[2] < 204):
+                    fre = 0.0
+            if fre and ref_length > 5:
+                for i in range(index1):
+                    _fre, uk1, uk2 = queue_fre2(fre_arr[i], fre_arr[index1])
+                    if uk1 == 1 and uk2 in (2, 3):
+                        _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                            fre_arr[i], fre_arr[index1],
+                            g2(fre_arr, index1 + 1))
+                        if (abs(_fre * uk2 - fre_arr[index1]) < 5
+                                and abs(_fre * uk3
+                                        - g2(fre_arr, index1 + 1)) < 5):
+                            fre = 0.0
+                        if not fre and index1 + 2 < length:
+                            _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                                fre_arr[index1], fre_arr[index1 + 1],
+                                fre_arr[index1 + 2])
+                            if us1 and us1 == 3 * us2:  # 3:1 -> 1:4:5
+                                if (abs(fre_arr[i] * uk2
+                                        - fre_arr[index1 + 1]) < 5
+                                        and abs(fre_arr[i] * uk3
+                                                - fre_arr[index1 + 2]) < 5):
+                                    fre = _fre
+                        break
+
+    # valid ->197
+    if not fre:
+        index1 = _max_index(db_arr, length)
+        if not index1 and 190 < fre_arr[index1] < 204:
+            if db_arr[0] - db_arr[1] > 18:
+                return fre_arr[0]
     return fre

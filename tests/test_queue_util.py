@@ -140,3 +140,67 @@ def test_queue_strategies_fuzz_vs_c():
                               idx.ctypes.data_as(IP), n, light,
                               ctypes.byref(v), ctypes.byref(st))
         assert queue_weak(*args) == pytest.approx(fw, abs=1e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_fast_fuzz_vs_c():
+    from audioflux_tpu.mir._queue_util import queue_fast
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.__queue_fast.restype = ctypes.c_float
+    lib.__queue_fast.argtypes = ([FP, FP, FP, IP, ctypes.c_int,
+                                  FP, FP, FP, ctypes.c_int,
+                                  ctypes.c_float, IP, IP]
+                                 + [FP] * 6)
+    rng = np.random.default_rng(17)
+    PAD = 16
+    for _ in range(400):
+        n = int(rng.integers(3, 7))
+        rn = int(rng.integers(n, 10))
+        base = rng.uniform(40, 500)
+        if rng.random() < 0.7:
+            ks = np.sort(rng.choice(np.arange(1, 10), n, replace=False))
+            fre = base * ks + rng.normal(0, 1.5, n)
+        else:
+            fre = np.sort(rng.uniform(40, 2000, n))
+        fre = np.sort(np.float32(fre)).astype(np.float32)
+        if np.min(np.diff(fre)) < 1:
+            continue
+        db = np.float32(rng.uniform(-60, -5, n))
+        if len(np.unique(db)) < n:
+            continue
+        h = np.float32(rng.uniform(0, 30, n))
+        order = np.argsort(-db, kind="stable")
+        idx = np.empty(n, np.int32)
+        idx[order] = np.arange(n)
+        fre2 = np.sort(np.float32(np.concatenate(
+            [fre, rng.uniform(40, 2000, max(rn - n, 0))]))).astype(np.float32)
+        db2 = np.float32(rng.uniform(-60, -5, rn))
+        h2 = np.float32(rng.uniform(0, 30, rn))
+        light = float(rng.uniform(0, 1))
+
+        def pad(a, dt=np.float32):
+            out = np.zeros(PAD, dt)
+            out[:len(a)] = a
+            return out
+
+        fp_, dp_, hp_ = pad(fre), pad(db), pad(h)
+        ip_ = pad(idx, np.int32)
+        f2p, d2p, h2p = pad(fre2), pad(db2), pad(h2)
+        v = ctypes.c_int(0)
+        fmt = ctypes.c_int(0)
+        zp = [np.zeros(1, np.float32) for _ in range(6)]
+        fc = lib.__queue_fast(
+            fp_.ctypes.data_as(FP), dp_.ctypes.data_as(FP),
+            hp_.ctypes.data_as(FP), ip_.ctypes.data_as(IP), n,
+            f2p.ctypes.data_as(FP), d2p.ctypes.data_as(FP),
+            h2p.ctypes.data_as(FP), rn, light,
+            ctypes.byref(v), ctypes.byref(fmt),
+            *[a.ctypes.data_as(FP) for a in zp])
+        pp = queue_fast(list(map(float, fp_)), list(map(float, dp_)),
+                        list(map(float, hp_)), list(map(int, ip_)), n,
+                        list(map(float, f2p)), list(map(float, d2p)),
+                        list(map(float, h2p)), rn, light, 0)
+        assert pp == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1))
