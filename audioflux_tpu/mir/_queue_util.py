@@ -16,7 +16,8 @@ from __future__ import annotations
 import math
 
 __all__ = ["cal_tone", "cal_tone_times", "cal_range_times",
-           "queue_fre2", "queue_fre3", "queue_direct", "queue_weak"]
+           "queue_fre2", "queue_fre3", "queue_direct", "queue_weak",
+           "queue_fast", "queue_slide", "trist_dispatch"]
 
 _EPS = 0.81
 
@@ -605,3 +606,845 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
             if db_arr[0] - db_arr[1] > 18:
                 return fre_arr[0]
     return fre
+
+
+# ---------------------------------------------------------------------------
+# __queue_slide machinery (_queue.c:5673-7331)
+
+def _g(arr, i):
+    """C reads its calloc'd peak arrays past lenArr: zeros beyond length."""
+    return arr[i] if 0 <= i < len(arr) else 0.0
+
+
+def queue_query2(fre_arr, db_arr, height_arr, length, start, value1, value2,
+                 strict):
+    """__queue_query2 (_queue.c:1004): odd-harmonic presence probe."""
+    count = 0
+    for i in range(start, length):
+        k1, t = cal_range_times(value1, _g(fre_arr, i))
+        if k1 and not t:
+            hit = False
+            if k1 in (3, 5, 7, 9, 11, 13):
+                if k1 <= 5 and abs(value1 * k1 - _g(fre_arr, i)) < 6:
+                    hit = True
+                elif k1 <= 9 and abs(value1 * k1 - _g(fre_arr, i)) < 12:
+                    hit = True
+                elif k1 == 11 and abs(value1 * k1 - _g(fre_arr, i)) < 18:
+                    hit = True
+                elif k1 == 13 and abs(value1 * k1 - _g(fre_arr, i)) < 20:
+                    hit = True
+            if hit:
+                if strict:
+                    if i == start and i < length - 1:
+                        if _g(db_arr, i + 1) - _g(db_arr, i) < 8:
+                            count += 1
+                    elif i == length - 1 and i > 0:
+                        if _g(db_arr, i - 1) - _g(db_arr, i) < 8:
+                            count += 1
+                    elif 0 < i < length - 1:
+                        if (_g(db_arr, i - 1) - _g(db_arr, i) < 8
+                                or _g(db_arr, i + 1) - _g(db_arr, i) < 8):
+                            count += 1
+                else:
+                    count += 1
+            if strict < 2 and count:
+                return 1
+            if strict >= 2 and count >= strict:
+                return 1
+    return 0
+
+
+def queue_query3(fre_arr, db_arr, height_arr, length, start, value1, value2,
+                 strict):
+    """__queue_query3 (_queue.c:1128): non-{1,2,3,6}-harmonic probe."""
+    for i in range(start, length):
+        k1, t = cal_range_times(value1, _g(fre_arr, i))
+        if k1 and not t:
+            flag = 0
+            if k1 in (4, 5, 7, 8, 10, 11, 13):
+                f = _g(fre_arr, i)
+                if k1 <= 5 and abs(value1 * k1 - f) < 6:
+                    flag = 1
+                elif k1 <= 9 and abs(value1 * k1 - f) < 12:
+                    flag = 1
+                elif k1 <= 11 and abs(value1 * k1 - f) < 18:
+                    flag = 1
+                    k2, _ = cal_range_times(value2, f)
+                    if k1 == 10 and k2 == 3 and abs(value2 * k2 - f) < 8:
+                        flag = 0
+                elif k1 == 13 and abs(value1 * k1 - f) < 20:
+                    flag = 1
+                    k2, _ = cal_range_times(value2, f)
+                    if k2 == 4 and abs(value2 * k2 - f) < 10:
+                        flag = 0
+            if flag:
+                return 1
+    return 0
+
+
+def queue_is_equal(fre_arr, length, index1, k1, index2, k2):
+    """__queue_isEqual (_queue.c:7292): same fundamental across two anchors."""
+    if not k1 or not k2:
+        return 0
+    if index1 == index2:
+        return 1 if k1 == k2 else 0
+    if index1 > index2:
+        index1, k1, index2, k2 = index2, k2, index1, k1
+    _k, _ = cal_range_times(_g(fre_arr, index1) / k1, _g(fre_arr, index2))
+    return 1 if _k == k2 else 0
+
+
+def queue_has(fre_arr, length, base_fre, start):
+    """__queue_has (_queue.c:7444). -> (flag, index)."""
+    for i in range(start, length - 2):
+        fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+            _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+        if fre:
+            k1, _ = cal_range_times(fre, base_fre)
+            if k1 == 1:
+                return 1, i
+    return 0, 0
+
+
+def queue_cal(fre_arr, db_arr, height_arr, length, start, flag):
+    """__queue_cal (_queue.c:7335).
+    -> (len, index1, k1, index2, k2, jump_flag)."""
+    index1 = k1 = index2 = k2 = jump_flag = 0
+    if start + 2 >= length:
+        return 0, index1, k1, index2, k2, jump_flag
+    base, us1, us2, uk1, uk2, uk3 = queue_fre3(
+        _g(fre_arr, start), _g(fre_arr, start + 1), _g(fre_arr, start + 2))
+    if flag and base:
+        q_flag = _valid_fre3(_g(fre_arr, start), _g(fre_arr, start + 1),
+                             _g(fre_arr, start + 2), base, uk1, uk2, uk3)
+        if not q_flag:
+            us1 = us2 = uk1 = uk2 = uk3 = 0
+            if (_g(db_arr, start + 2) > _g(db_arr, start + 1)
+                    and _g(db_arr, start + 2) > _g(db_arr, start)):
+                return 0, index1, k1, index2, k2, jump_flag
+    ln = 0
+    if us1:
+        ln = 1
+        if (uk1 * 2 == uk3) or (uk1 * 2 == uk2 and uk1 != 1):
+            jump_flag = 1 if uk1 * 2 == uk3 else 2
+            index2, k2 = start, 1
+            ln = 2
+        elif uk1 == 4 and uk3 == 6:  # 2x3 -> 456
+            jump_flag = 1
+            index2, k2 = start, 2
+            ln = 2
+        index1, k1 = start, uk1
+    else:  # fail -> jump
+        if start + 3 < length:
+            _, uk1, uk2 = queue_fre2(_g(fre_arr, start), _g(fre_arr, start + 1))
+            if uk1 and uk1 * 2 == uk2:  # 12x
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    _g(fre_arr, start), _g(fre_arr, start + 1),
+                    _g(fre_arr, start + 3))
+                if us1:
+                    index1, k1 = start, uk1
+                    jump_flag = 2
+                    ln = 1
+            else:
+                _, uk1, uk3 = queue_fre2(_g(fre_arr, start),
+                                         _g(fre_arr, start + 2))
+                if uk1 and uk1 * 2 == uk3:  # 1x2
+                    _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                        _g(fre_arr, start), _g(fre_arr, start + 2),
+                        _g(fre_arr, start + 3))
+                    if us1:
+                        index1, k1 = start, uk1
+                        jump_flag = 1
+                        ln = 1
+    return ln, index1, k1, index2, k2, jump_flag
+
+
+def queue_jump_bound(fre_arr, db_arr, height_arr, length, start,
+                     index1, k1, jump_flag):
+    """__queue_jumpBound (_queue.c:7164). -> (fre, index2, k2, offset)."""
+    fre = 0.0
+    index2 = k2 = 0
+    offset = length - 1
+    if start + 4 < length:
+        if jump_flag == 1:  # 1x2
+            _fre1 = _g(fre_arr, start + 2)
+            _index3 = start + 2
+        else:  # 12x
+            _fre1 = _g(fre_arr, start + 1)
+            _index3 = start + 1
+        _, us1, us2, uka, _ukb, _ukc = queue_fre3(
+            _fre1, _g(fre_arr, start + 3), _g(fre_arr, start + 4))
+        _uk3 = uka
+        f1 = queue_is_equal(fre_arr, length, index1, k1, _index3, uka)
+        _, us1, us2, uk1_, uk2_, uk3_ = queue_fre3(
+            _g(fre_arr, start + 1), _g(fre_arr, start + 2),
+            _g(fre_arr, start + 3))
+        _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(
+            _g(fre_arr, start + 2), _g(fre_arr, start + 3),
+            _g(fre_arr, start + 4))
+        f2 = queue_is_equal(fre_arr, length, start + 1, uk1_, start + 2, uk2_)
+        if f1:
+            if f2:  # -> two
+                index2, k2 = start + 1, uk1_
+                offset = start + 3
+            else:  # -> success
+                fre = _g(fre_arr, index1) / k1
+                if uk1_:
+                    index2, k2 = start + 1, uk1_
+                elif vk1 and jump_flag == 2:
+                    index2, k2 = start + 2, vk1
+                offset = start + 3
+        else:
+            if f2:  # -> success
+                fre = _g(fre_arr, start + 1) / uk1_
+                index2, k2 = start + 1, uk1_
+                offset = start + 3
+            else:
+                if _uk3 or uk1_ or vk1:  # -> two
+                    if _uk3:
+                        index2, k2 = _index3, _uk3
+                    elif uk1_:
+                        index2, k2 = start + 1, uk1_
+                    else:
+                        index2, k2 = start + 2, vk1
+                    offset = index2 + 1
+                else:  # -> one
+                    offset = start + 3
+    else:
+        _, us1, us2, uk1_, uk2_, uk3_ = queue_fre3(
+            _g(fre_arr, start + 1), _g(fre_arr, start + 2),
+            _g(fre_arr, start + 3))
+        if us1:
+            index2, k2 = start + 1, uk1_
+    return fre, index2, k2, offset
+
+
+def queue_two_move(fre_arr, db_arr, height_arr, length, start,
+                   index1, k1, index2, k2, jump_flag):
+    """__queue_twoMove (_queue.c:6806). -> (fre, offset)."""
+    fre = 0.0
+    # hack ->146/240/80 stacks
+    _index = _max_index(db_arr, length)
+    _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+        _g(fre_arr, start), _g(fre_arr, start + 1), _g(fre_arr, start + 2))
+    if (_index == start and uk1 == 2 and uk2 == 3 and uk3 == 4
+            and 130 < _g(fre_arr, start) / 2 < 160):
+        return _g(fre_arr, start) / 2, length - 1
+    elif (_index == start and uk1 == 2 and uk2 == 3 and uk3 in (4, 6)
+          and 220 < _g(fre_arr, start) / 2 < 300):
+        return _g(fre_arr, start) / 2, length - 1
+    elif uk1 == 2 and uk2 == 3 and 150 < _g(fre_arr, start) < 180:
+        if _g(db_arr, start + 1) > _g(db_arr, start + 2):
+            flag = 1
+        else:
+            flag = queue_query2(fre_arr[start:], db_arr[start:],
+                                height_arr[start:], length - start, 0,
+                                _g(fre_arr, start) / 2, _g(fre_arr, start), 1)
+        if flag:
+            return _g(fre_arr, start) / 2, length - 1
+
+    offset = length - 1
+    i = start + 1
+    while i < length - 2:
+        if i in (start + 1, start + 2, start + 3):
+            _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+            if (i == start + 2 and jump_flag == 1) or i == start + 3:
+                f1 = queue_is_equal(fre_arr, length, index1, k1, i, uk1)
+                if f1:
+                    fre = _g(fre_arr, index1) / k1
+                    break
+                f2 = queue_is_equal(fre_arr, length, index2, k2, i, uk1)
+                if not f2:
+                    if (_g(fre_arr, i) > 440
+                            or _g(db_arr, i) < _g(db_arr, index2)):
+                        f2 = queue_is_equal(fre_arr, length, index2, k2,
+                                            i, 2 * uk1)
+                if f2:
+                    fre = _g(fre_arr, index2) / k2
+                    break
+                offset = i + 1
+                break
+            else:  # jump
+                if i == start + 1:
+                    _fre1 = _g(fre_arr, i - 1)
+                    _fre2 = (_g(fre_arr, i + 1) if jump_flag == 1
+                             else _g(fre_arr, i))
+                    _fre3 = _g(fre_arr, i + 2)
+                else:  # start+2 -> 12x
+                    _fre1 = _g(fre_arr, i - 1)
+                    _fre2 = _g(fre_arr, i + 1)
+                    _fre3 = _g(fre_arr, i + 2)
+                _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(_fre1, _fre2, _fre3)
+                f1 = queue_is_equal(fre_arr, length, index1, k1, i, uk1)
+                f2 = queue_is_equal(fre_arr, length, index2, k2, i - 1, vk1)
+                if not f2:
+                    if (_g(fre_arr, i - 1) > 440
+                            or _g(db_arr, i - 1) < _g(db_arr, index2)):
+                        f2 = queue_is_equal(fre_arr, length, index2, k2,
+                                            i - 1, 2 * vk1)
+                if f1 or f2:
+                    if not (f1 and f2):
+                        if f1 and not f2:
+                            fre = _g(fre_arr, index1) / k1
+                            break
+                        else:  # f2 and not f1
+                            if vk1 == 1 and vk2 == 2 and vk3 in (4, 6):
+                                _v_flag = 0
+                                _index1 = 0
+                                if i + 3 < length:
+                                    _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(
+                                        _fre2, _fre3, _g(fre_arr, i + 3))
+                                    if vk1 == 1 and vk2 in (2, 3):
+                                        _v_flag, _index1 = queue_has(
+                                            fre_arr, length, _fre2, i + 2)
+                                if _v_flag:
+                                    fre = _fre2
+                                    if index1 == 0:  # skip-harmonic
+                                        _imax = _max_index(db_arr, length)
+                                        if _imax == 0 and k2 == 1 and vk1 == 1:
+                                            _k, _ = cal_range_times(
+                                                _g(fre_arr, index1), _fre2)
+                                            if _k in (2, 4):
+                                                fre = _g(fre_arr, index1)
+                                    break
+                            else:
+                                fre = _g(fre_arr, index2) / k2
+                                if vs2 == 4:  # valid ->1:4/1:2:6
+                                    _base = _g(fre_arr, index1) / k1
+                                    _v_flag, _index1 = queue_has(
+                                        fre_arr, length, _base, i + 2)
+                                    if _v_flag:
+                                        fre = _base
+                                break
+                else:  # fail
+                    offset = i + 1
+                    break
+        i += 1
+    return fre, offset
+
+
+def queue_one_move(fre_arr, db_arr, height_arr, length, start, index1, k1):
+    """__queue_oneMove (_queue.c:7007). -> (fre, index2, k2, offset)."""
+    fre = 0.0
+    index2 = k2 = 0
+    offset = 0
+    # hack ->240, 236
+    _index = _max_index(db_arr, length)
+    _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+        _g(fre_arr, start), _g(fre_arr, start + 1), _g(fre_arr, start + 2))
+    if (_index == start and uk1 == 2 and uk2 == 3 and uk3 in (4, 6)
+            and _g(db_arr, start + 1) > _g(db_arr, start + 2)
+            and 220 < _g(fre_arr, start) / 2 < 300):
+        return _g(fre_arr, start) / 2, index2, k2, length - 1
+    for i in range(start + 1, length - 2):
+        _len, _index1, _k1, _index2, _k2, _jump_flag = queue_cal(
+            fre_arr, db_arr, height_arr, length, i, 0)
+        offset = length - 1
+        if _len:
+            if _len == 2:
+                if queue_is_equal(fre_arr, length, index1, k1, _index1, _k1):
+                    fre = _g(fre_arr, index1) / k1
+                    break
+                index2, k2 = _index1, _k1
+                offset = i + 1
+                break
+            else:
+                if not _jump_flag:  # one
+                    if queue_is_equal(fre_arr, length, index1, k1,
+                                      _index1, _k1):
+                        fre = _g(fre_arr, index1) / k1
+                        break
+                    index2, k2 = _index1, _k1
+                    offset = i + 1
+                    break
+                else:  # jump
+                    fre, _index2, _k2, offset = queue_jump_bound(
+                        fre_arr, db_arr, height_arr, length, i,
+                        _index1, _k1, _jump_flag)
+                    if not fre:
+                        if queue_is_equal(fre_arr, length, index1, k1,
+                                          _index1, _k1):
+                            fre = _g(fre_arr, index1) / k1
+                            break
+                        if _k2:
+                            if queue_is_equal(fre_arr, length, index1, k1,
+                                              _index2, _k2):
+                                fre = _g(fre_arr, index1) / k1
+                                break
+                        index2, k2 = _index1, _k1
+                        offset = _index1 + 1
+                        break
+    return fre, index2, k2, offset
+
+
+def queue_jump_move(fre_arr, db_arr, height_arr, length, start,
+                    index1, k1, jump_flag):
+    """__queue_jumpMove (_queue.c:7129). -> (fre, index2, k2, offset)."""
+    fre, index2, k2, offset = queue_jump_bound(
+        fre_arr, db_arr, height_arr, length, start, index1, k1, jump_flag)
+    if not fre and not k2:
+        fre, index2, k2, offset = queue_one_move(
+            fre_arr, db_arr, height_arr, length, start, index1, k1)
+    return fre, index2, k2, offset
+
+
+def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
+    """__queue_slideValid (_queue.c:6292): re-anchor on the dB-max peak."""
+    fre = value
+    fre1 = fre
+    flag = 0
+    # dB-desc views
+    order = sorted(range(length), key=lambda j: -db_arr[j])
+    s_fre = [fre_arr[j] for j in order]
+    s_db = [db_arr[j] for j in order]
+    _index1 = _max_index(db_arr, length)
+
+    if fre > fre_arr[_index1] and fre - fre_arr[_index1] > 10:
+        if _index1 == 0:
+            for i in range(1, length):
+                if s_fre[i] > fre - 10:
+                    _, k1, k2 = queue_fre2(fre, s_fre[i])
+                    if k1:
+                        if db_arr[_index1] - s_db[i] > 10:  # ->110
+                            flag = 1
+                            fre = fre_arr[_index1]
+                    break
+            if not flag and s_db[0] - s_db[1] > 24:
+                flag = 1
+                fre = fre_arr[_index1]
+        else:
+            for i in range(1, length):
+                if s_fre[i] > fre_arr[_index1] - 10:
+                    _, k1, k2 = queue_fre2(fre_arr[_index1], s_fre[i])
+                    if k1 == 1:
+                        if db_arr[_index1] - s_db[i] > 10:
+                            flag = 1
+                            fre = fre_arr[_index1]
+                        else:  # ->196, 591
+                            if (s_fre[i] > fre + 10
+                                    and 190 < fre_arr[_index1] < 204
+                                    and db_arr[_index1] - s_db[i] > 6):
+                                flag = 1
+                                fre = fre_arr[_index1]
+                    elif (k1 == 2 and k2 == 3
+                          and abs(fre_arr[_index1] / 2 * 3 - s_fre[i]) < 5
+                          and db_arr[_index1] - s_db[i] > 10):
+                        flag = 1
+                        fre = fre_arr[_index1]
+                    break
+        if not flag:
+            for i in range(length - 1):
+                if abs(fre - fre_arr[i]) < 10:
+                    _, k1, k2 = queue_fre2(fre_arr[_index1], fre_arr[i])
+                    if k1 == 1 and k2 in (2, 3):
+                        if fre_arr[_index1] > 130:
+                            if (155 < fre_arr[_index1] < 175
+                                    and k2 == 2):  # ->165, filter
+                                pass
+                            else:
+                                fre = fre_arr[_index1]
+                        else:
+                            if k2 == 2:
+                                f = queue_query2(fre_arr, db_arr, height_arr,
+                                                 length, 0,
+                                                 fre_arr[_index1], fre1, 0)
+                            else:
+                                f = queue_query3(fre_arr, db_arr, height_arr,
+                                                 length, 0,
+                                                 fre_arr[_index1], fre1, 0)
+                            if f:
+                                fre = fre_arr[_index1]
+                    elif k1 == 2 and k2 == 3:  # ->75~90, 190~204
+                        if (150 < fre_arr[_index1] < 180
+                                or 380 < fre_arr[_index1] < 408):
+                            fre = fre_arr[_index1] / 2
+                    break
+        if flag and _index1 == 0 and 100 < fre_arr[0] < 120:
+            _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, 0), _g(fre_arr, 1), _g(fre_arr, 2))
+            if uk1 == 1 and uk2 == 2 and uk3 == 3:  # ->110
+                pass
+            else:
+                f = queue_query3(fre_arr, db_arr, height_arr, length, 0,
+                                 fre_arr[_index1], fre1, 0)
+                if not f:  # ->330
+                    fre = value
+        if not flag and _index1 in (0, 1) and 100 < fre_arr[0] < 120:
+            _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, 0), _g(fre_arr, 1), _g(fre_arr, 2))
+            if (uk1 == 1 and uk2 == 2 and uk3 == 3
+                    and abs(fre_arr[0] * 2 - _g(fre_arr, 1)) < 5
+                    and abs(fre_arr[0] * 3 - _g(fre_arr, 2)) < 5):
+                flag = 1
+                fre = fre_arr[0]
+            else:
+                _, k1, k2 = queue_fre2(_g(fre_arr, 0), _g(fre_arr, 1))
+                if (k1 == 1 and k2 == 2
+                        and _g(db_arr, 1) - _g(db_arr, 2) > 18):
+                    if length > 6:  # valid {100,200}
+                        f = queue_query2(fre_arr, db_arr, height_arr, length,
+                                         0, _g(fre_arr, 0), _g(fre_arr, 1), 0)
+                    else:
+                        f = 1
+                    if f:
+                        flag = 1
+                        fre = _g(fre_arr, 1) / 2
+                elif length > 5:  # valid {220,330}
+                    _, k1, k2 = queue_fre2(_g(fre_arr, 1), _g(fre_arr, 2))
+                    if (k1 == 2 and k2 == 3
+                            and _g(db_arr, 0) > _g(db_arr, 2)
+                            and _g(db_arr, 1) > _g(db_arr, 2)
+                            and _g(db_arr, 2) - _g(db_arr, 3) > 20
+                            and abs(_g(fre_arr, 1) / 2 * 3
+                                    - _g(fre_arr, 2)) < 4
+                            and abs(_g(fre_arr, 0)
+                                    - _g(fre_arr, 1) / 2) < 4):
+                        flag = 1
+                        fre = _g(fre_arr, 1) / 2
+
+    if (not flag and _index1 == 0 and fre > fre_arr[_index1]
+            and fre - fre_arr[_index1] > 10 and fre_arr[_index1] > 220):
+        for i in range(length):
+            if (abs(fre - fre_arr[i]) < 10
+                    and db_arr[0] - db_arr[i] > 18):
+                _, k1, k2 = queue_fre2(fre_arr[0], fre_arr[i])
+                if k1 == 1:
+                    flag = 1
+                    fre = fre_arr[0]
+                break
+
+    if not flag:
+        for i in range(length - 1):
+            if (index_arr[i] + index_arr[i + 1] in (1, 2, 3)
+                    and (abs(fre - fre_arr[i]) < 10
+                         or abs(fre - fre_arr[i + 1]) < 10)):
+                _, k1, k2 = queue_fre2(fre_arr[i], fre_arr[i + 1])
+                if k1 == 1 and k2 in (2, 3):
+                    if fre_arr[i] > 130:
+                        if 155 < fre_arr[i] < 175 and k2 == 2:
+                            pass  # ->165, filter
+                        else:
+                            fre = fre_arr[i]
+                        break
+                    elif index_arr[i] == 0:
+                        if k2 == 2:
+                            f = queue_query2(fre_arr, db_arr, height_arr,
+                                             length, 0, fre_arr[i],
+                                             fre_arr[i + 1], 0)
+                        else:
+                            f = queue_query3(fre_arr, db_arr, height_arr,
+                                             length, 0, fre_arr[i],
+                                             fre_arr[i + 1], 0)
+                        if f:
+                            if abs(fre - fre_arr[i]) > 10:
+                                fre = fre_arr[i]
+                        break
+                elif k1 == 2 and k2 == 3:
+                    if (index_arr[i] == 0
+                            and (150 < fre_arr[i] < 180
+                                 or 380 < fre_arr[i] < 408)):
+                        fre = fre_arr[i] / 2
+                        break
+    return fre
+
+
+def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
+                light=0.0, valid=0):
+    """__queue_slide (_queue.c:5673): sliding harmonic-stack tracker for low
+    and middle frequencies.  Returns (fre, status)."""
+    status = 0
+    if not length:
+        return 0.0, status
+    fre = 0.0
+    offset = 0
+    index1 = k1 = index2 = k2 = jump_flag = 0
+    t_flag = o_flag = j_flag = 0
+    c1 = c2 = 0
+
+    i = 0
+    while i < length - 2:
+        index1 = k1 = index2 = k2 = 0
+        jump_flag = 0
+
+        _index = _max_index(db_arr, length)
+        _v_flag = 1
+        if _index == i:
+            if (db_arr[i] - _g(db_arr, i + 1) > 18
+                    and db_arr[i] - _g(db_arr, i + 2) > 18):
+                _v_flag = 0
+
+        ln, index1, k1, index2, k2, jump_flag = queue_cal(
+            fre_arr, db_arr, height_arr, length, i, _v_flag)
+        if ln:
+            _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+            if (_index == 2 and _index == i + 2
+                    and _g(fre_arr, i + 2) > 220 and (not uk3 or uk3 == 5)
+                    and length - 2 > 5):
+                i += 2  # C: i++ + the for-increment
+                continue
+            if ln:  # ->329, 124, max-4
+                _imax = _max_index(db_arr, length)
+                if (uk1 == 1 and uk2 == 2 and uk3 == 4
+                        and _imax == i + 2 and i > 0
+                        and 220 < _g(fre_arr, i) < 360):
+                    return _g(fre_arr, i + 1) / 2, status
+            if (uk1 == 2 and uk2 == 4 and uk3 == 5 and i == 0
+                    and 240 < _g(fre_arr, 2) < 255 and length > 6):
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    _g(fre_arr, 2), _g(fre_arr, 3), _g(fre_arr, 4))
+                if uk1 == 1 and uk2 == 2 and uk3 == 3:
+                    _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                        _g(fre_arr, 3), _g(fre_arr, 4), _g(fre_arr, 5))
+                    return _g(fre_arr, 3) / 2, status
+
+        if ln:
+            if ln == 2:  # twoMove
+                t_flag = 1
+                fre, offset = queue_two_move(
+                    fre_arr, db_arr, height_arr, length, i,
+                    index1, k1, index2, k2, jump_flag)
+                if (i == 0 and abs(_g(fre_arr, 0) - fre) < 10
+                        and jump_flag == 2
+                        and _g(db_arr, 2) > _g(db_arr, 0)
+                        and _g(db_arr, 2) > _g(db_arr, 1)
+                        and _index == 3):  # 12xn -> xx12
+                    _, lk1, lk2 = queue_fre2(_g(fre_arr, 2), _g(fre_arr, 3))
+                    if lk1 == 1 and lk2 == 2:
+                        fre = _g(fre_arr, 3) / 2
+                if not fre:  # -> 1:x:2, 1&2 is noise
+                    if (length > 5 and _g(db_arr, i + 1) > _g(db_arr, i)
+                            and c1 <= 1):
+                        c1 += 1
+                        i += 1
+                        continue
+                if not fre:  # valid 1:2
+                    if k1 and k2:
+                        base = _g(fre_arr, index2) / k2
+                        f1, _i1 = queue_has(fre_arr, length, base, offset)
+                        if f1:
+                            fre = base
+                        if not fre:
+                            base = _g(fre_arr, index1) / k1
+                            f1, _i1 = queue_has(fre_arr, length, base,
+                                                offset)
+                            if f1:
+                                fre = base
+                        if not fre:
+                            _idx = (index1 + 2 if jump_flag == 1
+                                    else index1 + 1)
+                            if _g(db_arr, _idx) > _g(db_arr, index1):
+                                fre = _g(fre_arr, _idx)
+                                if (i == 0 and k1 == 3 and _idx == 2
+                                        and 238 < _g(fre_arr, 2) < 260
+                                        and _g(db_arr, 1) > _g(db_arr, 0)
+                                        and _g(db_arr, 2) > _g(db_arr, 0)):
+                                    _, lk1, lk2 = queue_fre2(
+                                        _g(fre_arr, 1), _g(fre_arr, 2))
+                                    if lk1 == 2 and lk2 == 3:
+                                        fre = _g(fre_arr, 1) / 2
+                if fre > 440:  # high-fre
+                    fre = _g(fre_arr, index1) / k1
+                if fre:
+                    status = 1
+            else:
+                index2 = k2 = 0
+                if not jump_flag:  # oneMove
+                    o_flag = 1
+                    fre, index2, k2, offset = queue_one_move(
+                        fre_arr, db_arr, height_arr, length, i, index1, k1)
+                    if not fre:  # -> x:1:2, no 124/126
+                        _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                            _g(fre_arr, i), _g(fre_arr, i + 1),
+                            _g(fre_arr, i + 2))
+                        if (length > 5 and _g(db_arr, i + 1) > _g(db_arr, i)
+                                and 2 * uk2 == uk3 and uk2 != 2
+                                and c2 <= 1):
+                            c2 += 1
+                            i += 1
+                            continue
+                        else:
+                            if (length - i > 6 and uk1 == 1 and uk2 == 2
+                                    and uk3 in (4, 6)):
+                                f1, _i1 = queue_has(fre_arr, length,
+                                                    _g(fre_arr, i), i + 1)
+                                fre = (_g(fre_arr, i) if f1
+                                       else _g(fre_arr, i + 1))
+                else:  # jumpMove
+                    j_flag = 1
+                    fre, index2, k2, offset = queue_jump_move(
+                        fre_arr, db_arr, height_arr, length, i,
+                        index1, k1, jump_flag)
+                if not fre:
+                    if k1 and k2:
+                        if index2 - index1 >= 3:
+                            # C reads a fixed 3-wide window (may pass the
+                            # end of lenArr; calloc'd zeros there)
+                            w1 = [_g(db_arr, index1 + j) for j in range(3)]
+                            w2 = [_g(db_arr, index2 + j) for j in range(3)]
+                            i1 = _max_index(w1, 3) + index1
+                            i2 = _max_index(w2, 3) + index2
+                            if _g(db_arr, i1) - _g(db_arr, i2) > 15:
+                                fre = _g(fre_arr, index1) / k1
+                        base1 = _g(fre_arr, index1) / k1
+                        f1, _i1 = queue_has(fre_arr, length, base1, offset)
+                        if f1:
+                            fre = base1
+                            if (index_arr[index1] == 0
+                                    and _g(fre_arr, index1) > 120):
+                                pass  # max -> fre=base1
+                            else:
+                                f2, _i2 = queue_has(
+                                    fre_arr, length,
+                                    _g(fre_arr, index2) / k2, offset)
+                                if f2 and _i2 < _i1:
+                                    fre = _g(fre_arr, index2) / k2
+                            if fre > 440:
+                                _k, _ = cal_range_times(base1, fre)
+                                if _k == 2:
+                                    fre = base1
+                        if not fre:
+                            base2 = _g(fre_arr, index2) / k2
+                            f1, _i2 = queue_has(fre_arr, length, base2,
+                                                offset)
+                            if f1:
+                                fre = base2
+                                if o_flag:  # -> skip-harmonic
+                                    _imax = _max_index(db_arr, length)
+                                    if (index1 == 0 and _imax == 0
+                                            and k1 == 1 and k2 == 1):
+                                        _k, _ = cal_range_times(
+                                            _g(fre_arr, index1),
+                                            _g(fre_arr, index2))
+                                        if _k in (2, 4):
+                                            fre = base1
+                        if not fre:
+                            base2 = _g(fre_arr, index2) / k2
+                            if abs(base1 - base2) < 10:  # queue error
+                                fre = base1
+                if fre:
+                    status = 2 if o_flag else 3
+            break
+        i += 1
+
+    if not fre:
+        if k1 and k2:  # priority weak
+            _fre1 = _g(fre_arr, index1) / k1
+            _fre2 = _g(fre_arr, index2) / k2
+            if index1 == index2:  # 1:2 pk 2:3
+                fre = _fre1
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    _g(fre_arr, index1), _g(fre_arr, index1 + 1),
+                    _g(fre_arr, index1 + 2))
+                if (uk1 == 2 and uk2 == 3 and uk3 == 4 and index1 == 0
+                        and _g(db_arr, 0) > _g(db_arr, 1)
+                        and _g(db_arr, 0) > _g(db_arr, 2)):
+                    if fre > 130:
+                        fre = _fre1
+                    elif fre > 70:
+                        fre = _fre2
+            else:
+                if k1 == k2 and index1 + 1 == index2:  # 1:2:4
+                    _db1 = _g(db_arr, index1)
+                    _db2 = _g(db_arr, index2)
+                    fre = _fre1 if _db2 - _db1 < 8 else _fre2
+        else:  # dB
+            if k1:  # only one queue
+                fre = _g(fre_arr, index1) / k1
+                _fre1 = _g(fre_arr, index1)
+                _fre2 = _g(fre_arr, index1 + 1)
+                _fre3 = _g(fre_arr, index1 + 2)
+                _db1 = _g(db_arr, index1)
+                _db2 = _g(db_arr, index1 + 1)
+                if jump_flag:
+                    if jump_flag == 1:
+                        _fre2 = _g(fre_arr, index1 + 2)
+                        _fre3 = _g(fre_arr, index1 + 3)
+                        _db2 = _g(db_arr, index1 + 2)
+                    else:
+                        _fre2 = _g(fre_arr, index1 + 1)
+                        _fre3 = _g(fre_arr, index1 + 3)
+                        _db2 = _g(db_arr, index1 + 1)
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(_fre1, _fre2, _fre3)
+                if (uk1 == 1 and uk2 == 2 and uk3 in (4, 6)
+                        and _db2 > _db1):  # 1:2:4/1:2:6
+                    fre = _g(fre_arr, index1 + 1)
+                if fre < 50:
+                    if _g(db_arr, index1 + 1) > _g(db_arr, index1):
+                        _fre, lk1, lk2 = queue_fre2(
+                            _g(fre_arr, index1 + 1),
+                            _g(fre_arr, index1 + 2))
+                        if lk1 == 1:
+                            fre = _fre
+        if fre:
+            status = 4
+
+    if fre and length >= 4:  # ->80, 12-nn, 23-nn
+        li1 = _max_index(db_arr, length)
+        li2 = _max_index(db_arr[2:], length - 2) + 2
+        if (li1 <= 1 and db_arr[li1] - db_arr[li2] > 18
+                and (db_arr[0] - db_arr[li2] > 12
+                     or db_arr[1] - db_arr[li2] > 12)):
+            _fre, lk1, lk2 = queue_fre2(_g(fre_arr, 0), _g(fre_arr, 1))
+            if (((lk1 == 1 and lk2 == 2) or (lk1 == 2 and lk2 == 3))
+                    and 78 < _fre < 85):
+                return _fre, status
+
+    if fre:
+        fre = _slide_valid(fre_arr, db_arr, height_arr, index_arr, length,
+                           fre)
+
+    if not fre and length >= 8:  # ->197+7, 190~204
+        li1 = _max_index(db_arr, length)
+        if li1 < 3:
+            li2 = _max_index(db_arr[li1 + 1:], length - (li1 + 1)) + li1 + 1
+            if 190 < fre_arr[li2] < 204:
+                return queue_slide(fre_arr[li2:], db_arr[li2:],
+                                   height_arr[li2:], index_arr[li2:],
+                                   length - li2, light, valid)
+
+    if fre:  # valid ->247, ->80
+        _imax = _max_index(db_arr, length)
+        if (230 < fre_arr[_imax] < 255 and fre_arr[_imax] / fre > 3.6):
+            if _imax > 0 and index_arr[_imax - 1] == 1:
+                if abs(fre_arr[_imax - 1] / 2 - fre_arr[_imax] / 3) < 5:
+                    return fre_arr[_imax - 1] / 2, status
+            fre = fre_arr[_imax]
+
+    if fre and light > 0.98 and length > 3:  # valid ->110
+        li1 = _max_index(db_arr, length)
+        li2 = _max_index(db_arr[2:], length - 2) + 2
+        if (300 < fre < 360 and li1 == 1 and li2 == 2
+                and db_arr[1] - db_arr[0] < 6
+                and db_arr[0] - db_arr[2] > 18
+                and abs(fre - fre_arr[li1]) < 10):
+            _, lk1, lk2 = queue_fre2(_g(fre_arr, 0), _g(fre_arr, 1))
+            if lk1 == 1 and lk2 == 3:
+                fre = _g(fre_arr, 1) / 3
+    return fre, status
+
+
+def trist_dispatch(fre_arr, db_arr, height_arr, length, light=0.0):
+    """__trist (_trist3.c:291): direct -> slide -> weak over one candidate
+    set (frequency-ascending), with the C's dB-rank index array.
+    Returns (flag, fre): flag 3/4/5 by winning strategy, 0 if none."""
+    if not length:
+        return 0, 0.0
+    order = sorted(range(length), key=lambda j: -db_arr[j])
+    index_arr = [0] * length
+    for rank, j in enumerate(order):
+        index_arr[j] = rank
+    fre = queue_direct(fre_arr, db_arr, height_arr, index_arr, length,
+                       light, 0)
+    if fre:
+        return 3, fre
+    fre, _status = queue_slide(fre_arr, db_arr, height_arr, index_arr,
+                               length, light, 0)
+    if fre:
+        return 4, fre
+    fre = queue_weak(fre_arr, db_arr, height_arr, index_arr, length,
+                     light, 0)
+    if fre:
+        return 5, fre
+    return 0, 0.0

@@ -204,3 +204,73 @@ def test_queue_fast_fuzz_vs_c():
                         list(map(float, f2p)), list(map(float, d2p)),
                         list(map(float, h2p)), rn, light, 0)
         assert pp == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1))
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_slide_fuzz_vs_c():
+    from audioflux_tpu.mir._queue_util import queue_slide
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.__queue_slide.restype = ctypes.c_float
+    lib.__queue_slide.argtypes = [FP, FP, FP, IP, ctypes.c_int,
+                                  ctypes.c_float, IP, IP]
+    rng = np.random.default_rng(29)
+    PAD = 20
+    for _ in range(400):
+        n = int(rng.integers(3, 9))
+        base = rng.uniform(40, 500)
+        r = rng.random()
+        if r < 0.5:
+            ks = np.sort(rng.choice(np.arange(1, 12), n, replace=False))
+            fre = base * ks + rng.normal(0, 1.5, n)
+        elif r < 0.75:
+            b2 = rng.uniform(40, 500)
+            k1s = rng.choice(np.arange(1, 7), n // 2, replace=False)
+            k2s = rng.choice(np.arange(1, 7), n - n // 2, replace=False)
+            fre = np.concatenate([base * k1s, b2 * k2s]) + rng.normal(
+                0, 1.5, n)
+        else:
+            fre = rng.uniform(40, 2000, n)
+        fre = np.sort(np.float32(np.abs(fre) + 1)).astype(np.float32)
+        if np.min(np.diff(fre)) < 1.5:
+            continue
+        db = np.float32(rng.uniform(-60, -5, n))
+        if len(np.unique(db)) < n:
+            continue
+        h = np.float32(rng.uniform(0, 30, n))
+        order = np.argsort(-db, kind="stable")
+        idx = np.empty(n, np.int32)
+        idx[order] = np.arange(n)
+        light = float(rng.uniform(0, 1.05))
+
+        def pad(a, dt=np.float32):
+            out = np.zeros(PAD, dt)
+            out[:len(a)] = a
+            return out
+
+        fp_, dp_, hp_, ip_ = pad(fre), pad(db), pad(h), pad(idx, np.int32)
+        v = ctypes.c_int(0)
+        st = ctypes.c_int(0)
+        fc = lib.__queue_slide(
+            fp_.ctypes.data_as(FP), dp_.ctypes.data_as(FP),
+            hp_.ctypes.data_as(FP), ip_.ctypes.data_as(IP), n, light,
+            ctypes.byref(v), ctypes.byref(st))
+        pp, pst = queue_slide(list(map(float, fp_)), list(map(float, dp_)),
+                              list(map(float, hp_)), list(map(int, ip_)),
+                              n, light, 0)
+        assert pp == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1))
+        if fc:
+            assert pst == st.value
+
+
+def test_trist_dispatch_smoke():
+    from audioflux_tpu.mir._queue_util import trist_dispatch
+    # a clean 110 Hz stack resolves via one of the strategies
+    fre = [110.0, 220.3, 330.1, 441.0]
+    db = [-20.0, -12.0, -25.0, -30.0]
+    h = [20.0, 22.0, 15.0, 10.0]
+    flag, f0 = trist_dispatch(fre, db, h, 4, 0.5)
+    assert flag in (3, 4, 5)
+    assert f0 == pytest.approx(110.0, abs=2)
