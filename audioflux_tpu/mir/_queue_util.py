@@ -17,7 +17,8 @@ import math
 
 __all__ = ["cal_tone", "cal_tone_times", "cal_range_times",
            "queue_fre2", "queue_fre3", "queue_direct", "queue_weak",
-           "queue_fast", "queue_slide", "trist_dispatch"]
+           "queue_fast", "queue_slide", "queue_standard", "trist_dispatch",
+           "trist3_resolve"]
 
 _EPS = 0.81
 
@@ -1447,4 +1448,219 @@ def trist_dispatch(fre_arr, db_arr, height_arr, length, light=0.0):
                      light, 0)
     if fre:
         return 5, fre
+    return 0, 0.0
+
+
+def queue_count(fre_arr, db_arr, height_arr, length, start, fmin, base,
+                step):
+    """__queue_count (_queue.c:605): count 1:1/2:2-spaced stacks on base."""
+    count = 0
+    i = start
+    while i < length - 2:
+        if _g(fre_arr, i) > fmin:
+            fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+            if fre and us1 in (1, 2) and us2 in (1, 2):
+                k1, _ = cal_range_times(fre, base)
+                if k1 == 1:
+                    count += 1
+                    i += step
+        i += 1
+    return count
+
+
+def queue_odd98(fre_arr, db_arr, height_arr, length, start, value1):
+    """__queue_odd98 (_queue.c:960): odd-harmonic count with 196-centred
+    base self-correction."""
+    count = 0
+    corr_flag = 0
+    for i in range(start, length):
+        k1, t = cal_range_times(value1, _g(fre_arr, i))
+        if k1 and not t:
+            f = _g(fre_arr, i)
+            if not corr_flag:
+                if k1 in (4, 6, 8):
+                    if abs(value1 * 2 - 196) > abs(f / k1 * 2 - 196):
+                        value1 = f / k1
+                    corr_flag = 1
+            if k1 % 2 == 1 and k1 > 1:
+                if k1 <= 5 and abs(value1 * k1 - f) < 6:
+                    count += 1
+                elif k1 <= 9 and abs(value1 * k1 - f) < 18:
+                    count += 1
+                elif k1 == 11 and abs(value1 * k1 - f) < 20:
+                    count += 1
+                elif k1 <= 19 and abs(value1 * k1 - f) < 25:
+                    count += 1
+                elif k1 > 19 and abs(value1 * k1 - f) < 30:
+                    count += 1
+    return count
+
+
+def queue_multi(fre_arr, db_arr, height_arr, length, num, sub_type,
+                union_type, direction):
+    """__queue_multi (_queue.c:462): find a base seen in >= num stacks."""
+    if length < 5 or num < 1:
+        return 0.0
+    step = 2 if not union_type else (1 if union_type == 1 else 0)
+    idxs, ks, nums = [], [], []
+    if not direction:
+        i = 0
+        while i < length - 2:
+            _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+            if not sub_type:
+                s_flag = us1 in (1, 2) and us2 in (1, 2)
+            else:
+                s_flag = us1 == us2 and us1 in (1, 2)
+            if _fre and s_flag:
+                hit = -1
+                for j in range(len(idxs)):
+                    _k, _ = cal_range_times(
+                        _g(fre_arr, idxs[j]) / ks[j], _fre)
+                    if _k == 1:
+                        hit = j
+                        break
+                if hit >= 0:
+                    nums[hit] += 1
+                    if nums[hit] == num:
+                        return _fre
+                else:
+                    idxs.append(i)
+                    ks.append(uk1)
+                    nums.append(1)
+                i += step
+            i += 1
+    return 0.0
+
+
+def queue_standard(fre_arr, db_arr, height_arr, index_arr, length,
+                   fre_arr2=(), db_arr2=(), height_arr2=(), length2=0,
+                   fre_arr3=(), db_arr3=(), height_arr3=(), ref_length=0,
+                   light=0.0, valid=0):
+    """__queue_standard (_queue.c:1282): slide over the full (pre-cut)
+    candidate set with string-register validators.  fre_arr/index_arr is
+    the frame's cut set, fre_arr3/ref_length the full filter set."""
+    fre = 0.0
+    if ref_length > 3:
+        order = sorted(range(ref_length), key=lambda j: -db_arr3[j])
+        idx2 = [0] * ref_length
+        for rank, j in enumerate(order):
+            idx2[j] = rank
+        fre, _status = queue_slide(fre_arr3, db_arr3, height_arr3, idx2,
+                                   ref_length, light, valid)
+        if fre > 240:
+            pass
+        elif fre > 230 and ref_length > 12:  # 2-string 230~240
+            if queue_query2(fre_arr3, db_arr3, height_arr3, ref_length, 0,
+                            fre / 2, fre, 0):
+                fre = 0.0
+        else:
+            if 189 < fre < 205 and ref_length > 13:  # 3-string 197+7
+                k1 = 0
+                index1 = 0
+                for i in range(ref_length):
+                    if abs(fre * 2 - _g(fre_arr3, i)) < 10:
+                        k1, index1 = 2, i
+                        break
+                    elif abs(fre * 3 - _g(fre_arr3, i)) < 15:
+                        k1, index1 = 3, i
+                        break
+                if k1:
+                    b = _g(fre_arr3, index1) / k1
+                    if queue_query2(fre_arr3, db_arr3, height_arr3,
+                                    ref_length, 0, b, b * 2, 0):
+                        count1 = queue_odd98(fre_arr3, db_arr3, height_arr3,
+                                             ref_length, 0, b / 2)
+                        fre = b / 2 if count1 > 3 else b
+                    else:
+                        fre = 0.0
+            elif 139 < fre < 155 and ref_length > 15:  # 4-string 147
+                if not queue_query2(fre_arr3, db_arr3, height_arr3,
+                                    ref_length, 0, fre, fre * 2, 0):
+                    fre = 0.0
+            else:
+                fre = 0.0
+
+        if 280 < fre < 310:  # valid ->147
+            if queue_query2(fre_arr3, db_arr3, height_arr3, ref_length, 0,
+                            fre / 2, fre, 0):
+                flag = 1
+                if 190 < _g(fre_arr, 0) < 205:
+                    count = queue_count(fre_arr3, db_arr3, height_arr3,
+                                        ref_length, 0, 0, fre, 2)
+                    if count >= 2:
+                        flag = 0
+                fre = fre / 2 if flag else 0.0
+            else:
+                fre = 0.0
+
+        if ((190 < fre / 2 < 205 or 190 < fre / 4 < 205)
+                and ref_length > 4):  # valid ->197, 391/782
+            i1 = _max_index(db_arr3, ref_length)
+            i2 = _max_index(db_arr3[1:], ref_length - 1) + 1
+            if (179 < _g(fre_arr3, i1) < 205
+                    or 179 < _g(fre_arr3, i2) < 205):
+                fre = fre / 2 if 190 < fre / 2 < 205 else fre / 4
+        if ((240 < fre / 2 < 255 or 240 < fre / 4 < 255)
+                and ref_length > 8):  # valid ->247, 492/984
+            _fre1 = queue_multi(fre_arr3, db_arr3, height_arr3, ref_length,
+                                2, 0, 2, 0)
+            if 240 < _fre1 < 255:
+                fre = _fre1
+        if (310 < fre < 350 and 100 < _g(fre_arr, 0) < 120
+                and _g(db_arr, 0) - _g(db_arr, 2) > 10):
+            flag = queue_query3(fre_arr3, db_arr3, height_arr3, ref_length,
+                                0, _g(fre_arr, 0), fre, 0)
+            if flag:  # ->110
+                fre = _g(fre_arr, 0)
+            else:
+                _, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                    _g(fre_arr, 0), _g(fre_arr, 1), _g(fre_arr, 2))
+                if (uk1 == 1 and uk2 == 2 and uk3 == 3
+                        and abs(_g(fre_arr, 0) * 2 - _g(fre_arr, 1)) < 5
+                        and abs(_g(fre_arr, 0) * 3 - _g(fre_arr, 2)) < 5):
+                    fre = _g(fre_arr, 0)
+                else:
+                    _, k1, k2 = queue_fre2(_g(fre_arr, 1), _g(fre_arr, 2))
+                    if (k1 == 2 and k2 == 3
+                            and abs(_g(fre_arr, 1) / 2 * 3
+                                    - _g(fre_arr, 2)) < 6
+                            and abs(_g(fre_arr, 0)
+                                    - _g(fre_arr, 1) / 2) < 8):
+                        fre = _g(fre_arr, 0)
+    return fre
+
+
+def trist3_resolve(fre1, db1, h1, len1, fre2, db2, h2, len2,
+                   fre3, db3, h3, len3, light=0.0):
+    """trist3 (_trist3.c:44) with the __queue_cut tier skipped (the only
+    unported strategy; 3.5k LoC — see CLAUDE.md round-2 notes).
+
+    Args follow the C: set 1 = full filter chain, set 2 = fast chain,
+    set 3 = cut chain, each frequency-ascending.  Returns (flag, fre):
+    flag 6 standard, (7 would be cut,) 8 fast, 3/4/5 direct/slide/weak.
+    """
+    def rank_index(db, n):
+        order = sorted(range(n), key=lambda j: -db[j])
+        idx = [0] * n
+        for r, j in enumerate(order):
+            idx[j] = r
+        return idx
+
+    if len3:
+        idx3 = rank_index(db3, len3)
+        fre = queue_standard(fre3, db3, h3, idx3, len3,
+                             fre2, db2, h2, len2,
+                             fre1, db1, h1, len1, light, 0)
+        if fre:
+            return 6, fre
+    if len2:
+        idx2 = rank_index(db2, len2)
+        fre = queue_fast(fre2, db2, h2, idx2, len2,
+                         fre1, db1, h1, len1, light, 0)
+        if fre:
+            return 8, fre
+    if len1:
+        return trist_dispatch(fre1, db1, h1, len1, light)
     return 0, 0.0

@@ -274,3 +274,81 @@ def test_trist_dispatch_smoke():
     flag, f0 = trist_dispatch(fre, db, h, 4, 0.5)
     assert flag in (3, 4, 5)
     assert f0 == pytest.approx(110.0, abs=2)
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_standard_fuzz_vs_c():
+    from audioflux_tpu.mir._queue_util import queue_standard
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.__queue_standard.restype = ctypes.c_float
+    lib.__queue_standard.argtypes = ([FP, FP, FP, IP, ctypes.c_int,
+                                      FP, FP, FP, ctypes.c_int,
+                                      FP, FP, FP, ctypes.c_int,
+                                      ctypes.c_float, IP, IP] + [FP] * 6)
+    rng = np.random.default_rng(37)
+    PAD = 24
+    for _ in range(300):
+        rn = int(rng.integers(4, 18))
+        n = int(rng.integers(2, min(rn, 7)))
+        base = rng.uniform(40, 500)
+        if rng.random() < 0.6:
+            ks = np.sort(rng.choice(np.arange(1, 20), rn, replace=False))
+            fre3 = base * ks + rng.normal(0, 1.5, rn)
+        else:
+            fre3 = rng.uniform(40, 2500, rn)
+        fre3 = np.sort(np.float32(np.abs(fre3) + 1)).astype(np.float32)
+        if np.min(np.diff(fre3)) < 1.5:
+            continue
+        db3 = np.float32(rng.uniform(-60, -5, rn))
+        if len(np.unique(db3)) < rn:
+            continue
+        h3 = np.float32(rng.uniform(0, 30, rn))
+        sel = np.sort(rng.choice(rn, n, replace=False))
+        fre1, db1, h1 = fre3[sel], db3[sel], h3[sel]
+        order = np.argsort(-db1, kind="stable")
+        idx1 = np.empty(n, np.int32)
+        idx1[order] = np.arange(n)
+        light = float(rng.uniform(0, 1.05))
+
+        def pad(a, dt=np.float32):
+            out = np.zeros(PAD, dt)
+            out[:len(a)] = a
+            return out
+
+        f1p, d1p, h1p = pad(fre1), pad(db1), pad(h1)
+        i1p = pad(idx1, np.int32)
+        f3p, d3p, h3p = pad(fre3), pad(db3), pad(h3)
+        v = ctypes.c_int(0)
+        fmt = ctypes.c_int(0)
+        zp = [np.zeros(1, np.float32) for _ in range(6)]
+        fc = lib.__queue_standard(
+            f1p.ctypes.data_as(FP), d1p.ctypes.data_as(FP),
+            h1p.ctypes.data_as(FP), i1p.ctypes.data_as(IP), n,
+            f1p.ctypes.data_as(FP), d1p.ctypes.data_as(FP),
+            h1p.ctypes.data_as(FP), n,
+            f3p.ctypes.data_as(FP), d3p.ctypes.data_as(FP),
+            h3p.ctypes.data_as(FP), rn, light,
+            ctypes.byref(v), ctypes.byref(fmt),
+            *[a.ctypes.data_as(FP) for a in zp])
+        pp = queue_standard(
+            list(map(float, f1p)), list(map(float, d1p)),
+            list(map(float, h1p)), list(map(int, i1p)), n,
+            list(map(float, f1p)), list(map(float, d1p)),
+            list(map(float, h1p)), n,
+            list(map(float, f3p)), list(map(float, d3p)),
+            list(map(float, h3p)), rn, light, 0)
+        assert pp == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1))
+
+
+def test_trist3_resolve_smoke():
+    from audioflux_tpu.mir._queue_util import trist3_resolve
+    fre = [110.0, 220.3, 330.1, 441.0, 551.2]
+    db = [-20.0, -12.0, -25.0, -30.0, -33.0]
+    h = [20.0, 22.0, 15.0, 10.0, 8.0]
+    flag, f0 = trist3_resolve(fre, db, h, 5, fre[:4], db[:4], h[:4], 4,
+                              fre[:3], db[:3], h[:3], 3, 0.5)
+    assert flag in (3, 4, 5, 6, 8)
+    assert f0 == pytest.approx(110.0, abs=2)
