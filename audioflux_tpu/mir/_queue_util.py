@@ -18,7 +18,8 @@ import math
 __all__ = ["cal_tone", "cal_tone_times", "cal_range_times",
            "queue_fre2", "queue_fre3", "queue_direct", "queue_weak",
            "queue_fast", "queue_slide", "queue_standard", "trist_dispatch",
-           "trist3_resolve"]
+           "trist3_resolve", "queue_bear", "queue_count", "queue_multi",
+           "queue_valid98", "queue_odd98", "queue_cut_valid"]
 
 _EPS = 0.81
 
@@ -1664,3 +1665,165 @@ def trist3_resolve(fre1, db1, h1, len1, fre2, db2, h2, len2,
     if len1:
         return trist_dispatch(fre1, db1, h1, len1, light)
     return 0, 0.0
+
+
+def _arr_cut(arr, length, value):
+    """__arr_cut (_queue.c:7722): index of first element > value."""
+    for i in range(length):
+        if _g(arr, i) > value:
+            return i
+    return length
+
+
+def _check_fre(fre1, fre2, fre3):
+    """__checkFre (_queue.c:7645): blend the two closest of three bases."""
+    a = sorted([fre1, fre2, fre3])
+    sub1 = a[1] - a[0]
+    sub2 = a[2] - a[1]
+    # the C's `if(sub1>base||sub2>base||1)` is always true
+    return (a[0] + a[1]) / 2 if sub1 < sub2 else (a[1] + a[2]) / 2
+
+
+def queue_query(fre_arr, db_arr, height_arr, length, value):
+    """__queue_query (_queue.c:636): odd harmonic >=5 presence."""
+    for i in range(length):
+        k, t = cal_range_times(value, _g(fre_arr, i))
+        if k and not t:
+            flag = 0
+            f = _g(fre_arr, i)
+            if k in (5, 7, 9, 11, 13):
+                if k == 5 and abs(value * k - f) < 6:
+                    flag = 1
+                elif k <= 9 and abs(value * k - f) < 12:
+                    flag = 1
+                elif k == 11 and abs(value * k - f) < 18:
+                    flag = 1
+                elif k == 13 and abs(value * k - f) < 20:
+                    flag = 1
+            if flag:
+                return 1
+    return 0
+
+
+def queue_four(fre_arr, db_arr, height_arr, length, value):
+    """__queue_four (_queue.c:669): 4 consecutive harmonics above value."""
+    start = -1
+    for i in range(length):
+        if abs(_g(fre_arr, i) - value) < 10:
+            start = i
+            break
+    if start == -1 or start + 3 > length - 1:
+        return 0
+    flag = 1
+    j = 2
+    for i in range(start + 1, length):
+        if j >= 5:
+            break
+        _, k1, k2 = queue_fre2(_g(fre_arr, start), _g(fre_arr, i))
+        if not (k1 == 1 and k2 == j):
+            flag = 0
+            break
+        j += 1
+    return flag
+
+
+def queue_bear(fre_arr, db_arr, height_arr, length, fmin, base, index=0):
+    """__queue_bear (_queue.c:562). -> (flag, index)."""
+    start = index if index >= 0 else 0
+    for i in range(start, length - 2):
+        if _g(fre_arr, i) > fmin:
+            fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(fre_arr, i), _g(fre_arr, i + 1), _g(fre_arr, i + 2))
+            if fre and us1 in (1, 2) and us2 in (1, 2):
+                k1, _ = cal_range_times(fre, base)
+                if k1 == 1:
+                    return 1, i
+    return 0, index
+
+
+def queue_valid98(fre_arr, db_arr, height_arr, length, start, value1,
+                  strict):
+    """__queue_valid98 (_queue.c:826): odd-harmonic count with dB-shape
+    strictness gates."""
+    count = 0
+    for i in range(start, length):
+        k1, t = cal_range_times(value1, _g(fre_arr, i))
+        if k1 and not t:
+            f = _g(fre_arr, i)
+            if k1 == 3 and i - 1 >= 0:
+                if _g(db_arr, i - 1) - _g(db_arr, i) > 24:
+                    continue
+            if k1 not in (3, 5, 7, 9, 11, 13, 15, 17, 19):
+                continue
+
+            def _strict_ok(lo_hi_gate, deep_gate):
+                if i == start and i < length - 1:
+                    return _g(db_arr, i + 1) - _g(db_arr, i) < 3
+                if i == length - 1 and i > 0:
+                    return _g(db_arr, i - 1) - _g(db_arr, i) < 3
+                if 0 < i < length - 1:
+                    if (_g(db_arr, i) - _g(db_arr, i - 1) > lo_hi_gate
+                            or _g(db_arr, i) - _g(db_arr, i + 1)
+                            > lo_hi_gate):
+                        if (deep_gate
+                                and _g(db_arr, i - 1) - _g(db_arr, i)
+                                > deep_gate):
+                            return _g(db_arr, i) - _g(db_arr, i + 1) > 6
+                        return True
+                return False
+
+            if k1 <= 5 and abs(value1 * k1 - f) < 6:
+                count += 1 if (not strict or _strict_ok(2, 0)) else 0
+            elif k1 <= 9 and abs(value1 * k1 - f) < 18:
+                count += 1 if (not strict or _strict_ok(2, 24)) else 0
+            elif k1 == 11 and abs(value1 * k1 - f) < 20:
+                count += 1 if (not strict or _strict_ok(2, 0)) else 0
+            elif k1 <= 19 and abs(value1 * k1 - f) < 25:
+                count += 1 if (not strict or _strict_ok(3, 18)) else 0
+    return count
+
+
+def queue_cut_valid(fre_arr, db_arr, length, o_flag, mode,
+                    fre_arr2, db_arr2, length2, fre_arr3, db_arr3, length3):
+    """__queue_cutValid (_queue.c:1181): probe for the /2 sub-octave."""
+    if mode == 0:
+        _fre, _db, _len = fre_arr2, db_arr2, length2
+    else:
+        _fre, _db, _len = fre_arr3, db_arr3, length3
+    fre = _g(fre_arr, 0)
+    count = 0
+    for i in range(_len):
+        k, t = cal_range_times(_g(fre_arr, 0) / 2, _g(_fre, i))
+        if o_flag and not mode:  # ->247
+            if k == 1 and length3 < 6:
+                count += 1
+        if k and not t:
+            if ((not mode and k in (3, 5, 7))
+                    or (mode and k in (3, 5, 7, 9, 11))):
+                flag = 0
+                half = _g(fre_arr, 0) / 2
+                if k <= 5 and abs(half * k - _g(_fre, i)) < 6:
+                    flag = 1
+                elif k <= 9 and abs(half * k - _g(_fre, i)) < 12:
+                    flag = 1
+                elif k == 11 and abs(half * k - _g(_fre, i)) < 18:
+                    flag = 1
+                # C reads _dbArr[i-1] unguarded at i=0 (one element before
+                # the frame row: zero in the FFP layout); mirrored via _g
+                if flag and (_g(_db, i - 1) - _g(_db, i) < 12
+                             or _g(_db, i + 1) - _g(_db, i) < 12):
+                    count += 1
+    if count == 1 and o_flag and length3 > 5:
+        for i in range(3, _len - 2):
+            if i > 5:
+                break
+            _f, us1, us2, uk1, uk2, uk3 = queue_fre3(
+                _g(_fre, i), _g(_fre, i + 1), _g(_fre, i + 2))
+            if us1 == 1 and us1 == us2:
+                _k, _ = cal_range_times(_f, _g(fre_arr, 0))
+                if _k == 2 and abs(_f - _g(fre_arr, 0) / 2) < 8:
+                    count += 1
+                    break
+    if count >= 2:
+        fre = _g(fre_arr, 0) / 2
+    return fre

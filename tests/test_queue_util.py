@@ -352,3 +352,68 @@ def test_trist3_resolve_smoke():
                               fre[:3], db[:3], h[:3], 3, 0.5)
     assert flag in (3, 4, 5, 6, 8)
     assert f0 == pytest.approx(110.0, abs=2)
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_queue_bear_count_multi_fuzz_vs_c():
+    from audioflux_tpu.mir._queue_util import (queue_bear, queue_count,
+                                               queue_multi)
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.__queue_bear.restype = ctypes.c_int
+    lib.__queue_bear.argtypes = [FP, FP, FP, ctypes.c_int, ctypes.c_float,
+                                 ctypes.c_float, IP]
+    lib.__queue_count.restype = ctypes.c_int
+    lib.__queue_count.argtypes = [FP, FP, FP, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_float, ctypes.c_float,
+                                  ctypes.c_int]
+    lib.__queue_multi.restype = ctypes.c_float
+    lib.__queue_multi.argtypes = [FP, FP, FP, ctypes.c_int] + [
+        ctypes.c_int] * 4
+    rng = np.random.default_rng(43)
+    PAD = 24
+    for _ in range(300):
+        n = int(rng.integers(5, 16))
+        base = rng.uniform(40, 400)
+        if rng.random() < 0.7:
+            ks = np.sort(rng.choice(np.arange(1, 20), n, replace=False))
+            fre = base * ks + rng.normal(0, 1.5, n)
+        else:
+            fre = rng.uniform(40, 2500, n)
+        fre = np.sort(np.float32(np.abs(fre) + 1)).astype(np.float32)
+        if np.min(np.diff(fre)) < 1.5:
+            continue
+        db = np.float32(rng.uniform(-60, -5, n))
+        h = np.float32(rng.uniform(0, 30, n))
+
+        def pad(a):
+            out = np.zeros(PAD, np.float32)
+            out[:len(a)] = a
+            return out
+
+        fp_, dp_, hp_ = pad(fre), pad(db), pad(h)
+        args = (list(map(float, fp_)), list(map(float, dp_)),
+                list(map(float, hp_)), n)
+        tgt = float(base * rng.integers(1, 3))
+        mn = float(rng.uniform(0, 300))
+        idx = ctypes.c_int(0)
+        rb = lib.__queue_bear(fp_.ctypes.data_as(FP),
+                              dp_.ctypes.data_as(FP),
+                              hp_.ctypes.data_as(FP), n, mn, tgt,
+                              ctypes.byref(idx))
+        pb, pidx = queue_bear(*args, mn, tgt, 0)
+        assert rb == pb and (not rb or idx.value == pidx)
+        st = int(rng.integers(0, 3))
+        rc = lib.__queue_count(fp_.ctypes.data_as(FP),
+                               dp_.ctypes.data_as(FP),
+                               hp_.ctypes.data_as(FP), n, 0, mn, tgt, st)
+        assert queue_count(*args, 0, mn, tgt, st) == rc
+        num = int(rng.integers(1, 4))
+        sub = int(rng.integers(0, 2))
+        rm = lib.__queue_multi(fp_.ctypes.data_as(FP),
+                               dp_.ctypes.data_as(FP),
+                               hp_.ctypes.data_as(FP), n, num, sub, 2, 0)
+        assert queue_multi(*args, num, sub, 2, 0) == pytest.approx(
+            rm, abs=1e-3 * max(abs(rm), 1))
