@@ -1635,12 +1635,13 @@ def queue_standard(fre_arr, db_arr, height_arr, index_arr, length,
 
 def trist3_resolve(fre1, db1, h1, len1, fre2, db2, h2, len2,
                    fre3, db3, h3, len3, light=0.0):
-    """trist3 (_trist3.c:44) with the __queue_cut tier skipped (the only
-    unported strategy; 3.5k LoC — see CLAUDE.md round-2 notes).
+    """trist3 (_trist3.c:44): the complete FFP resolution cascade over the
+    now-fully-ported strategy engine.
 
     Args follow the C: set 1 = full filter chain, set 2 = fast chain,
-    set 3 = cut chain, each frequency-ascending.  Returns (flag, fre):
-    flag 6 standard, (7 would be cut,) 8 fast, 3/4/5 direct/slide/weak.
+    set 3 = cut chain, each frequency-ascending.  Returns (flag, fre)
+    with the C's flag codes: 6 standard, 1 cut, 2 fast,
+    3/4/5 direct/slide/weak.
     """
     def rank_index(db, n):
         order = sorted(range(n), key=lambda j: -db[j])
@@ -1656,12 +1657,20 @@ def trist3_resolve(fre1, db1, h1, len1, fre2, db2, h2, len2,
                              fre1, db1, h1, len1, light, 0)
         if fre:
             return 6, fre
+    if len3:
+        from audioflux_tpu.mir._queue_cut import queue_cut
+        idx3 = rank_index(db3, len3)
+        fre = queue_cut(fre3, db3, h3, idx3, len3,
+                        fre2, db2, h2, len2,
+                        fre1, db1, h1, len1, light, 0)
+        if fre:
+            return 1, fre
     if len2:
         idx2 = rank_index(db2, len2)
         fre = queue_fast(fre2, db2, h2, idx2, len2,
                          fre1, db1, h1, len1, light, 0)
         if fre:
-            return 8, fre
+            return 2, fre
     if len1:
         return trist_dispatch(fre1, db1, h1, len1, light)
     return 0, 0.0
