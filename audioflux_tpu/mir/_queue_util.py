@@ -29,6 +29,14 @@ def _roundf(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
 
 
+def _div_round(a: float, b: float) -> int:
+    """roundf(a/b) with the C's div-by-zero behavior mirrored: a/0 is
+    +-inf (or NaN), whose int cast is INT_MIN on x86 (cvttss2si)."""
+    if b == 0:
+        return -2147483648
+    return _roundf(a / b)
+
+
 def _midi_fre(midi: int) -> float:
     # powf(2, (midi-69)/12)*440 in float32
     import numpy as np
@@ -186,10 +194,10 @@ def queue_fre3(value1: float, value2: float, value3: float):
                 base = value1 / k1
 
     if not base:
-        k = _roundf(sub2 / sub1)
+        k = _div_round(sub2, sub1)
         if k == 1:
-            k1 = _roundf(value1 / sub1)
-            k2 = _roundf(value2 / sub1)
+            k1 = _div_round(value1, sub1)
+            k2 = _div_round(value2, sub1)
             # C divides unguarded: k1==0 yields inf and the <5 validity
             # check below then clears base (mirrored via math.inf)
             if k1 + 1 == k2:
@@ -197,15 +205,15 @@ def queue_fre3(value1: float, value2: float, value3: float):
                 s1 = s2 = 1
                 base = value1 / k1 if k1 else math.inf
             else:
-                k1 = _roundf(value1 / (sub1 / 2))
-                k2 = _roundf(value2 / (sub1 / 2))
+                k1 = _div_round(value1, sub1 / 2)
+                k2 = _div_round(value2, sub1 / 2)
                 if k1 + 2 == k2:
                     k3 = k2 + 2
                     s1 = s2 = 2
                     base = value1 / k1 if k1 else math.inf
         elif 2 <= k <= 4:
-            k1 = _roundf(value1 / sub1)
-            k2 = _roundf(value2 / sub1)
+            k1 = _div_round(value1, sub1)
+            k2 = _div_round(value2, sub1)
             if k1 and k2:
                 k3 = k2 + (1 if g_flag else k)
                 s1 = k if g_flag else 1

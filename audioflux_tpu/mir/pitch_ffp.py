@@ -1,23 +1,19 @@
-"""FFP pitch — FFT-peak pitch with candidate filtering and resolution.
+"""FFP pitch — STFT-peak pitch with candidate filtering and resolution.
 
-Reference ``src/mir/_pitch_ffp.c`` + ``src/mir/_queue.c``: STFT peaks run
-through the salience filter chain (the same height/near/dB filters as
-harmonic_algorithm.c) and the per-frame candidate set is resolved by a
-strategy engine. This implementation reuses the ported Harmonic filter
-chain and resolves candidates with the fully-ported trist rule table
-(mir/_trist.py); the reference's six-strategy _queue engine
-(standard/cut/fast/direct/slide/weak, 7.7k LoC of tracking heuristics) is
-NOT yet ported — results agree on harmonic material but can differ on the
-reference's special-cased corner signals. See README "known deviations".
+Reference ``src/mir/_pitch_ffp.c`` + ``src/mir/_queue.c`` + ``_trist3.c``:
+per-frame STFT peaks run through the height/near/dB/relation filter chain
+and the preprocess/fast/cut chains, and the resulting three candidate sets
+are resolved by the trist3 cascade over the six-strategy _queue engine.
+All stages are exact ports (``mir/_ffp_chain.py``, ``mir/_queue_util.py``,
+``mir/_queue_cut.py``), verified frame-exact against the C object
+(tests/test_ffp_chain.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from audioflux_tpu.mir._trist import trist
-from audioflux_tpu.mir.harmonic import Harmonic
-from audioflux_tpu.ops.correct import correct_fn
+from audioflux_tpu.mir._ffp_chain import FFPChain
 from audioflux_tpu.types import WindowType
 
 __all__ = ["PitchFFP"]
@@ -36,53 +32,34 @@ class PitchFFP:
         self.fft_length = 1 << radix2_exp
         self.slide_length = slide_length if slide_length else self.fft_length // 4
         self.window_type = WindowType(window_type)
-        # peak extraction + filter chain shared with Harmonic (identical in C)
-        self._harm = Harmonic(samplate=samplate, low_fre=27.0,
-                              high_fre=min(4000.0, samplate / 2 - 1),
-                              radix2_exp=radix2_exp,
-                              window_type=self.window_type,
-                              slide_length=self.slide_length)
+        # the C pitchFFPObj clamps its analysis band to [27, 4000] and only
+        # honours lowFre >= 27 / highFre < samplate/2 (pitchFFPObj_new)
+        lo = low_fre if low_fre >= 27 else 27.0
+        hi = high_fre if (high_fre > lo and high_fre < samplate / 2) else 4000.0
+        if not (high_fre > lo and high_fre < samplate / 2):
+            lo = 27.0
+        self._chain = FFPChain(samplate=samplate, low_fre=lo, high_fre=hi,
+                               radix2_exp=radix2_exp,
+                               slide_length=self.slide_length,
+                               window_type=self.window_type)
 
     def cal_time_length(self, data_length: int) -> int:
-        return self._harm.cal_time_length(data_length)
+        return self._chain.cal_time_length(data_length)
 
     def pitch(self, data_arr):
-        """(n,) -> (fre_arr, db_arr) per frame."""
-        self._harm.exec(data_arr)
-        peaks = self._harm._peaks
-        T = len(peaks)
-        fre_out = np.zeros(T, np.float32)
-        db_out = np.full(T, -120.0, np.float32)
-        for i, plist in enumerate(peaks):
-            if not plist:
-                continue
-            # dB-descending candidates (trist convention)
-            plist = sorted(plist, key=lambda p: -p[0])
-            n = len(plist)
-            pad = max(8, n)
-            corr = np.zeros(pad)
-            db = np.full(pad, -120.0)
-            h = np.zeros(pad)
-            midi = np.zeros(pad, np.int64)
-            P = self._harm._power[i]
-            cf = correct_fn(self.window_type)
-            for j, (d, f, hh, idx) in enumerate(plist):
-                # sub-bin frequency correction (FFP applies the window
-                # correction; harmonic's chain records raw-bin freqs)
-                k = int(idx)
-                if 0 < k < len(P) - 1:
-                    mag = np.sqrt(P[k - 1:k + 2])
-                    scale, _ = cf(float(mag[1]), float(mag[0]),
-                                  float(mag[2]))
-                    f = ((k + self._harm.min_index + float(scale))
-                         / self.fft_length * self.samplate)
-                corr[j], db[j], h[j] = f, d, hh
-                midi[j] = int(round(12 * np.log2(max(f, 1e-12) / 440) + 69))
-            db_out[i] = db[0]
-            flag, fre = trist(corr, db, h, midi, corr, db, h, midi,
-                              min(n, 3), max(n - 3, 0))
-            if flag:
-                fre_out[i] = fre
-            elif self.low_fre <= corr[0] <= self.high_fre:
-                fre_out[i] = corr[0]
-        return fre_out, db_out
+        """(n,) -> (fre_arr, db_arr) per frame, matching the C
+        ``pitchFFPObj_pitch`` frame-exact."""
+        x = np.asarray(data_arr, np.float32)
+        return self._chain.pitch(x)
+
+    # -- introspection mirroring the C getters --------------------------
+    def get_corr_data(self):
+        """Level-1 (filter-chain) candidate rows (pitchFFPObj_getCorrData)."""
+        return self._chain.filter3
+
+    def get_cut_data(self):
+        """Level-3 (cut) candidate rows (pitchFFPObj_getCutData)."""
+        return self._chain.fast4
+
+    def get_light_data(self):
+        return np.asarray(self._chain.light, np.float32)
