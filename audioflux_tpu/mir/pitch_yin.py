@@ -79,7 +79,7 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
     fre = jnp.where(any_t, fre, 0.0)
     value = jnp.take_along_axis(yin, t_idx[..., None], axis=-1)[..., 0]
     value = jnp.where(any_t, value, 0.0)
-    return fre, value
+    return fre, value, yin, interp
 
 
 class PitchYIN:
@@ -117,11 +117,50 @@ class PitchYIN:
             return 0
         return (data_length - self.fft_length) // self.slide_length + 1
 
-    def pitch(self, data_arr):
-        """(..., n) -> (fre_arr, value_arr) each (..., time)."""
+    def _run(self, data_arr):
         return _yin_impl(jnp.asarray(data_arr, jnp.float32),
                          fft_length=self.fft_length,
                          slide_length=self.slide_length,
                          auto_length=self.auto_length,
                          min_index=self.min_index, max_index=self.max_index,
                          samplate=float(self.samplate), thresh=self.thresh)
+
+    def pitch(self, data_arr):
+        """(..., n) -> (fre_arr, value_arr) each (..., time)."""
+        fre, value, yin, interp = self._run(data_arr)
+        self._yin_mat = yin
+        self._interp_mat = interp
+        return fre, value
+
+    def get_trough_data(self, data_arr=None):
+        """Per-frame trough candidates (pitchYINObj_getTroughData,
+        _pitch_yin.c:246 / dealResult:586-625): every CMND local trough
+        below thresh, as (fre_rows, trough_rows, len_arr).
+
+        Uses the matrices cached by the last ``pitch`` call, or computes
+        them from ``data_arr``.  1-D input only."""
+        if data_arr is not None:
+            self.pitch(data_arr)
+        yin = np.asarray(self._yin_mat)
+        interp = np.asarray(self._interp_mat)
+        if yin.ndim != 2:
+            raise ValueError("get_trough_data expects 1-D audio input")
+        T, yl = yin.shape
+        fre_rows, trough_rows, lens = [], [], []
+        for i in range(T):
+            a = yin[i]
+            fres, vals = [], []
+            for j in range(yl - 1):
+                if j == 0:
+                    ok = a[0] < a[1] and a[0] < self.thresh
+                else:
+                    ok = (a[j] <= a[j + 1] and a[j] < a[j - 1]
+                          and a[j] < self.thresh)
+                if ok:
+                    vals.append(float(a[j]))
+                    fres.append(self.samplate
+                                / (self.min_index + j + float(interp[i, j])))
+            fre_rows.append(np.asarray(fres, np.float32))
+            trough_rows.append(np.asarray(vals, np.float32))
+            lens.append(len(vals))
+        return fre_rows, trough_rows, np.asarray(lens, np.int32)

@@ -83,3 +83,46 @@ def test_pitch_ffp_frame_exact_vs_c():
             r = obj.get_cut_data()[i]
             assert np.max(np.abs(np.sort(cut_c[i][:4])
                                  - np.sort(np.float32(r.fre[:4])))) <= 0.05
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_yin_trough_data_vs_c():
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    sr = 32000
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(5)
+    x = (0.4 * np.sin(2 * np.pi * 146.9 * t)
+         + 0.2 * np.sin(2 * np.pi * 293.8 * t)
+         + 0.1 * np.sin(2 * np.pi * 440.7 * t)
+         + 0.004 * rng.standard_normal(len(t))).astype(np.float32)
+    obj = ctypes.c_void_p()
+    lib.pitchYINObj_new(ctypes.byref(obj), ctypes.byref(ctypes.c_int(sr)),
+                        None, None, ctypes.byref(ctypes.c_int(12)),
+                        ctypes.byref(ctypes.c_int(1024)),
+                        ctypes.byref(ctypes.c_int(2048)), None)
+    T = lib.pitchYINObj_calTimeLength(obj, ctypes.c_int(len(x)))
+    fre = np.zeros(T + 4, np.float32)
+    v1 = np.zeros(T + 4, np.float32)
+    v2 = np.zeros(T + 4, np.float32)
+    lib.pitchYINObj_pitch(obj, x.ctypes.data_as(FP), ctypes.c_int(len(x)),
+                          fre.ctypes.data_as(FP), v1.ctypes.data_as(FP),
+                          v2.ctypes.data_as(FP))
+    mf = FP()
+    mt = FP()
+    lp = IP()
+    mlen = lib.pitchYINObj_getTroughData(obj, ctypes.byref(mf),
+                                         ctypes.byref(mt), ctypes.byref(lp))
+    mfre = np.ctypeslib.as_array(mf, (T, mlen)).copy()
+    mtr = np.ctypeslib.as_array(mt, (T, mlen)).copy()
+    lens = np.ctypeslib.as_array(lp, (T,)).copy()
+    y = af.PitchYIN(samplate=sr, radix2_exp=12, slide_length=1024)
+    fre_rows, trough_rows, lens_p = y.get_trough_data(x)
+    for i in range(T):
+        assert lens[i] == lens_p[i], i
+        if lens[i]:
+            assert np.max(np.abs(mfre[i][:lens[i]] - fre_rows[i])) <= 0.05
+            assert np.max(np.abs(mtr[i][:lens[i]]
+                                 - trough_rows[i])) <= 1e-4
