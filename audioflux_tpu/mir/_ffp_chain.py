@@ -414,10 +414,19 @@ class FFPChain:
             if _index > 6:
                 _index = 0
             max_db = self.max_db[i]
+            # C reads/copies one calloc'd zero entry past len3 when the
+            # frame has no candidates (loop runs to _index=0 regardless)
             for j in range(_index + 1):
-                if max_db - f3.db[j] < 14.5 or f3.db[j] > -42:
+                dbj = f3.db[j] if j < len3 else 0.0
+                if max_db - dbj < 14.5 or dbj > -42:
                     start = j
-                    out_row.append_from(f3, j)
+                    if j < len3:
+                        out_row.append_from(f3, j)
+                    else:
+                        out_row.db.append(0.0)
+                        out_row.fre.append(0.0)
+                        out_row.h.append(0.0)
+                        out_row.idx.append(0)
             for j in range(start + 1, len3 - 1):
                 if (f3.db[j - 1] - f3.db[j] < 14.5
                         or f3.db[j + 1] - f3.db[j] < 14.5):
@@ -862,10 +871,19 @@ def _filter_fast(self):
         _index = _max_index(g.db, len2)
         max_db = self.max_db[i]
         for j in range(_index + 1):
-            if (max_db - g.db[j] < 15 or g.db[j] > -60
-                    or g.h[j] > 18 or g.idx[j] in dom_last):
+            dbj = g.db[j] if j < len2 else 0.0
+            hj = g.h[j] if j < len2 else 0.0
+            ij = g.idx[j] if j < len2 else 0
+            if (max_db - dbj < 15 or dbj > -60
+                    or hj > 18 or ij in dom_last):
                 start = j
-                out.append_from(g, j)
+                if j < len2:
+                    out.append_from(g, j)
+                else:
+                    out.db.append(0.0)
+                    out.fre.append(0.0)
+                    out.h.append(0.0)
+                    out.idx.append(0)
         for j in range(start + 1, len2 - 1):
             if g.db[j - 1] - g.db[j] < 15 or g.db[j + 1] - g.db[j] < 15:
                 out.append_from(g, j)

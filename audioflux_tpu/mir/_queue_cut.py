@@ -1164,15 +1164,25 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, index1)
 
     # --- from here the C sorts the caller's arrays IN PLACE ------------
+    # (tune_track reads the rows after pitch(), so the mutations are part
+    # of the observable behavior; cf/cd/ch/ci alias the inputs when they
+    # are mutable lists)
     n = max(length, 0)
-    cf = [_g(f, j) for j in range(n)]
-    cd = [_g(d, j) for j in range(n)]
-    ch = [_g(h, j) for j in range(n)]
-    ci = [index_arr[j] if j < len(index_arr) else 0 for j in range(n)]
+    _mut = (isinstance(f, list) and isinstance(d, list)
+            and isinstance(h, list) and isinstance(index_arr, list)
+            and len(f) >= n and len(d) >= n and len(h) >= n
+            and len(index_arr) >= n)
+    if _mut:
+        cf, cd, ch, ci = f, d, h, index_arr
+    else:
+        cf = [_g(f, j) for j in range(n)]
+        cd = [_g(d, j) for j in range(n)]
+        ch = [_g(h, j) for j in range(n)]
+        ci = [index_arr[j] if j < len(index_arr) else 0 for j in range(n)]
 
     def _sort_view(key_arr, count, asc):
         # __vcorrsort1: selection sort over the first `count` entries of
-        # key_arr carrying all four arrays
+        # key_arr carrying all four arrays (only the first n entries move)
         idx = list(range(n))
         for a in range(count):
             for b in range(a + 1, count):
@@ -1181,7 +1191,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     idx[a], idx[b] = idx[b], idx[a]
         for arrs in (cf, cd, ch, ci):
             tmp = [arrs[j] for j in idx]
-            arrs[:] = tmp
+            arrs[:n] = tmp
 
     # valid ->110, ->147, 12/1; ->6string ->80
     _sort_view(cd, n, asc=False)
@@ -1289,10 +1299,9 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
 
     # boundary ->string1/3/4/5/6
     if not fre:
-        # dB desc then FULL fre asc: restores the original ascending order
-        cf = [_g(f, j) for j in range(n)]
-        cd = [_g(d, j) for j in range(n)]
-        ch = [_g(h, j) for j in range(n)]
+        # dB desc then FULL fre asc (restores ascending order in place)
+        _sort_view(cd, n, asc=False)
+        _sort_view(cf, n, asc=True)
         _index = _max_index(cd, n)
         _, us1, us2, uk1, uk2, uk3 = queue_fre3(
             _g(cf, 0), _g(cf, 1), _g(cf, 2))

@@ -132,6 +132,11 @@ class PitchYIN:
         self._interp_mat = interp
         return fre, value
 
+    def get_min_data(self):
+        """Per-frame CMND minimum (the C pitch's third output, minArr)."""
+        import numpy as _np
+        return _np.min(_np.asarray(self._yin_mat), axis=-1)
+
     def get_trough_data(self, data_arr=None):
         """Per-frame trough candidates (pitchYINObj_getTroughData,
         _pitch_yin.c:246 / dealResult:586-625): every CMND local trough
