@@ -139,6 +139,18 @@ def _is_light(x) -> float:
     return 1.0 * (len(x) - count) / len(x)
 
 
+def _temporal(x, base) -> tuple:
+    """__temproal (_pitch_ffp.c:2923): (max, avg, percent) of the frame's
+    dB envelope floored at -36."""
+    if len(x) == 0:
+        return 0.0, 0.0, 0.0
+    v = 20.0 * np.log10(np.abs(np.asarray(x, np.float32)) + 1e-8)
+    v = np.maximum(v, -36.0)
+    count = int(np.sum(v > -base))
+    return (float(np.max(v)), float(np.sum(v) / len(x)),
+            1.0 * (len(x) - count) / len(x))
+
+
 class FFPChain:
     """Per-frame candidate sets of the C PitchFFP object."""
 
@@ -195,11 +207,20 @@ class FFPChain:
             row.idx = row.idx[:length]
             self.max_db.append(row.db[0] if length else 0.0)
             self.peaks.append(row)
-        # temporal lightness (:2588)
-        self.light = [
-            _is_light(x[i * self.slide_length:
-                        i * self.slide_length + self.fft_length])
-            for i in range(T)]
+        # temporal lightness + envelope stats (:2588)
+        self.light = []
+        self.temporal_max = []
+        self.temporal_avg = []
+        self.temporal_percent = []
+        base = getattr(self, "temp_base", 0.0)
+        for i in range(T):
+            seg = x[i * self.slide_length:
+                    i * self.slide_length + self.fft_length]
+            self.light.append(_is_light(seg))
+            mx, avg, pct = _temporal(seg, base)
+            self.temporal_max.append(mx)
+            self.temporal_avg.append(avg)
+            self.temporal_percent.append(pct)
         # filter chain -> level-1 set (getCorrData)
         self.filter3 = self._filter_chain()
         return self

@@ -63,3 +63,14 @@ class PitchFFP:
 
     def get_light_data(self):
         return np.asarray(self._chain.light, np.float32)
+
+    def set_temp_base(self, temp_base: float):
+        """pitchFFPObj_setTempBase (affects get_temporal_data percent)."""
+        self._chain.temp_base = float(temp_base)
+
+    def get_temporal_data(self):
+        """(avg, max, percent) per frame (pitchFFPObj_getTemporalData)."""
+        c = self._chain
+        return (np.asarray(c.temporal_avg, np.float32),
+                np.asarray(c.temporal_max, np.float32),
+                np.asarray(c.temporal_percent, np.float32))
