@@ -117,13 +117,21 @@ def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
 
 def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
                            batch_axis: str = "data", time_axis: str = "time",
-                           with_xxcc: int = 0):
+                           with_xxcc: int = 0, fused: bool = False,
+                           fused_tile: int = 200,
+                           fused_interpret: bool = False):
     """Build a shard_map'd filterbank-spectrogram pipeline from a plan.
 
     (batch, n) float32, batch sharded on ``batch_axis`` and samples on
     ``time_axis`` -> (batch, num, n//slide) sharded over (batch, time).
     If ``with_xxcc`` > 0, returns (spec, xxcc) with that many coefficients.
     Currently covers the einsum scales (mel/bark/erb/linspace/octave/log).
+
+    ``fused=True`` runs the per-shard compute through the fused Pallas
+    mel+MFCC kernel (``ops.pallas_spectrogram``) after the ppermute halo
+    exchange — the multi-chip form of the bench fast path.  Requires
+    POWER data type, 128 | slide, and per-shard frame count divisible by
+    ``fused_tile``; returns (spec, cc) (with_xxcc must be > 0).
     """
     fft_length = plan.fft_length
     slide = plan.slide_length
@@ -133,6 +141,30 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
     dct_m = jnp.asarray(plan._dct[:with_xxcc]) if with_xxcc else None
     mag = int(plan.data_type) == 1
     hp = jax.lax.Precision.HIGHEST
+
+    if fused:
+        if not with_xxcc or mag:
+            raise ValueError("fused sharded path needs POWER data type "
+                             "and with_xxcc > 0")
+        from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
+                                                          fused_mel_mfcc)
+        fplan = FusedMelPlan(plan.window, plan.filter_bank,
+                             plan._dct[:with_xxcc], slide)
+
+        def local_fused(x_loc):
+            ext = jnp.concatenate(
+                [x_loc, _right_halo(x_loc, time_axis, halo)], axis=-1)
+            mel, cc = fused_mel_mfcc(fplan, ext, tile=fused_tile,
+                                     fast=True, interpret=fused_interpret)
+            return mel, cc
+
+        out_specs_f = (P(batch_axis, None, time_axis),
+                       P(batch_axis, None, time_axis))
+        return jax.jit(jax.shard_map(
+            local_fused, mesh=mesh,
+            in_specs=P(batch_axis, time_axis),
+            out_specs=out_specs_f,
+            check_vma=False))  # pallas_call outputs carry no vma info
 
     def local_spec(x_loc):
         ext = jnp.concatenate(

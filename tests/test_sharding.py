@@ -103,3 +103,24 @@ def test_batch_runner(tmp_path):
     out, good = runner.run_files(paths)
     assert good == 4
     assert np.asarray(out).shape == (4, 32, clip // 256)
+
+
+def test_sharded_fused_kernel_path():
+    """Fused Pallas kernel under shard_map (interpret mode on CPU mesh)."""
+    import audioflux_tpu as af
+    obj = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    mesh = af.parallel.make_mesh(data=2, time=4)
+    n = 4 * 512 * 16
+    fn = af.parallel.sharded_spectrogram_fn(
+        obj, mesh, with_xxcc=13, fused=True, fused_tile=8,
+        fused_interpret=True)
+    x = (np.random.default_rng(0).standard_normal((4, n)) * 0.2
+         ).astype(np.float32)
+    mel, cc = fn(x)
+    fn0 = af.parallel.sharded_spectrogram_fn(obj, mesh, with_xxcc=13)
+    mel0, cc0 = fn0(x)
+    assert np.max(np.abs(np.asarray(mel) - np.asarray(mel0))) <= (
+        1e-4 * np.max(np.abs(np.asarray(mel0))))
+    assert np.max(np.abs(np.asarray(cc) - np.asarray(cc0))) <= (
+        1e-4 * np.max(np.abs(np.asarray(cc0))))
