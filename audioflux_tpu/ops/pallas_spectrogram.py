@@ -119,7 +119,9 @@ class FusedMelPlan:
             self.fs_twi = tw.imag.astype(np.float32).reshape(n1, 1, 128)
             self.fs_w2r = w2.real.astype(np.float32)
             self.fs_w2i = w2.imag.astype(np.float32)
-            for name in ("fs_w2r", "fs_w2i"):
+            # Karatsuba third matrix for the fast path: wr + wi
+            self.fs_w2s = (w2.real + w2.imag).astype(np.float32)
+            for name in ("fs_w2r", "fs_w2i", "fs_w2s"):
                 full = getattr(self, name)
                 hi = full.astype(ml_dtypes.bfloat16)
                 lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
@@ -194,9 +196,10 @@ def _kernel4(*refs, n1: int, tile: int, log_floor: float, precision,
     w1r_ref, w1i_ref, twr_ref, twi_ref = refs[idx + 1:idx + 5]
     idx += 5
     if fast:
-        w2rh_ref, w2rl_ref, w2ih_ref, w2il_ref = refs[idx:idx + 4]
-        melph_ref, melpl_ref, dct_ref = refs[idx + 4:idx + 7]
-        idx += 7
+        (w2rh_ref, w2rl_ref, w2ih_ref, w2il_ref, w2sh_ref,
+         w2sl_ref) = refs[idx:idx + 6]
+        melph_ref, melpl_ref, dct_ref = refs[idx + 6:idx + 9]
+        idx += 9
     else:
         w2r_ref, w2i_ref = refs[idx:idx + 2]
         melp_ref, dct_ref = refs[idx + 2:idx + 4]
@@ -217,10 +220,14 @@ def _kernel4(*refs, n1: int, tile: int, log_floor: float, precision,
     # stage 3: DFT-128 over lanes (the dominant matmul)
     cd_last = (((1,), (1,)), ((), ()))
     if fast:
-        xr = (_bf16x3(br, w2rh_ref[...], w2rl_ref[...], cd_last)
-              - _bf16x3(bi, w2ih_ref[...], w2il_ref[...], cd_last))
-        xi = (_bf16x3(br, w2ih_ref[...], w2il_ref[...], cd_last)
-              + _bf16x3(bi, w2rh_ref[...], w2rl_ref[...], cd_last))
+        # Karatsuba: 3 complex-product matmuls instead of 4
+        #   t1 = br@wr, t2 = bi@wi, t3 = (br+bi)@(wr+wi)
+        #   xr = t1 - t2,  xi = t3 - t1 - t2
+        t1 = _bf16x3(br, w2rh_ref[...], w2rl_ref[...], cd_last)
+        t2 = _bf16x3(bi, w2ih_ref[...], w2il_ref[...], cd_last)
+        t3 = _bf16x3(br + bi, w2sh_ref[...], w2sl_ref[...], cd_last)
+        xr = t1 - t2
+        xi = t3 - t1 - t2
     else:
         xr = (jax.lax.dot_general(br, w2r_ref[...], cd_last,
                                   precision=precision)
@@ -269,6 +276,7 @@ def _fused_call4(plan: FusedMelPlan, x, n_frames: int, tile: int,
         consts = [plan.fs_win, plan.fs_w1r, plan.fs_w1i, plan.fs_twr,
                   plan.fs_twi, plan.fs_w2r_hi, plan.fs_w2r_lo,
                   plan.fs_w2i_hi, plan.fs_w2i_lo,
+                  plan.fs_w2s_hi, plan.fs_w2s_lo,
                   plan.fs_melp_hi, plan.fs_melp_lo, plan.dct_t]
     else:
         consts = [plan.fs_win, plan.fs_w1r, plan.fs_w1i, plan.fs_twr,
