@@ -68,7 +68,7 @@ from audioflux_tpu.mir.pitch_ffp import PitchFFP
 from audioflux_tpu.mir.pitch import (
     PitchNCF, PitchCEP, PitchHPS, PitchLHS, PitchPEF,
 )
-from audioflux_tpu.mir.hpss import HPSS
+from audioflux_tpu.mir.hpss import HPSS, HPSSNMF
 from audioflux_tpu.mir.onset import Onset, NoveltyParam
 from audioflux_tpu.mir.harmonic import Harmonic
 from audioflux_tpu.mir.harmonic_ratio import HarmonicRatio
@@ -98,5 +98,6 @@ from audioflux_tpu.core import (
 from audioflux_tpu import utils
 from audioflux_tpu import parallel
 from audioflux_tpu import display
+from audioflux_tpu import observe
 
 __version__ = "0.1.0"

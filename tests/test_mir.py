@@ -60,3 +60,39 @@ def test_hpss_batched(goldens):
     h, p = hp.hpss(np.stack([g["in_x"], g["in_x"]]))
     hs, _ = hp.hpss(g["in_x"])
     np.testing.assert_allclose(np.asarray(h)[0], np.asarray(hs), atol=1e-6)
+
+
+def test_hpss_nmf():
+    """NMF-HPSS separates a steady tone from click transients."""
+    from audioflux_tpu.mir import HPSSNMF
+
+    rng = np.random.default_rng(7)
+    n = SR  # 1 s
+    t = np.arange(n) / SR
+    tone_x = 0.5 * np.sin(2 * np.pi * 330 * t).astype(np.float32)
+    clicks = np.zeros(n, np.float32)
+    for pos in range(2000, n - 2000, 4000):
+        clicks[pos:pos + 64] = (0.8 * rng.standard_normal(64)).astype(
+            np.float32)
+    x = tone_x + clicks
+
+    hp = HPSSNMF(radix2_exp=11, slide_length=512, k=8, max_iter=120)
+    h, p = hp.hpss(x)
+    h, p = np.asarray(h), np.asarray(p)
+
+    # masks sum to identity -> h + p reconstructs the STFT round trip
+    hp_med = HPSS(radix2_exp=11, slide_length=512)
+    hm, pm = hp_med.hpss(x)
+    recon_med = np.asarray(hm) + np.asarray(pm)
+    np.testing.assert_allclose(h + p, recon_med, atol=1e-4)
+
+    # separation: tone energy routes to h, click energy to p (compare on
+    # the interior where COLA edge taper is irrelevant)
+    sl = slice(4096, len(h) - 4096)
+    tone_ref = tone_x[:len(h)][sl]
+    click_ref = clicks[:len(h)][sl]
+    num = np.dot(h[sl], tone_ref) / np.dot(tone_ref, tone_ref)
+    assert num > 0.75, num  # harmonic output carries the tone
+    e_click_in_p = np.sum(p[sl] ** 2)
+    e_click_in_h = np.sum((h[sl] - num * tone_ref) ** 2)
+    assert e_click_in_p > 2 * e_click_in_h
