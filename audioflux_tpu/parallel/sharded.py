@@ -6,16 +6,20 @@ samples from the right neighbor — the exact tail the reference's streaming
 ``isContinue`` mode carries across chunks (``stft_algorithm.c:474-600``); here
 it travels over ICI via ``jax.lax.ppermute`` instead of a host buffer.
 
-Frame-count convention under sharding: each block of L samples (L a multiple
-of ``slide``) yields ``L // slide`` frames, so the global output has
-``n // slide`` frames; the final ``fft//slide - 1`` frames (whose windows
-spill past the signal end) wrap around the ring and must be dropped by the
-caller — ``valid_frames`` gives the count matching the unsharded transform.
+Frame-count convention: each block of L samples (L a multiple of ``slide``)
+computes ``L // slide`` frame slots, but the transforms *return the trimmed
+global result* — exactly ``valid_frames(n, fft, slide)`` frames, matching the
+unsharded transform bit for bit.  Internally the final ``fft//slide - 1``
+slots (whose windows would spill past the signal end and wrap around the
+ring) are zero-masked on the last time shard before the trim, so no
+wrap-around garbage ever exists even in the untrimmed intermediate.
 
-ISTFT is the adjoint: local weighted overlap-add produces a block of length
-``L + fft - slide``; the ``fft - slide`` tail is ppermuted to the right
-neighbor and added to its head (halo add-back), reproducing single-chip
-overlap-add exactly.
+ISTFT is the adjoint: the input (T frames) is zero-padded to a whole number
+of equal time shards, padded slots are masked out of both the overlap-add
+and the window-energy normalization, each block's ``fft - slide`` spill is
+ppermuted to the right neighbor and added to its head (halo add-back), and
+the output is trimmed to ``(T - 1) * slide + fft`` samples — the same length
+the single-chip inverse produces.
 """
 
 from __future__ import annotations
@@ -46,12 +50,19 @@ def valid_frames(n_samples: int, fft_length: int, slide_length: int) -> int:
     return (n_samples - fft_length) // slide_length + 1
 
 
+def _frame_mask(t_loc: int, t_valid: int, time_axis: str):
+    """Bool (t_loc,) marking this shard's frame slots that are < t_valid."""
+    start = jax.lax.axis_index(time_axis) * t_loc
+    return (start + jnp.arange(t_loc)) < t_valid
+
+
 def sharded_stft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
                     batch_axis: str = "data", time_axis: str = "time"):
-    """Build a shard_map'd STFT over (batch, n) -> (batch, n//slide, fre).
+    """Build a shard_map'd STFT over (batch, n) -> (batch, T_valid, fre).
 
-    Input sharded (batch: data axis, samples: time axis); output frames
-    sharded along the same time axis.
+    Input sharded (batch: data axis, samples: time axis); output matches
+    the unsharded transform's frame count (wrap-around slots are masked
+    and trimmed — no caller-side slicing needed).
     """
     window = jnp.asarray(window)
     halo = fft_length - slide_length
@@ -61,12 +72,22 @@ def sharded_stft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
             [x_loc, _right_halo(x_loc, time_axis, halo)], axis=-1)
         n_frames = x_loc.shape[-1] // slide_length
         frames = frame_signal(ext, fft_length, slide_length, n_frames)
-        return jnp.fft.rfft(frames * window, axis=-1)
+        D = jnp.fft.rfft(frames * window, axis=-1)
+        n_glob = x_loc.shape[-1] * jax.lax.axis_size(time_axis)
+        t_valid = valid_frames(n_glob, fft_length, slide_length)
+        mask = _frame_mask(n_frames, t_valid, time_axis)
+        return jnp.where(mask[:, None], D, 0)
 
-    return jax.jit(jax.shard_map(
+    smapped = jax.shard_map(
         local_stft, mesh=mesh,
         in_specs=P(batch_axis, time_axis),
-        out_specs=P(batch_axis, time_axis, None)))
+        out_specs=P(batch_axis, time_axis, None))
+
+    def run(x):
+        tv = valid_frames(x.shape[-1], fft_length, slide_length)
+        return smapped(x)[..., :tv, :]
+
+    return jax.jit(run)
 
 
 def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
@@ -74,45 +95,62 @@ def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
                      batch_axis: str = "data", time_axis: str = "time"):
     """Inverse of sharded_stft_fn: (batch, T, fre) complex -> (batch, n).
 
-    Weighted overlap-add with cross-shard halo add-back; output sample count
-    is ``T_global * slide`` (the spill past each block travels right).
+    Accepts the trimmed frame count produced by ``sharded_stft_fn`` (any T);
+    output length is ``(T - 1) * slide + fft``, the single-chip convention.
     """
     window = jnp.asarray(window)
     halo = fft_length - slide_length
     e = 1.0 if method_type == 0 else 0.0
     win1 = np.power(np.asarray(window), e).astype(np.float32)
     win2 = np.power(np.asarray(window), e + 1.0).astype(np.float32)
+    n_time = int(mesh.shape[time_axis])
 
-    def local_istft(D_loc):  # (B_loc, T_loc, fre)
-        frames = jnp.fft.irfft(D_loc, n=fft_length, axis=-1)
-        T_loc = frames.shape[-2]
-        out_len = T_loc * slide_length + halo
-        idx = (np.arange(T_loc)[:, None] * slide_length
-               + np.arange(fft_length)[None, :]).reshape(-1)
-        contrib = (frames * win1).reshape(frames.shape[:-2] + (-1,))
-        y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
-        y = y.at[..., idx].add(contrib)
-        norm = jnp.zeros((out_len,), frames.dtype)
-        norm = norm.at[idx].add(jnp.tile(jnp.asarray(win2), T_loc))
+    def make_local(t_orig: int):
+        def local_istft(D_loc):  # (B_loc, T_loc, fre)
+            frames = jnp.fft.irfft(D_loc, n=fft_length, axis=-1)
+            T_loc = frames.shape[-2]
+            mask = _frame_mask(T_loc, t_orig, time_axis).astype(frames.dtype)
+            out_len = T_loc * slide_length + halo
+            idx = (np.arange(T_loc)[:, None] * slide_length
+                   + np.arange(fft_length)[None, :]).reshape(-1)
+            contrib = (frames * win1 * mask[:, None]).reshape(
+                frames.shape[:-2] + (-1,))
+            y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+            y = y.at[..., idx].add(contrib)
+            norm = jnp.zeros((out_len,), frames.dtype)
+            norm = norm.at[idx].add(
+                (jnp.asarray(win2)[None, :] * mask[:, None]).reshape(-1))
 
-        # halo add-back: my tail overlaps the right neighbor's head
-        n = jax.lax.axis_size(time_axis)
-        perm = [(i, (i + 1) % n) for i in range(n)]  # send tail rightwards
-        tail_y = jax.lax.ppermute(y[..., -halo:], time_axis, perm)
-        tail_n = jax.lax.ppermute(norm[-halo:], time_axis, perm)
-        my_idx = jax.lax.axis_index(time_axis)
-        tail_y = jnp.where(my_idx == 0, 0.0, tail_y)  # no wrap into block 0
-        tail_n = jnp.where(my_idx == 0, 0.0, tail_n)
+            # halo add-back: my tail overlaps the right neighbor's head
+            n = jax.lax.axis_size(time_axis)
+            perm = [(i, (i + 1) % n) for i in range(n)]  # send tail right
+            tail_y = jax.lax.ppermute(y[..., -halo:], time_axis, perm)
+            tail_n = jax.lax.ppermute(norm[-halo:], time_axis, perm)
+            my_idx = jax.lax.axis_index(time_axis)
+            tail_y = jnp.where(my_idx == 0, 0.0, tail_y)  # no wrap into 0
+            tail_n = jnp.where(my_idx == 0, 0.0, tail_n)
 
-        y = y[..., :-halo].at[..., :halo].add(tail_y)
-        norm = norm[:-halo].at[:halo].add(tail_n)
-        norm = jnp.where(norm < 1e-6, 1.0, norm)
-        return y / norm
+            y = y[..., :-halo].at[..., :halo].add(tail_y)
+            norm = norm[:-halo].at[:halo].add(tail_n)
+            norm = jnp.where(norm < 1e-6, 1.0, norm)
+            return y / norm
 
-    return jax.jit(jax.shard_map(
-        local_istft, mesh=mesh,
-        in_specs=P(batch_axis, time_axis, None),
-        out_specs=P(batch_axis, time_axis)))
+        return local_istft
+
+    def run(D):
+        t = D.shape[-2]
+        # pad the frame axis so every shard is equal AND the padded length
+        # covers the final frame's spill: (t_pad - t + 1) * slide >= fft
+        k1 = -(-halo // slide_length)  # ceil((fft - slide) / slide)
+        t_pad = -(-(t + k1) // n_time) * n_time
+        D_p = jnp.pad(D, [(0, 0)] * (D.ndim - 2) + [(0, t_pad - t), (0, 0)])
+        y = jax.shard_map(
+            make_local(t), mesh=mesh,
+            in_specs=P(batch_axis, time_axis, None),
+            out_specs=P(batch_axis, time_axis))(D_p)
+        return y[..., :(t - 1) * slide_length + fft_length]
+
+    return jax.jit(run)
 
 
 def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
@@ -123,9 +161,11 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
     """Build a shard_map'd filterbank-spectrogram pipeline from a plan.
 
     (batch, n) float32, batch sharded on ``batch_axis`` and samples on
-    ``time_axis`` -> (batch, num, n//slide) sharded over (batch, time).
-    If ``with_xxcc`` > 0, returns (spec, xxcc) with that many coefficients.
-    Currently covers the einsum scales (mel/bark/erb/linspace/octave/log).
+    ``time_axis`` -> (batch, num, T_valid) — the same frame count as the
+    unsharded ``plan.spectrogram`` (trailing wrap-around slots are masked
+    and trimmed).  If ``with_xxcc`` > 0, returns (spec, xxcc) with that
+    many coefficients.  Currently covers the einsum scales
+    (mel/bark/erb/linspace/octave/log).
 
     ``fused=True`` runs the per-shard compute through the fused Pallas
     mel+MFCC kernel (``ops.pallas_spectrogram``) after the ppermute halo
@@ -142,6 +182,10 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
     mag = int(plan.data_type) == 1
     hp = jax.lax.Precision.HIGHEST
 
+    def _mask_cols(arr, n_frames, t_valid):
+        mask = _frame_mask(n_frames, t_valid, time_axis)
+        return jnp.where(mask[None, :], arr, 0)
+
     if fused:
         if not with_xxcc or mag:
             raise ValueError("fused sharded path needs POWER data type "
@@ -156,15 +200,25 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
                 [x_loc, _right_halo(x_loc, time_axis, halo)], axis=-1)
             mel, cc = fused_mel_mfcc(fplan, ext, tile=fused_tile,
                                      fast=True, interpret=fused_interpret)
-            return mel, cc
+            n_frames = x_loc.shape[-1] // slide
+            n_glob = x_loc.shape[-1] * jax.lax.axis_size(time_axis)
+            t_valid = valid_frames(n_glob, fft_length, slide)
+            return (_mask_cols(mel, n_frames, t_valid),
+                    _mask_cols(cc, n_frames, t_valid))
 
-        out_specs_f = (P(batch_axis, None, time_axis),
-                       P(batch_axis, None, time_axis))
-        return jax.jit(jax.shard_map(
+        smapped_f = jax.shard_map(
             local_fused, mesh=mesh,
             in_specs=P(batch_axis, time_axis),
-            out_specs=out_specs_f,
-            check_vma=False))  # pallas_call outputs carry no vma info
+            out_specs=(P(batch_axis, None, time_axis),
+                       P(batch_axis, None, time_axis)),
+            check_vma=False)  # pallas_call outputs carry no vma info
+
+        def run_fused(x):
+            tv = valid_frames(x.shape[-1], fft_length, slide)
+            mel, cc = smapped_f(x)
+            return mel[..., :tv], cc[..., :tv]
+
+        return jax.jit(run_fused)
 
     def local_spec(x_loc):
         ext = jnp.concatenate(
@@ -177,16 +231,28 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
         if mag:
             S = jnp.sqrt(S)
         out = jnp.einsum("...tf,nf->...tn", S, fb, precision=hp)
+        n_glob = x_loc.shape[-1] * jax.lax.axis_size(time_axis)
+        t_valid = valid_frames(n_glob, fft_length, slide)
         if with_xxcc:
             r = jnp.log10(jnp.maximum(out, 1e-8))
             cc = jnp.einsum("...tn,kn->...tk", r, dct_m, precision=hp)
-            return jnp.swapaxes(out, -1, -2), jnp.swapaxes(cc, -1, -2)
-        return jnp.swapaxes(out, -1, -2)
+            return (_mask_cols(jnp.swapaxes(out, -1, -2), n_frames, t_valid),
+                    _mask_cols(jnp.swapaxes(cc, -1, -2), n_frames, t_valid))
+        return _mask_cols(jnp.swapaxes(out, -1, -2), n_frames, t_valid)
 
     out_specs = (P(batch_axis, None, time_axis),
                  P(batch_axis, None, time_axis)) if with_xxcc else \
         P(batch_axis, None, time_axis)
-    return jax.jit(jax.shard_map(
+    smapped = jax.shard_map(
         local_spec, mesh=mesh,
         in_specs=P(batch_axis, time_axis),
-        out_specs=out_specs))
+        out_specs=out_specs)
+
+    def run(x):
+        tv = valid_frames(x.shape[-1], fft_length, slide)
+        out = smapped(x)
+        if with_xxcc:
+            return out[0][..., :tv], out[1][..., :tv]
+        return out[..., :tv]
+
+    return jax.jit(run)

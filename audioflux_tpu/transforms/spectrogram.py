@@ -93,14 +93,16 @@ def xxcc_from_spec(m_data, dct_m, cc_num: int,
     over bands; returns (..., cc_num, T). Reference __spectrogramObj_xxcc
     (spectrogram_algorithm.c:1409-1477).
     """
-    x = jnp.swapaxes(jnp.asarray(m_data), -1, -2)  # (..., T, num)
-    if rectify == CepstralRectifyType.CUBIC_ROOT:
-        r = jnp.cbrt(x)
-    else:
-        r = jnp.log10(jnp.maximum(x, 1e-8))
-    cc = jnp.einsum("...tn,kn->...tk", r, dct_m[:cc_num],
-                    precision=_HIGHEST)
-    return jnp.swapaxes(cc, -1, -2)
+    from audioflux_tpu.observe import scope
+    with scope("af.xxcc"):
+        x = jnp.swapaxes(jnp.asarray(m_data), -1, -2)  # (..., T, num)
+        if rectify == CepstralRectifyType.CUBIC_ROOT:
+            r = jnp.cbrt(x)
+        else:
+            r = jnp.log10(jnp.maximum(x, 1e-8))
+        cc = jnp.einsum("...tn,kn->...tk", r, dct_m[:cc_num],
+                        precision=_HIGHEST)
+        return jnp.swapaxes(cc, -1, -2)
 
 
 class Spectrogram:
@@ -263,8 +265,11 @@ class Spectrogram:
         chroma_norm = self.chroma_data_normal_type
 
         def run(x):
-            frames = frame_signal(x, fft_length, slide)
-            S2 = _power_spec(frames, window, fft_length)  # (..., T, m_len)
+            from audioflux_tpu.observe import scope
+            with scope("af.frame"):
+                frames = frame_signal(x, fft_length, slide)
+            with scope("af.power_spec"):
+                S2 = _power_spec(frames, window, fft_length)  # (..., T, m)
 
             if scale == S.LINEAR:
                 if low_index == 0 and high_index == fft_length // 2:
@@ -299,7 +304,9 @@ class Spectrogram:
                     out = jnp.power(out, norm_value)
                 out = chroma_normalize(out, chroma_norm)
             else:
-                out = jnp.einsum("...tf,nf->...tn", Sx, fb, precision=_HIGHEST)
+                with scope("af.filterbank"):
+                    out = jnp.einsum("...tf,nf->...tn", Sx, fb,
+                                     precision=_HIGHEST)
                 if data_type == SpectralDataType.MAG and norm_value != 1:
                     out = jnp.power(out, norm_value)
             return jnp.swapaxes(out, -1, -2)

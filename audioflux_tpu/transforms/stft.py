@@ -29,12 +29,16 @@ __all__ = ["STFT", "stft", "istft"]
                                    "position", "mode"))
 def _stft_impl(x, window, *, fft_length, slide_length, is_pad,
                position, mode, value1=0.0, value2=0.0):
+    from audioflux_tpu.observe import scope
     if is_pad:
-        x = pad_signal(x, fft_length, slide_length,
-                       PaddingPositionType(position), PaddingModeType(mode),
-                       value1, value2)
-    frames = frame_signal(x, fft_length, slide_length)
-    spec = jnp.fft.rfft(frames * window, axis=-1)
+        with scope("af.pad"):
+            x = pad_signal(x, fft_length, slide_length,
+                           PaddingPositionType(position),
+                           PaddingModeType(mode), value1, value2)
+    with scope("af.frame"):
+        frames = frame_signal(x, fft_length, slide_length)
+    with scope("af.rfft"):
+        spec = jnp.fft.rfft(frames * window, axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # (..., fft//2+1, T)
 
 

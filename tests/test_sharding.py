@@ -37,11 +37,11 @@ def test_sharded_mel_equals_single(mesh, batch):
     fn = sharded_spectrogram_fn(plan, mesh, with_xxcc=13)
     xs = jax.device_put(batch, NamedSharding(mesh, P("data", "time")))
     spec, cc = fn(xs)
-    T = valid_frames(batch.shape[-1], FFT, SLIDE)
     ref_spec = np.asarray(plan.spectrogram(batch))
     ref_cc = np.asarray(plan.mfcc(ref_spec, 13))
-    np.testing.assert_array_equal(np.asarray(spec)[..., :T], ref_spec)
-    np.testing.assert_array_equal(np.asarray(cc)[..., :T], ref_cc)
+    # trimmed semantics: full-array equality, no caller-side slicing
+    np.testing.assert_array_equal(np.asarray(spec), ref_spec)
+    np.testing.assert_array_equal(np.asarray(cc), ref_cc)
 
 
 def test_sharded_stft_istft_roundtrip(mesh, batch):
@@ -61,10 +61,10 @@ def test_sharded_stft_matches_unsharded_frames(mesh, batch):
     win = get_fft_window(WindowType.HANN, FFT)
     stf = sharded_stft_fn(mesh, FFT, SLIDE, win)
     xs = jax.device_put(batch, NamedSharding(mesh, P("data", "time")))
-    D = np.asarray(stf(xs))  # (B, T, fre)
+    D = np.asarray(stf(xs))  # (B, T_valid, fre)
     ref = np.asarray(stft_fn(batch, FFT, SLIDE, window=win))  # (B, fre, T)
-    T = valid_frames(batch.shape[-1], FFT, SLIDE)
-    np.testing.assert_array_equal(D[:, :T].swapaxes(-1, -2), ref)
+    assert D.shape[1] == valid_frames(batch.shape[-1], FFT, SLIDE)
+    np.testing.assert_array_equal(D.swapaxes(-1, -2), ref)
 
 
 def test_sharded_spectral_stats():
@@ -102,7 +102,8 @@ def test_batch_runner(tmp_path):
     runner = BatchRunner(plan, mesh, clip_length=clip)
     out, good = runner.run_files(paths)
     assert good == 4
-    assert np.asarray(out).shape == (4, 32, clip // 256)
+    T = (clip - 1024) // 256 + 1  # trimmed to the unsharded frame count
+    assert np.asarray(out).shape == (4, 32, T)
 
 
 def test_sharded_fused_kernel_path():
@@ -124,3 +125,45 @@ def test_sharded_fused_kernel_path():
         1e-4 * np.max(np.abs(np.asarray(mel0))))
     assert np.max(np.abs(np.asarray(cc) - np.asarray(cc0))) <= (
         1e-4 * np.max(np.abs(np.asarray(cc0))))
+
+
+def test_batch_runner_resumable(tmp_path):
+    """Kill-and-resume: every file processed exactly once across runs."""
+    import numpy as np
+    from audioflux_tpu.parallel import make_mesh, BatchRunner
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+    from audioflux_tpu.io.wave import write as wav_write
+    mesh = make_mesh(data=2, time=4)
+    plan = MelSpectrogram(num=32, samplate=32000, radix2_exp=10,
+                          slide_length=256)
+    clip = 256 * 4 * 16
+    paths = []
+    for i in range(6):
+        t = np.arange(clip) / 32000
+        x = (0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        p = tmp_path / f"r{i}.wav"
+        wav_write(str(p), x, 32000)
+        paths.append(str(p))
+    runner = BatchRunner(plan, mesh, clip_length=clip)
+    out_dir = str(tmp_path / "out")
+    # simulated kill after 1 chunk of 2
+    n1, sk1 = runner.run_files_resumable(paths, out_dir, chunk_size=2,
+                                         max_chunks=1)
+    assert (n1, sk1) == (2, 0)
+    # "restart": a fresh runner resumes from the manifest
+    runner2 = BatchRunner(plan, mesh, clip_length=clip)
+    n2, sk2 = runner2.run_files_resumable(paths, out_dir, chunk_size=2)
+    assert (n2, sk2) == (4, 2)
+    import os, json
+    done = [json.loads(l)["path"]
+            for l in open(os.path.join(out_dir, "manifest.jsonl"))]
+    assert sorted(done) == sorted(paths)      # exactly once each
+    assert len(done) == len(set(done))
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0] + ".npy"
+        arr = np.load(os.path.join(out_dir, base))
+        T = (clip - 1024) // 256 + 1
+        assert arr.shape == (32, T)
+    # idempotent third run
+    n3, sk3 = runner2.run_files_resumable(paths, out_dir, chunk_size=2)
+    assert (n3, sk3) == (0, 6)
