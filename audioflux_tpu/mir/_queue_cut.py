@@ -7,6 +7,16 @@ port; fuzz-verified against the exported C symbol
 (tests/test_queue_util.py).  See ``_queue_util`` for the shared
 primitives and the C's out-of-bounds-read conventions (zeros past
 ``lenArr``, mirrored by ``_g``).
+
+Annotation note: the C source carries terse per-branch trace tags in a
+private shorthand (harmonic-slot signatures like ``1x23`` meaning
+"harmonics 1,2,3 present with a gap", arrows to the fundamental the
+rule resolves toward, e.g. a ~110 Hz open-string).  Those tags are the
+C author's expression and are NOT carried here; the behavior itself is
+locked down branch-for-branch by the ctypes fuzz rigs in
+``tests/test_queue_util.py`` (thousands of randomized cases per
+strategy vs the compiled reference), which are the ground truth for
+this port.
 """
 
 from __future__ import annotations
@@ -31,7 +41,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
 
     index1 = _max_index(d, length)
 
-    # 1x23 ->valid 234-6
     if ((abs(_g(d, 2) - _g(d, 3)) < 4 or _g(d, 2) > _g(d, 3))
             and _g(d, 2) > _g(d, 0) and _g(d, 2) > _g(d, 1)
             and _g(d, 3) > _g(d, 0) and _g(d, 3) > _g(d, 1)):
@@ -47,7 +56,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 elif _g(f, 0) < 100:
                     return _g(f, 2) / uk2
     elif (_g(d, 0) - _g(d, 1) > 12 and _g(d, 2) - _g(d, 1) > 12
-          and 160 < _g(f, 1) < 180):  # 1x23 ->valid-110
+          and 160 < _g(f, 1) < 180):
         _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
             _g(f, 0), _g(f, 2), _g(f, 3))
         if uk1 == 1 and uk2 == 2 and uk3 == 3:
@@ -58,18 +67,17 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if not _max_index(d, length):
             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(f, 0), _g(f, 2), _g(f, 3))
-            if uk1 == 1 and uk2 == 3 and uk3 == 4:  # 1x34 ->valid-110
+            if uk1 == 1 and uk2 == 3 and uk3 == 4:
                 if (abs(_fre * uk2 - _g(f, 2)) < 5
                         and abs(_fre * uk3 - _g(f, 3)) < 5):
                     if (_g(f, 0) * 2 - _g(f, 1)) < 15:
                         return _g(f, 2) / uk2
-            elif uk1 == 1 and uk2 == 4 and uk3 == 6:  # 1x46 ->valid-110
+            elif uk1 == 1 and uk2 == 4 and uk3 == 6:
                 if (abs(_fre * uk2 - _g(f, 2)) < 5
                         and abs(_fre * uk3 - _g(f, 3)) < 5):
                     if (_g(f, 0) * 2 - _g(f, 1)) < 15:
                         return _g(f, 2) / uk2
 
-    # 1234/2345/3456 & 23+67/23+56/12+67/12+56
     _, us1, us2, uk1, uk2, uk3 = queue_fre3(_g(f, 0), _g(f, 1), _g(f, 2))
     vs1 = vs2 = vk1 = vk2 = vk3 = 0
     if uk1:
@@ -79,9 +87,9 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             # C: `uk1>=1&uk1<=2&uk1+1==uk2` — bitwise & on 0/1 ints,
             # semantically the same conjunction here
             if ((uk1 >= 1) & (uk1 <= 2) & (uk1 + 1 == uk2)
-                    and uk2 + 1 == uk3 and uk3 + 1 == vk3):  # ->2345
+                    and uk2 + 1 == uk3 and uk3 + 1 == vk3):
                 fre = _g(f, 1) / uk2
-                if uk1 == 1:  # ->1234 cut_valid
+                if uk1 == 1:
                     if (_g(d, 0) > _g(d, 1)
                             and (_g(d, 1) > _g(d, 2)
                                  and _g(d, 1) > _g(d, 3))):
@@ -94,10 +102,10 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     else:
                         if (index1 == 1 and 190 < _g(f, index1) < 204
                                 and _g(d, 2) < _g(d, 0)
-                                and _g(h, 2) < 15):  # 234 ->197
+                                and _g(h, 2) < 15):
                             return _g(f, 1)
                         elif (index1 == 1 and 190 < _g(f, index1) < 204
-                              and _g(d, 1) - _g(d, 2) > 18):  # 234 ->197
+                              and _g(d, 1) - _g(d, 2) > 18):
                             count1 = queue_odd98(f3, d3, h3, ref_length, 0,
                                                  _g(f, 1) / 2)
                             if ((count1 >= 2 and ref_length < 10)
@@ -120,35 +128,35 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                                     flag1 = 1
                                 if not flag and not flag1:
                                     return _g(f, 1)
-                        elif 150 < _g(f, 0) < 180:  # 2468 ->80{75,90}
+                        elif 150 < _g(f, 0) < 180:
                             if queue_query2(f3, d3, h3, ref_length, 0,
                                             _g(f, 0) / 2, _g(f, 0), 1):
                                 return _g(f, 0) / 2
                 return fre
-            if uk1 == 2 and uk2 == 3 and uk3 == 4 and vk3 == 7:  # ->2347
+            if uk1 == 2 and uk2 == 3 and uk3 == 4 and vk3 == 7:
                 return _g(f, 0) / uk1
             if (uk1 == 1 and uk2 == 2 and uk3 == 3
-                    and vk1 == 4 and vk2 == 6 and vk3 == 7):  # ->2467
+                    and vk1 == 4 and vk2 == 6 and vk3 == 7):
                 if (_g(d, 0) > _g(d, 1) and _g(d, 1) > _g(d, 2)
                         and _g(d, 2) > _g(d, 3)
-                        and 100 < _g(f, 0) < 120):  # valid ->110
+                        and 100 < _g(f, 0) < 120):
                     fre = _g(f, 1) / 2
                 elif (index1 == 1 and _g(d, index1) - _g(d, 3) > 20
                       and _g(f, 1) < 190):
                     fre = _g(f, 1) / 2
                 elif (index1 in (1, 2) and _g(d, 1) - _g(d, 3) > 12
                       and _g(d, 2) - _g(d, 3) > 12
-                      and 150 < _g(f, 1) < 180):  # valid ->80, 2467,123x
+                      and 150 < _g(f, 1) < 180):
                     fre = _g(f, 1) / 2
                 else:
                     if (_g(d, 0) - _g(d, 3) > 20
                             and (_g(d, 1) - _g(d, 3) > 20
                                  or _g(d, 0) - _g(d, 1) > 20)):
-                        fre = _g(f, 0)  # valid ->246(7), 123x
+                        fre = _g(f, 0)
                     elif (_g(d, 0) - _g(d, 3) > 18
                           and _g(d, 1) - _g(d, 3) > 12
                           and _g(d, 2) > _g(d, 3)
-                          and _g(f, 0) > 220):  # ->247,123x
+                          and _g(f, 0) > 220):
                         fre = _g(f, 1) / 2
                     else:
                         fre = _g(f, 0) / 2
@@ -165,7 +173,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                      and vk1 == 3 and vk2 == 5 and vk3 == 6)
                         and _g(d, 1) > _g(d, 3) and _g(d, 3) > _g(d, 0)
                         and _g(d, 3) > _g(d, 2)
-                        and 140 < _g(f, 1) < 155):  # ->147
+                        and 140 < _g(f, 1) < 155):
                     fre = _g(f, 1)
                 else:
                     fre = _g(f, 0) / uk1
@@ -173,53 +181,52 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
 
     if (uk1 == 1 and uk2 == 2 and uk3 == 4
             and vk1 == 1 and vk2 == 2 and vk3 == 4
-            and index1 == 2 and 103 < _g(f, 1) < 120):  # ->110, n124,max-2
+            and index1 == 2 and 103 < _g(f, 1) < 120):
         return _g(f, 2) / 2
 
-    # x234 ->110 / 23xx ->80 / 12/1n ->329 / 1x23 ->147 / x123 ->246 ...
     if not uk1:
         _, ts1, ts2, tk1, tk2, tk3 = queue_fre3(
             _g(f, 1), _g(f, 2), _g(f, 3))
         if (tk1 == 2 and tk2 == 3 and tk3 == 4
-                and 100 < _g(f, 1) / 2 < 120):  # ->110
+                and 100 < _g(f, 1) / 2 < 120):
             return _g(f, 1) / 2
         if (tk1 == 1 and tk2 == 2 and tk3 == 3
-                and 100 < _g(f, 1) / 2 < 120):  # ->110
+                and 100 < _g(f, 1) / 2 < 120):
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
                             _g(f, 1), 0):
                 return _g(f, 1) / 2
         if (tk1 == 2 and tk2 == 4 and tk3 == 7
-                and 100 < _g(f, 1) / 2 < 120):  # ->110
+                and 100 < _g(f, 1) / 2 < 120):
             return _g(f, 1) / 2
         if (tk1 == 2 and tk2 == 3 and tk3 == 4 and index1 == 1
                 and 85 < _g(f, 0) < 95
-                and 150 < _g(f, 1) < 170):  # x234 ->80, 75~85
+                and 150 < _g(f, 1) < 170):
             return _g(f, 1) / 2
-        if index1 == 2 and _g(d, 2) - _g(d, 1) > 18:  # ->147
+        if index1 == 2 and _g(d, 2) - _g(d, 1) > 18:
             _, ts1, ts2, tk1, tk2, tk3 = queue_fre3(
                 _g(f, 0), _g(f, 2), _g(f, 3))
             if (tk1 == 1 and tk2 == 2 and tk3 == 3
                     and 140 < _g(f, 0) < 154):
                 return _g(f, 2) / 2
             if (tk1 == 1 and tk2 == 3 and tk3 == 4
-                    and _g(f, 2) > 200 and _g(f, 0) < 210):  # ->71
+                    and _g(f, 2) > 200 and _g(f, 0) < 210):
                 return _g(f, 0)
         if (tk1 == 1 and tk2 == 2 and tk3 == 4 and index1 == 3
-                and 220 < _g(f, 1) < 360):  # ->330, 124
+                and 220 < _g(f, 1) < 360):
             return _g(f, 2) / 2
         if (tk1 == 1 and tk2 == 2 and tk3 == 4 and index1 == 2
-                and 140 < _g(f, 2) / 2 < 155):  # ->147, 124
+                and 140 < _g(f, 2) / 2 < 155):
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 2) / 2,
                             _g(f, 2), 0):
                 return _g(f, 2) / 2
         if (tk1 == 1 and tk2 == 2 and tk3 == 4 and index1 == 2
-                and 105 < _g(f, 2) / 2 < 115):  # ->110, 124
+                and 105 < _g(f, 2) / 2 < 115):
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 2) / 2,
                             _g(f, 2), 0):
                 return _g(f, 2) / 2
         _, k1, k2 = queue_fre2(_g(f, 1), _g(f, 2))
         if (index1 == 2 and _g(d, 2) - _g(d, 1) > 18
-                and 300 < _g(f, 2) < 350):  # ->330
+                and 300 < _g(f, 2) < 350):
             _, _k1, _k2 = queue_fre2(_g(f, 0), _g(f, 2))
             if (_k1 == 1 and _k2 == 3
                     and abs(_g(f, 0) * 3 - _g(f, 2)) < 4):
@@ -234,7 +241,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     or 90 < _g(f, 0) < 100):
                 return _g(f, 1) / 2
         if (index1 == 0 and _g(d, 1) > _g(d, 3) and _g(d, 2) > _g(d, 3)
-                and 100 < _g(f, 2) / 3 < 120):  # 123 ->1x3
+                and 100 < _g(f, 2) / 3 < 120):
             _, k1, k2 = queue_fre2(_g(f, 0), _g(f, 1))
             if (k1 == 1 and k2 == 2
                     and abs(_g(f, 1) / 2 - _g(f, 0)) < 6):
@@ -242,7 +249,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if tq1 == 1 and tq2 == 3:
                     return _g(f, 2) / 3
         if (index1 == 0 and _g(d, 2) > _g(d, 1)
-                and _g(d, 3) > _g(d, 1)):  # ->110
+                and _g(d, 3) > _g(d, 1)):
             _, ts1, ts2, tk1, tk2, tk3 = queue_fre3(
                 _g(f, 0), _g(f, 2), _g(f, 3))
             if (tk1 == 1 and tk2 == 2 and tk3 == 3
@@ -250,15 +257,15 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, 0)
         if (index1 in (0, 1) and abs(_g(d, 0) - _g(d, 1)) < 3
                 and _g(d, 0) > _g(d, 2)
-                and _g(d, 1) > _g(d, 2)):  # ->110 deform
+                and _g(d, 1) > _g(d, 2)):
             if (110 < _g(f, 0) < 120 and 220 < _g(f, 1) < 240
                     and 315 < _g(f, 2) < 345 and 420 < _g(f, 3) < 460):
                 return _g(f, 2) / 3
         if (index1 == 1 and tk1 == 1 and tk2 == 2 and tk3 == 3
-                and 230 < _g(f, 2) / 2 < 255):  # ->246, x123
+                and 230 < _g(f, 2) / 2 < 255):
             return _g(f, 2) / 2
         if (index1 == 2 and tk1 == 1 and tk2 == 2 and tk3 in (4, 6)
-                and 95 < _g(f, 2) / 2 < 105):  # ->100, x124/x126
+                and 95 < _g(f, 2) / 2 < 105):
             flag = queue_valid98(f3, d3, h3, ref_length, 0,
                                  _g(f, 2) / 2, 1)
             if not flag and ref_length < 8:
@@ -267,7 +274,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     flag = 1
             return _g(f, 2) / 2 if flag else _g(f, 2)
         if (index1 == 1 and tk1 == 2 and tk2 == 3 and tk3 == 6
-                and 95 < _g(f, 1) / 2 < 105):  # ->100, x236
+                and 95 < _g(f, 1) / 2 < 105):
             flag = queue_valid98(f3, d3, h3, ref_length, 0,
                                  _g(f, 1) / 2, 1)
             count1 = queue_odd98(f3, d3, h3, ref_length, 0, _g(f, 1) / 2)
@@ -279,7 +286,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             return _g(f, 1) / 2 if (flag or count1 > 3) else _g(f, 1)
         if (index1 == 1 and tk1 == 2 and tk2 == 3 and tk3 == 4
                 and 95 < _g(f, 1) / 2 < 105
-                and _g(f, 0) < 100):  # ->100, x234
+                and _g(f, 0) < 100):
             flag = queue_valid98(f3, d3, h3, ref_length, 0,
                                  _g(f, 1) / 2, 1)
             if not flag and ref_length < 8:
@@ -289,7 +296,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             return _g(f, 1) / 2 if flag else _g(f, 3) / 2
         if (index1 == 1 and tk1 == 1 and tk2 == 2 and tk3 == 3
                 and 95 < _g(f, 1) / 2 < 105
-                and _g(f, 0) < 110):  # ->100, x246
+                and _g(f, 0) < 110):
             flag = queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
                                 _g(f, 1), 1)
             if flag:
@@ -308,7 +315,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     flag = 1
             return _g(f, 1) / 2 if flag else _g(f, 2) / 2
         if (index1 == 2 and not tk1 and 95 < _g(f, 2) / 2 < 105
-                and 95 < _g(f, 1) < 106):  # ->100, xx12
+                and 95 < _g(f, 1) < 106):
             _, _k1, _k2 = queue_fre2(_g(f, 2), _g(f, 3))
             if (_k1 == 1 and _k2 == 2
                     and abs(_g(f, 2) * 2 - _g(f, 3)) < 5):
@@ -321,7 +328,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, 2) / 2 if flag else _g(f, 3) / 2
         if (index1 == 1 and not tk1 and _g(f, 2) > _g(f, 0) * 6
                 and 95 < _g(f, 1) / 2 < 105
-                and 92 < _g(f, 0) < 106):  # ->100, 12nn
+                and 92 < _g(f, 0) < 106):
             _, _k1, _k2 = queue_fre2(_g(f, 0), _g(f, 1))
             if _k1 == 1 and _k2 == 2:
                 flag = queue_valid98(f3, d3, h3, ref_length, 0,
@@ -339,7 +346,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             flag = 1
                 return _g(f, 1) / 2 if flag else _g(f, 1)
         if (index1 == 1 and not tk1 and 95 < _g(f, 1) / 2 < 105
-                and 95 < _g(f, 0) < 106):  # ->100, x13n
+                and 95 < _g(f, 0) < 106):
             _, _k1, _k2 = queue_fre2(_g(f, 1), _g(f, 2))
             if (_k1 == 1 and _k2 == 3
                     and abs(_g(f, 1) * 3 - _g(f, 2)) < 8):
@@ -351,7 +358,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         flag = 1
                 return _g(f, 1) / 2 if flag else _g(f, 2) / 3
 
-    # !uk1 && !vk1 ->197, taylor
     if (not uk1 and not vk1 and index1 in (0, 1)
             and 179 < _g(f, 1) < 190 and 190 < _g(f, 2) / 2 < 205):
         _, k1, k2 = queue_fre2(_g(f, 2), _g(f, 3))
@@ -360,7 +366,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         elif k1 == 2 and k2 == 3 and abs(_g(f, 2) / 2 * 3 - _g(f, 3)) < 5:
             return _g(f, 2) / 2
 
-    # 1245 ->valid 197, ->110
     if (uk1 == 1 and uk2 == 2 and uk3 == 4
             and vk1 == 2 and vk2 == 4 and vk3 == 5):
         if index1 == 1 and 190 < _g(f, index1) < 204:
@@ -368,20 +373,18 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if index1 == 2 and 105 < _g(f, 1) / 2 < 115:
             return _g(f, 1) / 2
 
-    # 124, ->196, 124n, 4-max, ->110, 1246
     if uk1 == 1 and uk2 == 2 and uk3 == 4:
         if index1 == 2 and 185 < _g(f, 0) < 205:
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
                             _g(f, 1), 0):
                 return _g(f, 1) / 2
         if vk3 == 3 and index1 == 1 and 94 < _g(f, 0) < 120:
-            # ->110, 1246; ->100, 1246
             flag = queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
                                 _g(f, 1), 0)
             if flag:
-                if 207 < _g(f, 1) < 230:  # ->110, 1246
+                if 207 < _g(f, 1) < 230:
                     return _g(f, 1) / 2
-                else:  # ->100
+                else:
                     count1 = queue_odd98(f3, d3, h3, ref_length, 0,
                                          _g(f, 1) / 2)
                     if count1 >= 3:
@@ -406,38 +409,34 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if flag:
                 return _g(f, 1) / 2
 
-    # 124 ->valid 110
     if (uk1 == 1 and uk2 == 2 and uk3 == 4
             and not (vk1 == 2 and vk2 == 4 and vk3 == 5)):
         if (index1 == 1 and _g(d, 1) - _g(d, 0) > 15
                 and 100 < _g(f, index1) < 120):
             return _g(f, 2) / 2
 
-    # 123n ->100
     if (uk1 == 1 and uk2 == 2 and uk3 == 3
             and ((_g(d, 1) - _g(d, 0) < 6 and _g(d, 1) - _g(d, 2) > 8)
                  or (_g(d, 0) - _g(d, 1) > 5 and _g(d, 1) > _g(d, 2)))
             and 95 < _g(f, 0) < 105):
         return _g(f, 1) / 2
 
-    # 124/126/136/123 ->valid 1:2,1:3, ->220, ->98, ->294, ->147
-    # 124n/126n ->valid 1:2, 110, 98
     if uk1 == 1 and uk2 == 2 and uk3 in (4, 6) and index1 == 1:
         if (vk1 == 2 and vk2 == 4 and vk3 == 5
                 and abs(_g(f, 0) * 2 - _g(f, 1)) < 5 and _g(f, 0) < 95
                 and _g(d, 1) - _g(d, 0) < 12 and _g(d, 0) > _g(d, 2)
-                and _g(d, 0) > _g(d, 3)):  # 1245 ->70~95
+                and _g(d, 0) > _g(d, 3)):
             return _g(f, 1) / 2
         if (vk1 == 1 and vk2 == 2 and _g(d, 1) - _g(d, 0) > 24
-                and 190 < _g(f, 1) < 205):  # 1246/124-12, max-1, ->196
+                and 190 < _g(f, 1) < 205):
             return _g(f, 2) / 2
-        if 140 < _g(f, 1) / 2 < 155:  # ->147
+        if 140 < _g(f, 1) / 2 < 155:
             return _g(f, 1) / 2
-        elif 190 < _g(f, 1) / 2 < 205:  # ->196
+        elif 190 < _g(f, 1) / 2 < 205:
             return _g(f, 1) / 2
         flag = 0
         flag1 = 0
-        if 105 < _g(f, 1) / 2 < 115:  # ->110
+        if 105 < _g(f, 1) / 2 < 115:
             flag = 1
         elif 240 < _g(f, 1) / 2 < 255:
             flag = 1
@@ -461,7 +460,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         else:
             flag = queue_query2(f3, d3, h3, ref_length, 0, _fre,
                                 _fre * 2, 0 if flag else 1)
-        if not flag and cut_len < 6 and 105 < _g(f, 1) / 2 < 115:  # ->110
+        if not flag and cut_len < 6 and 105 < _g(f, 1) / 2 < 115:
             flag = queue_count(f3, d3, h3, ref_length, 0, _g(f, 1) * 7,
                                _fre, 0)
         if flag or flag1:
@@ -469,23 +468,21 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         else:
             return _g(f, 2) / (uk3 // 2)
 
-    # 136n ->valid 1:3, !98{95,105}, 147->294->98
     if uk1 == 1 and uk2 == 3 and uk3 == 6 and 95 < _g(f, 0) < 105:
         if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
-                        _g(f, 1), 1):  # ->147
+                        _g(f, 1), 1):
             return _g(f, 1) / 2
         elif queue_query3(f3, d3, h3, ref_length, 0, _g(f, 0),
-                          _g(f, 1), 1):  # ->98
+                          _g(f, 1), 1):
             return _g(f, 1) / 3
-        else:  # ->294
+        else:
             return _g(f, 2) / 2
 
-    # 123n ->valid 1:3, ->98,->147,->196,->294
     if uk1 == 1 and uk2 == 2 and uk3 == 3 and 280 < _g(f, 2) < 310:
         count1 = queue_odd98(f3, d3, h3, ref_length, 0, _g(f, 1) / 2)
         flag = queue_query3(f3, d3, h3, ref_length, 0, _g(f, 0),
                             _g(f, 2), 1)
-        if flag or index1 == 1:  # ->98/196
+        if flag or index1 == 1:
             flag = queue_valid98(f3, d3, h3, ref_length, 0,
                                  _g(f, 1) / 2, 1)
             flag1 = 0
@@ -502,31 +499,28 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         and (_g(d, 2) - _g(d, 3) > 2
                              or (_g(d, 2) > _g(d, 3)
                                  and abs(_g(f3, 2) - _g(f, 2))
-                                 < 10)))):  # ->98
+                                 < 10)))):
                 return _g(f, 1) / 2
-            else:  # ->196
+            else:
                 return _g(f, 1)
-        else:  # ->294
+        else:
             return _g(f, 2)
 
-    # 236n ->valid 1:3
     if (uk1 == 2 and uk2 == 3 and uk3 == 6 and index1 >= 1
             and _g(d, index1) - _g(d, 1) < 3 and _g(d, 1) > _g(d, 0)
             and 95 < _g(f, 0) / 2 < 105):
         if queue_query3(f3, d3, h3, ref_length, 0, _g(f, 0) / 2,
-                        _g(f, 1), 1):  # ->98
+                        _g(f, 1), 1):
             return _g(f, 0) / 2
-        else:  # ->294
+        else:
             return _g(f, 2) / 2
 
-    # !uk1&&!vk1 ->294, x23x
     if (not uk1 and not vk1 and index1 == 1
             and 280 < _g(f, 1) / 2 < 310):
         _, k1, k2 = queue_fre2(_g(f, 1), _g(f, 2))
         if k1 == 2 and k2 == 3 and abs(_g(f, 1) / 2 * 3 - _g(f, 2)) < 5:
             return _g(f, 1) / 2
 
-    # ->294, x236
     if (index1 <= 2 and 280 < _g(f, index1) < 310
             and 280 < _g(f, index1 + 1) / 2 < 310):
         if index1 == 2 and 140 < _g(f, 1) < 155:
@@ -537,13 +531,11 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if count >= 2:
                 return _g(f, index1 + 1) / 2
 
-    # 1367 ->valid 110, ->82
     if (uk1 == 1 and uk2 == 3 and uk3 == 6
             and vk1 == 3 and vk2 == 6 and vk3 == 7):
         if 75 < _g(f, 0) < 90:
             return _g(f, 1) / 3
 
-    # 245x ->valid 197, 147,2457
     if uk1 == 2 and uk2 == 4 and uk3 == 5:
         if index1 == 0 and 190 < _g(f, index1) < 204:
             _flag = 0
@@ -552,10 +544,9 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     _flag = 1
                     break
             return _g(f, 0) / 2 if _flag else _g(f, 0)
-        elif 280 < _g(f, 0) < 310:  # 147, 2457
+        elif 280 < _g(f, 0) < 310:
             return _g(f, 0) / 2
 
-    # 145-8, valid-> 80 {75,90},1457
     if uk1 == 1 and uk2 == 4 and uk3 == 5:
         if index1 == 0 and 150 < _g(f, 0) < 180:
             if queue_query2(f3, d3, h3, ref_length, 0,
@@ -564,7 +555,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if _g(d, 0) - _g(d, 1) > 15:
             return _g(f, 0)
 
-    # 1246 ->valid-197
     if uk1 == 1 and uk2 == 2 and uk3 == 4 and vk3 == 3:
         if 190 < _g(f, 1) < 204 and _g(d, 0) - _g(d, 1) < 3:
             if abs(_g(f, 0) * 2 - _g(f, 1)) < 5:
@@ -585,7 +575,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             else:
                 return _g(f, 2) / 2
 
-    # 124-12 ->valid-197
     if uk1 == 1 and uk2 == 2 and uk3 == 4 and vk3 == 6:
         if 190 < _g(f, 1) < 204:
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 1) / 2,
@@ -594,7 +583,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             else:
                 return _g(f, 2) / 2
 
-    # 146 ->196, x23
     if uk1 == 1 and uk2 == 4 and uk3 == 6:
         if 190 < _g(f, 1) / 2 < 204:
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 0),
@@ -603,14 +591,13 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             else:
                 return _g(f, 1) / 2
 
-    # 1236/1246 ->cut_valid, valid 80{75,90}
     if ((uk1 == 1 and uk2 == 2 and uk3 == 3 and vk3 == 6)
             or (uk1 == 1 and uk2 == 2 and uk3 == 4 and vk3 == 3)):
-        if 75 < _g(f, 0) < 90 and uk3 == 3:  # ->82, 1236
+        if 75 < _g(f, 0) < 90 and uk3 == 3:
             return _g(f, 1) / 2
         if (95 < _g(f, 0) < 105 and uk3 == 3
-                and index1 in (2, 3)):  # ->!98, 1236,xx12
-            if index1 == 2 and 280 < _g(f, 2) < 310:  # ->147
+                and index1 in (2, 3)):
+            if index1 == 2 and 280 < _g(f, 2) < 310:
                 if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 2) / 2,
                                 _g(f, 2), 0):
                     return _g(f, 2) / 2
@@ -627,28 +614,28 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 and (_g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3))):
             return queue_cut_valid(f, d, length, 0, 0, f2, d2, length2,
                                    f3, d3, ref_length)
-        else:  # valid ->110, ->80, ->197, x2x6, ->330, 1236, ->147
+        else:
             _index = _max_index(d, length)
             if (_index == 2 and uk3 == 3 and _g(d, 3) > _g(d, 0)
                     and _g(d, 3) > _g(d, 1)
-                    and 190 < _g(f, 2) < 204):  # ->197
+                    and 190 < _g(f, 2) < 204):
                 return _g(f, 2)
             if (_index in (1, 2) and uk3 == 3
-                    and 130 < _g(f, 1) < 180):  # ->80
+                    and 130 < _g(f, 1) < 180):
                 return _g(f, 1) / 2
             if (_index == 2 and _g(d, 2) - _g(d, 1) > 18
-                    and uk3 == 3):  # ->330
+                    and uk3 == 3):
                 if queue_query3(f3, d3, h3, ref_length, 0, _g(f, 2) / 3,
                                 _g(f, 2), 0):
                     return _g(f, 2) / 3
                 else:
                     return _g(f, 2)
             if (uk3 == 3 and index1 == 2
-                    and 280 < _g(f, 2) < 310):  # ->147
+                    and 280 < _g(f, 2) < 310):
                 if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 2) / 2,
                                 _g(f, 2), 0):
                     return _g(f, 2) / 2
-            if index1 == 1 and uk3 == 4:  # ->110, 1246,x246
+            if index1 == 1 and uk3 == 4:
                 flag = queue_query2(f3, d3, h3, ref_length, 0,
                                     _g(f, 1) / 2, _g(f, 1), 0)
                 if (not flag and _g(d, 1) - _g(d, 0) < 2
@@ -657,189 +644,176 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, 1) / 2 if flag else _g(f, 2) / 2
             if ((_g(d, 0) > _g(d, 1) or _g(d, 1) - _g(d, 0) < 3)
                     and (_g(d, 2) - _g(d, 1) > -10 if uk3 == 3 else True)
-                    and 100 < _g(f, 0) < 120):  # ->110
+                    and 100 < _g(f, 0) < 120):
                 return _g(f, 1) / 2
             if (186 < _g(f, 0) < 206 and _g(d, 1) > _g(d, 0)
-                    and _g(d, 1) > _g(d, 2) and uk3 == 3):  # ->196, 1236
+                    and _g(d, 1) > _g(d, 2) and uk3 == 3):
                 return _g(f, 1) / 2
 
-    # 247/2478 ->cut_valid
     if (uk1 == 2 and uk2 == 4 and uk3 == 7
             and abs(_g(f, 0) / 2 * 7 - _g(f, 2)) < 10):
         if (_g(d, 0) > _g(d, 1)
                 and (_g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3))
-                and _g(d, 0) - _g(d, 2) > 20):  # valid 24(7),12x
+                and _g(d, 0) - _g(d, 2) > 20):
             return _g(f, 0)
         if (_g(d, 0) > _g(d, 1)
                 and (_g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3))):
             return queue_cut_valid(f, d, length, 1, 0, f2, d2, length2,
                                    f3, d3, ref_length)
 
-    # 236 ->max0/2times valid ->147, 2369, ->197, ->80, ->71, ...
     if uk1 == 2 and uk2 == 3 and uk3 == 6:
         _index = _max_index(d, length)
-        if 130 < _g(f, 1) < 160:  # ->147
+        if 130 < _g(f, 1) < 160:
             return _g(f, 1)
         if (_index == 0
                 and (_g(d, 2) > _g(d, 1)
                      or (_g(d, 0) - _g(d, 1) > 14 and _g(h, 1) < 20))
-                and 190 < _g(f, 0) < 204):  # ->197
+                and 190 < _g(f, 0) < 204):
             return _g(f, 0)
-        if _index == 1 and 190 < _g(f, 1) < 204:  # ->197
+        if _index == 1 and 190 < _g(f, 1) < 204:
             return _g(f, 2) / 2
-        if _index == 2 and 190 < _g(f, 2) / 2 < 204:  # ->197
+        if _index == 2 and 190 < _g(f, 2) / 2 < 204:
             return _g(f, 2) / 2
         if (_index == 2 and _g(d, 1) > _g(d, 0)
                 and _g(d, 2) - _g(d, 1) > 18
-                and 190 < _g(f, 2) < 204):  # ->197, x124
+                and 190 < _g(f, 2) < 204):
             return _g(f, 3) / 2
         if (_index == 1 and _g(d, 1) - _g(d, 0) > 18
-                and 240 < _g(f, 2) / 2 < 255):  # ->247, x12
+                and 240 < _g(f, 2) / 2 < 255):
             return _g(f, 2) / 2
-        if 130 < _g(f, 0) < 160:  # ->80
+        if 130 < _g(f, 0) < 160:
             return _g(f, 0) / 2
         if (_index == 2 and vk3 == 3
-                and 100 < _g(f, 2) / 2 < 120):  # ->110, 2369,x123
+                and 100 < _g(f, 2) / 2 < 120):
             return _g(f, 2) / 2
-        if 65 < _g(f, 0) < 75:  # ->71
+        if 65 < _g(f, 0) < 75:
             return _g(f, 0)
         if (_g(d, 0) - _g(d, 1) > 24 and _g(d, 2) > _g(d, 1)
-                and _g(f, 0) > 220):  # ->247, 1x3
+                and _g(f, 0) > 220):
             return _g(f, 0)
         if (_g(d, 0) - _g(d, 1) > 12 and _g(f, 0) > 220
-                and light > 0.98):  # ->247, 1x3
+                and light > 0.98):
             return _g(f, 0)
         if (_index == 1 and _g(d, 1) - _g(d, 0) > 8 and _g(f, 1) > 300
                 and _g(h, 0) < 15 and light > 0.98
-                and ref_length < 6):  # ->329, x12
+                and ref_length < 6):
             return _g(f, 1)
         if _index == 0:
             return _g(f, 0) / uk1
 
-    # 3469/369-10/369-11 ->330, valid ->110, valid ->246
     if uk1 == 3 and uk2 == 4 and uk3 == 6 and vk3 == 9:
-        if ref_length > 9 and _g(f, 0) > 800:  # ->330
+        if ref_length > 9 and _g(f, 0) > 800:
             fre = _g(f, 0) / uk1
-        elif 100 < _g(f, 0) < 120:  # ->110
+        elif 100 < _g(f, 0) < 120:
             fre = _g(f, 2) / 2
         elif (index1 == 0 and _g(d, 2) > _g(d, 1)
-              and 240 < _g(f, 0) < 255):  # ->246
+              and 240 < _g(f, 0) < 255):
             fre = _g(f, 2) / 2
         return fre
 
-    # 69-11+458 ->196
     if (uk1 == 6 and uk2 == 9 and vk1 == 4 and vk2 == 5 and vk3 == 8
             and index1 == 1 and 190 < _g(f, 1) < 205):
         return _g(f, 3) / 2
 
-    # 3467/3468 ->82, 70~90
     if uk1 == 3 and uk2 == 4 and uk3 == 6 and vk3 in (7, 4):
         if 210 < _g(f, 0) < 270:
             return _g(f, 0) / uk1
 
-    # 346 ->246, ->67, ->196
     if uk1 == 3 and uk2 == 4 and uk3 == 6:
         if (index1 == 0 and _g(d, 2) > _g(d, 1)
-                and 240 < _g(f, 0) < 255):  # ->246
+                and 240 < _g(f, 0) < 255):
             return _g(f, 2) / 2
         if (index1 == 0 and _g(d, 1) > _g(d, 2)
-                and 195 < _g(f, 0) < 225):  # ->67
+                and 195 < _g(f, 0) < 225):
             return _g(f, 0) / uk1
         if (index1 == 2 and 190 < _g(f, 2) < 205 and vk3 != 7):
             return _g(f, 2)
 
-    # 679-12 ->valid 110, 2x34
     if uk1 == 6 and uk2 == 7 and uk3 == 9 and vk3 == 12:
         if index1 == 0 and 200 < _g(f, 0) < 240:
             return _g(f, 0) / 2
 
-    # 3679 ->valid-110
     if uk1 == 3 and uk2 == 6 and uk3 == 7 and vk3 == 9:
         if (_g(d, 0) > _g(d, 1) and _g(d, 1) > _g(d, 2)
                 and (_g(d, 3) > _g(d, 2)
                      or _g(d, 1) - _g(d, 2) > 12)):
             return _g(f, 0)
 
-    # 367 ->valid-210, ->valid 197, ->110, ->247, 12x ->329, 12x
     if uk1 == 3 and uk2 == 6 and uk3 == 7:
         if (_g(d, 0) - _g(d, 2) > 18
-                and 190 < _g(f, 0) < 204):  # valid ->197
+                and 190 < _g(f, 0) < 204):
             return _g(f, 0)
-        if (_g(d, 1) - _g(d, 2) > 18 and 200 < _g(f, 1) < 240):  # ->110
+        if (_g(d, 1) - _g(d, 2) > 18 and 200 < _g(f, 1) < 240):
             return _g(f, 1) / 2
         if (_g(d, 0) > _g(d, 1) and _g(d, 1) > _g(d, 2)
-                and 100 < _g(f, 0) < 120 and ref_length > 6):  # ->110 >6
+                and 100 < _g(f, 0) < 120 and ref_length > 6):
             return _g(f, 1) / 2
         if (_g(d, 0) - _g(d, 1) > 18 and _g(d, 1) > _g(d, 2)
                 and _g(d, 1) > _g(d, 3) and _g(f, 0) > 220
-                and ref_length < 5):  # ->247, 12x
+                and ref_length < 5):
             return _g(f, 0)
         if (_g(d, 0) - _g(d, 2) > 18 and _g(d, 1) - _g(d, 2) > 10
                 and _g(d, 1) - _g(d, 3) > 10 and _g(f, 0) > 220
-                and light > 0.98 and ref_length < 5):  # ->247, 12x
+                and light > 0.98 and ref_length < 5):
             return _g(f, 0)
         if (_g(d, 0) - _g(d, 2) > 20 and _g(d, 1) - _g(d, 2) > 18
                 and _g(f, 0) > 300 and light > 0.98
-                and ref_length < 6):  # ->329, 12x
+                and ref_length < 6):
             return _g(f, 0)
-        if (_g(d, 0) > _g(d, 1) and _g(d, 1) - _g(d, 2) > 20):  # ->246
+        if (_g(d, 0) > _g(d, 1) and _g(d, 1) - _g(d, 2) > 20):
             return _g(f, 1) / 2
         if (_g(d, 0) > _g(d, 1) and _g(d, 1) > _g(d, 2)
                 and _g(d, 1) > _g(d, 3)):
             return _g(f, 0) / uk1
 
-    # 367 ->low-40, valid ->197, ->110 / 368 variant
     if uk1 == 3 and uk2 == 6 and uk3 == 7:
         if (_g(d, 0) - _g(d, 2) > 18
-                and 190 < _g(f, 0) < 204):  # valid ->197
+                and 190 < _g(f, 0) < 204):
             return _g(f, 0)
         if (ref_length < 5 and _g(d, 0) > _g(d, 1)
                 and _g(d, 0) > _g(d, 2)):
             return _g(f, 0) / uk1
         if ((vk3 == 9 or 300 < _g(f, 3) < 360) and index1 == 1
-                and 200 < _g(f, 1) < 240):  # valid ->110
+                and 200 < _g(f, 1) < 240):
             return _g(f, 0)
-    elif uk1 == 3 and uk2 == 6 and uk3 == 8:  # 368 ->low-40, ->110
+    elif uk1 == 3 and uk2 == 6 and uk3 == 8:
         if (_g(d, 0) - _g(d, 2) > 18
-                and 190 < _g(f, 0) < 204):  # valid ->197
+                and 190 < _g(f, 0) < 204):
             return _g(f, 0)
         if (index1 == 1 and _g(d, 1) - _g(d, 2) > 18
-                and 100 < _g(f, 1) / 2 < 120):  # ->110, 3689,12x3
+                and 100 < _g(f, 1) / 2 < 120):
             return _g(f, 1) / 2
         if (ref_length < 5 and _g(d, 0) > _g(d, 1)
                 and _g(d, 0) > _g(d, 2)
                 and _g(d, 1) - _g(d, 2) < 12):
             return _g(f, 0) / uk1
 
-    # 356 ->330
     if uk1 == 3 and uk2 == 5 and uk3 == 6:
         if 300 < _g(f, 0) / 3 < 360 and ref_length > 5:
             return _g(f, 0) / 3
 
-    # valid 1246 ->nex, valid ->110/74/80/246
     if (uk1 == 1 and uk2 == 2 and uk3 == 4
             and vk1 == 1 and vk2 == 2 and vk3 == 3):
         if (_g(d, 1) > _g(d, 2) and _g(d, 2) > _g(d, 3)
                 and _g(d, 3) > _g(d, 0)
-                and 50 < _g(f, 0) < 60):  # valid ->110
+                and 50 < _g(f, 0) < 60):
             return _g(f, 2) / 2
-        elif _g(f, 0) < 80:  # area ->74, valid ->110
+        elif _g(f, 0) < 80:
             fre = _g(f, 0)
             if _g(f, 0) < 60:
                 fre = _g(f, 2) / 2
             return fre
         else:
-            if _g(d, 0) - _g(d, 1) > 15:  # valid-110
+            if _g(d, 0) - _g(d, 1) > 15:
                 return _g(f, 0)
         if index1 == 1 and 75 < _g(f, 0) < 90:
             if queue_query2(f3, d3, h3, ref_length, 0,
                             _g(f, index1) / 2, _g(f, index1), 1):
                 return _g(f, index1) / 2
-        if index1 == 1 and 240 < _g(f, 1) < 255:  # valid ->246
+        if index1 == 1 and 240 < _g(f, 1) < 255:
             return _g(f, 2) / 2
         return 0.0  # C sets *valid=1 here
 
-    # 1369
     if (uk1 == 1 and uk2 == 3 and uk3 == 6
             and vk1 == 1 and vk2 == 2 and vk3 == 3):
         _index = _max_index([_g(d, j) for j in range(1, max(length, 2))],
@@ -847,7 +821,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if _g(d, 0) - _g(d, _index + 1) > 10:
             return _g(f, 0)
 
-    # valid 234 ->cut_valid low50~60, ->80
     if uk1 == 2 and uk2 == 3 and uk3 == 4:
         if 150 < _g(f, 1) < 180:
             if ((abs(_g(d, 0) - _g(d, 1)) < 10
@@ -868,16 +841,16 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, 0) / 2
             else:
                 return _g(f, 0)
-        elif 200 < _g(f, 0) < 240:  # valid-110
+        elif 200 < _g(f, 0) < 240:
             return _g(f, 0) / uk1
         if (index1 == 2 and _g(d, 0) > _g(d, 1)
-                and 75 < _g(f, 0) < 90):  # ->80,2x4
+                and 75 < _g(f, 0) < 90):
             return _g(f, 2) / 2
         if (index1 in (0, 1) and _g(d, index1) > _g(d, 2)
                 and _g(d, index1) > _g(d, 3)
-                and 150 < _g(f, 0) < 180):  # ->80, 234
+                and 150 < _g(f, 0) < 180):
             return _g(f, 0) / 2
-    elif vk1 == 2 and vk2 == 3:  # valid ->80, ->197,x236(146-12),max-3
+    elif vk1 == 2 and vk2 == 3:
         _index = _max_index(d, length)
         if (_index == 1 and _g(d, 0) - _g(d, 2) < 3
                 and 120 < _g(f, 1) < 180):
@@ -885,17 +858,16 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if (uk2 == 4 and _g(d, 1) - _g(d, 0) > 18
                 and 120 < _g(f, 1) < 180):
             return _g(f, 1) / 2
-        if (_index in (1, 2) and 190 < _g(f, 1) / 2 < 204):  # ->197
+        if (_index in (1, 2) and 190 < _g(f, 1) / 2 < 204):
             return _g(f, 1) / 2
 
-    # valid ->71, valid ->110, valid ->197
     if index1 == 1:
         _index = _max_index(d, length)
         _, ts1, ts2, tk1, tk2, tk3 = queue_fre3(
             _g(f, 1), _g(f, 2), _g(f, 3))
         _, k1, k2 = queue_fre2(_g(f, 1), _g(f, 2))
         if ((tk1 == 1 or k1 == 1) and _g(d, 1) > _g(d, 0)
-                and 190 < _g(f, 1) < 204):  # x-1nn ->valid-197
+                and 190 < _g(f, 1) < 204):
             if abs(_g(f, 0) * 2 - _g(f, 1)) < 4:
                 return queue_cut_valid(
                     [_g(f, j) for j in range(1, max(length, 1))],
@@ -904,37 +876,36 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             else:
                 if _g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3):
                     return _g(f, 1)
-        if tk1 == 2 and tk2 == 3 and tk3 == 4:  # x-234 ->valid-197/2
+        if tk1 == 2 and tk2 == 3 and tk3 == 4:
             if (190 < _g(f, 1) < 204 and _index == 1
                     and _g(d, 3) - _g(d, 2) < 6 and _g(h, 2) > 18):
                 return _g(f, 1) / 2
-        if tk1 == 2 and tk2 == 3 and tk3 == 4:  # x-234 ->valid-110
+        if tk1 == 2 and tk2 == 3 and tk3 == 4:
             if 210 < _g(f, 1) < 230:
                 return _g(f, 1) / 2
         if (k1 == 3 and k2 == 4 and 195 < _g(f, 1) < 225
-                and abs(_g(f, 1) / 3 * 4 - _g(f, 2)) < 4):  # valid ->71
+                and abs(_g(f, 1) / 3 * 4 - _g(f, 2)) < 4):
             if (index1 == 1 and _g(d, 1) - _g(d, 2) > 24
                     and 95 < _g(f, 0) < 103):
                 return _g(f, 1)
             return _g(f, 1) / k1
-        if tk1 == 3 and tk2 == 4 and tk3 == 6:  # x-346 ->cut_valid-58
+        if tk1 == 3 and tk2 == 4 and tk3 == 6:
             if (_g(d, 2) > _g(d, 0) and _g(d, 2) > _g(d, 1)
                     and _g(d, 3) > _g(d, 0) and _g(d, 3) > _g(d, 1)
                     and 150 < _g(f, 1) < 180):
                 return _g(f, 1) / tk1
 
-    # valid 2346 ->nex & area-74, ->110/197/80/147
     if (uk1 == 2 and uk2 == 3 and uk3 == 4
             and vk1 == 3 and vk2 == 4 and vk3 == 6):
         _index = _max_index(d, length)
-        if ref_length > 6:  # ->147, 2346,x3x6-9; 2346,2x46
+        if ref_length > 6:
             if (_index == 3 and 280 < _g(f, 2) < 310
                     and _g(d, 0) - _g(d, 1) > 12
-                    and _g(d, 2) - _g(d, 1) > 12):  # 2x46 ->1x23
+                    and _g(d, 2) - _g(d, 1) > 12):
                 return _g(f, 2) / 2
             # C computes maxIndex(dbArr2+4) here but never uses it
             if (280 < _g(f, 3) < 310 and 280 < _g(f2, 3) < 310
-                    and _g(d, 3) > _g(d, 2)):  # x3x6 ->x1x2-3
+                    and _g(d, 3) > _g(d, 2)):
                 if _index == 1:
                     return _g(f, 3) / 2
                 _fre = 0.0
@@ -948,7 +919,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         return _g(f, 3) / 2
         if (_g(d, 1) - _g(d, 0) > 12 and _g(d, 1) - _g(d, 2) > 12
                 and _g(d, 3) - _g(d, 0) > 12
-                and _g(d, 3) - _g(d, 2) > 12):  # valid ->196, 2346,x3x6
+                and _g(d, 3) - _g(d, 2) > 12):
             return _g(f, 3) / 2
         if (_index == 3
                 or (_index == 0 and _g(d, 0) - _g(d, 3) < 2)):
@@ -961,27 +932,26 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if (_g(d, 0) > _g(d, 2) and _g(d, 0) > _g(d, 3)
                 and _g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3)):
             if (abs(_g(f, 0) / 2 * 3 - _g(f, 1)) < 4
-                    and 210 < _g(f, 0) < 230):  # ->110
+                    and 210 < _g(f, 0) < 230):
                 return _g(f, 0) / 2
         if (not index1 and 150 < _g(f, 0) < 170
-                and _g(d, 1) > _g(d, 2)):  # ->80
+                and _g(d, 1) > _g(d, 2)):
             return _g(f, 0) / 2
         if (index1 == 2 and 150 < _g(f, 2) < 170
                 and _g(d, 0) > _g(d, 1)
-                and _g(d, 2) - _g(d, 1) > 15):  # ->80
+                and _g(d, 2) - _g(d, 1) > 15):
             return _g(f, 2) / 2
         if (index1 == 3 and 150 < _g(f, 2) < 170
-                and _g(d, 2) > _g(d, 0) and _g(d, 0) > _g(d, 1)):  # ->80
+                and _g(d, 2) > _g(d, 0) and _g(d, 0) > _g(d, 1)):
             return _g(f, 2) / 2
         if (_g(d, 0) - _g(d, 1) > 18
-                and 190 < _g(f, 0) < 204):  # ->197
+                and 190 < _g(f, 0) < 204):
             return _g(f, 0)
         if (index1 == 3 and 230 < _g(f, index1) < 260
-                and _g(d, 2) > _g(d, 0) and _g(d, 2) > _g(d, 1)):  # ->80
+                and _g(d, 2) > _g(d, 0) and _g(d, 2) > _g(d, 1)):
             return _g(f, 2) / 2
         return 0.0  # C sets *valid=1 here
 
-    # 1237 ->100
     if (uk1 == 1 and uk2 == 2 and uk3 == 3
             and vk1 == 2 and vk2 == 3 and vk3 == 7):
         if (index1 == 1 and _g(d, 0) > _g(d, 2)
@@ -990,17 +960,16 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if abs(_g(f, 3) - _g(f3, i)) < 2:
                     return _g(f, 1) / 2
 
-    # valid 123/124 ->valid 58/80/197/110/147, 1236,xx12
     if uk1 == 1 and uk2 == 2 and uk3 in (3, 4):
-        if index1 == 1 and 60 < _g(f, 0) < 85:  # ->80
+        if index1 == 1 and 60 < _g(f, 0) < 85:
             return _g(f, 1) / 2
         if (uk3 == 3 and 190 < _g(f, 0) < 204
-                and _g(d, 1) - _g(d, 0) < 3):  # ->197
+                and _g(d, 1) - _g(d, 0) < 3):
             return _g(f, 0)
         if (not index1 and uk3 == 3
-                and 200 < _g(f, 1) < 240):  # ->110
+                and 200 < _g(f, 1) < 240):
             return _g(f, 1) / 2
-        if (150 < _g(f, index1) < 170 and ref_length > 5):  # ->80
+        if (150 < _g(f, index1) < 170 and ref_length > 5):
             for i in range(ref_length - 2):
                 if _g(f3, i) > _g(f, index1):
                     _fre, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
@@ -1011,7 +980,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         if k1 == 1 and k2 == 2:
                             return _g(f, index1) / 2
         if (uk3 == 3 and index1 == 2
-                and 280 < _g(f, 2) < 310):  # ->147
+                and 280 < _g(f, 2) < 310):
             if queue_query2(f3, d3, h3, ref_length, 0, _g(f, 2) / 2,
                             _g(f, 2), 0):
                 return _g(f, 2) / 2
@@ -1036,15 +1005,14 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 fre = _g(f, 1) / 2
             return fre
 
-    # area ->74 1346/146/346; 5string ->110, 346; ->147/196
     if uk1 == 1 and uk2 == 3 and uk3 == 4 and vk3 == 6:
         _index = _max_index(d, length)
         if _index == 3:
             fre = _g(f, 0) / uk1
-            if 190 < _g(f, 3) < 205:  # ->196
+            if 190 < _g(f, 3) < 205:
                 return _g(f, 3)
             return fre
-        if not _index and 105 < _g(f, 1) / 3 < 115:  # valid ->110
+        if not _index and 105 < _g(f, 1) / 3 < 115:
             return _g(f, 1) / 3
     elif ((uk1 == 1 and uk2 == 4 and uk3 == 6)
           or (uk1 == 3 and uk2 == 4 and uk3 == 6)):
@@ -1052,16 +1020,15 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if (_index == 2 and _g(d, 1) > _g(d, 0)
                 and _g(d, 1) > _g(d, 3)):
             if (190 < _g(f, 2) < 204
-                    and _g(d, 2) - _g(d, 1) > 15):  # ->196
+                    and _g(d, 2) - _g(d, 1) > 15):
                 return _g(f, 2)
-            if 190 < _g(f, 1) / 2 < 204:  # ->196
+            if 190 < _g(f, 1) / 2 < 204:
                 return _g(f, 1) / 2
             fre = _g(f, 0) / uk1
-            if uk1 == 3 and fre < 65:  # 74-9
+            if uk1 == 3 and fre < 65:
                 fre = _g(f, 1) / 2
             return fre
 
-    # area ->74 1457/2456, ->110, 2456
     if uk1 == 1 and uk2 == 4 and uk3 == 5 and vk3 == 7:
         if _max_index(d, length) == 2:
             return _g(f, 0)
@@ -1074,10 +1041,9 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if 200 < _g(f, 0) < 240:
             return _g(f, 0) / 2
 
-    # valid ->110 ,1x23-4, 1x36, 12x3; ->80
     if not uk1:
         if (_g(d, 0) > _g(d, 2) and _g(d, 2) > _g(d, 1)
-                and _g(d, 2) > _g(d, 3)):  # 1x23-4
+                and _g(d, 2) > _g(d, 3)):
             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(f, 0), _g(f, 2), _g(f, 3))
             if uk1:
@@ -1094,35 +1060,33 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if uk2 and 105 < _g(f, 2) / uk2 < 115:
                     return _fre
         if (_g(d, 0) > _g(d, 2) and _g(d, 1) > _g(d, 2)
-                and _g(d, 3) > _g(d, 2)):  # 12x3
+                and _g(d, 3) > _g(d, 2)):
             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(f, 0), _g(f, 1), _g(f, 3))
             if uk1 == 1 and 210 < _g(f, 1) < 230:
                 return _g(f, 0) / uk1
     else:
         if (_g(d, 0) > _g(d, 2) and _g(d, 0) > _g(d, 3)
-                and _g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3)):  # 12xx
+                and _g(d, 1) > _g(d, 2) and _g(d, 1) > _g(d, 3)):
             if uk1 == 1 and uk2 == 2 and 210 < _g(f, 1) < 230:
                 return _g(f, 1) / 2
         if (_g(d, 0) > _g(d, 2) and _g(d, 1) > _g(d, 2)
-                and _g(d, 3) > _g(d, 2)):  # 12x3
+                and _g(d, 3) > _g(d, 2)):
             # C overwrites the function-level uk vars here; later rules
-            # (e.g. the 256-8 check) see the new values
+            # (e.g. the uk==(2,5,6) ladder below) see the new values
             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(f, 0), _g(f, 1), _g(f, 3))
             if uk1 == 1 and uk2 == 2 and 210 < _g(f, 1) < 230:
                 return _g(f, 0)
 
-    # n124, ->330
     if vk1 == 1 and vk2 == 2 and vk3 == 4 and index1 == 3:
         if 220 < _g(f, 1) < 360:
             return _g(f, 2) / 2
 
-    # valid ->80,{77,90} 160-max, 12/23/query2
     if 154 < _g(f, index1) < 180 and ref_length > 3:
-        if index1 == 0 and uk1 == 2 and uk2 == 5 and uk3 == 6:  # 256-8
+        if index1 == 0 and uk1 == 2 and uk2 == 5 and uk3 == 6:
             return _g(f, index1) / 2
-        if index1 < 2:  # 23 ->query2
+        if index1 < 2:
             _, k1, k2 = queue_fre2(_g(f, index1), _g(f, index1 + 1))
             if k1 == 2 and k2 == 3:
                 return _g(f, index1) / 2
@@ -1141,7 +1105,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             _g(f, index1) / 2, _g(f, index1), 1):
                 return _g(f, index1) / 2
 
-    # valid ->80,{75,90}, 27-11
     if 150 < _g(f, 0) < 180 and ref_length > 3:
         _, us1, us2, uk1, uk2, uk3 = queue_fre3(
             _g(f, 0), _g(f, 1), _g(f, 2))
@@ -1152,10 +1115,9 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             _g(f, 0), 1):
                 return _g(f, 0) / 2
         if (_g(d, 0) > _g(d, 2) and _g(d, 0) > _g(d, 3)
-                and abs(_g(f, 0) / 2 * 7 - _g(f, 1)) < 4):  # 27-11
+                and abs(_g(f, 0) / 2 * 7 - _g(f, 1)) < 4):
             return _g(f, 0) / 2
 
-    # valid ->329, 1236
     if (uk1 == 1 and uk2 == 2 and uk3 == 3 and vk3 == 6
             and index1 == 2 and 315 < _g(f, index1) < 345):
         if queue_four(f3, d3, h3, ref_length, _g(f, index1)):
@@ -1193,31 +1155,30 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             tmp = [arrs[j] for j in idx]
             arrs[:n] = tmp
 
-    # valid ->110, ->147, 12/1; ->6string ->80
     _sort_view(cd, n, asc=False)
     _sort_view(cf, min(2, n), asc=True)
     _fre, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 1))
     if (k1 == 2 and k2 == 3
             and abs(_g(cf, 0) / 2 * 3 - _g(cf, 1)) < 4):
-        if 210 < _g(cf, 0) < 230:  # ->110, ->329
+        if 210 < _g(cf, 0) < 230:
             if (_g(cd, 1) - _g(cd, 0) > 6 and light > 0.98
-                    and _g(ch, 0) < 15 and ref_length < 6):  # ->329, x14
+                    and _g(ch, 0) < 15 and ref_length < 6):
                 return _g(cf, 1)
             elif (_g(cd, 1) - _g(cd, 0) > 12 and _g(ch, 0) < 8
-                  and ref_length <= 3):  # ->329
+                  and ref_length <= 3):
                 return _g(cf, 1)
             else:
                 return _fre
         elif (140 < _g(cf, 0) < 180
-              and abs(_g(cd, 0) - _g(cd, 1)) < 12):  # ->80
+              and abs(_g(cd, 0) - _g(cd, 1)) < 12):
             return _fre
     if (k1 == 1 and k2 == 2
             and abs(_g(cf, 0) * 2 - _g(cf, 1)) < 4):
-        if 130 < _g(cf, 0) < 160:  # ->146, 80
+        if 130 < _g(cf, 0) < 160:
             return _g(cf, 1) / 2
-        elif 60 < _g(cf, 0) < 85:  # ->80
+        elif 60 < _g(cf, 0) < 85:
             return _g(cf, 1) / 2
-        elif 190 < _g(cf, 0) < 204:  # ->197
+        elif 190 < _g(cf, 0) < 204:
             return _g(cf, 0)
 
     _sort_view(cd, n, asc=False)
@@ -1225,7 +1186,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
     _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
         _g(cf, 0), _g(cf, 1), _g(cf, 2))
 
-    if not uk1:  # valid ->110, 1x3 (x=2)
+    if not uk1:
         _fre2_, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 2))
         if (k1 == 1 and k2 == 3 and abs(_g(cf, 0) * 3 - _g(cf, 2)) < 4
                 and 100 < _g(cf, 0) < 200):
@@ -1243,33 +1204,30 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             index1 = _max_index(cd, min(3, n))
             if index1 == 0:
                 if (uk1 == 2 and 2 * uk1 == uk3
-                        and length2 >= 4):  # valid-110 ->234-5/7
+                        and length2 >= 4):
                     _, vs1, vs2, vk1, vk2, vk3 = queue_fre3(
                         _g(f2, 1), _g(f2, 2), _g(f2, 3))
                     if vk1 == 3 and vk2 == 4 and vk3 in (5, 7):
                         return fre
                 if (_g(cd, 0) - _g(cd, 1) > 20
                         and _g(cd, 2) - _g(cd, 1) > 10
-                        and _g(cf, 0) > 220):  # ->247,234->1x2
+                        and _g(cf, 0) > 220):
                     return _g(cf, 2) / 2
                 if 2 * uk1 == uk3 and ref_length > 5:
                     return 0.0  # C sets *valid=3
-            if uk1 == 4 and uk3 == 6 and ref_length > 5:  # valid 2:x:3
+            if uk1 == 4 and uk3 == 6 and ref_length > 5:
                 return 0.0  # C sets *valid=3
     else:
-        # 236 ->valid-210 low65~75
         if uk1 == 2 and uk2 == 3 and uk3 == 6:
             if (_g(cd, 1) > _g(cd, 2) and _g(cd, 2) > _g(cd, 0)
                     and _g(cd, 0) > _g(cd, 3)
                     and 130 < _g(cf, 0) < 150):
                 return _g(cf, 0) / uk1
-        # 236 ->valid-210
         if uk1 == 2 and uk2 == 3 and uk3 == 6 and ref_length > 5:
             if _max_index(cd, n) == 1:
                 if _g(cd, 1) > _g(cd, 2) and _g(cd, 2) > _g(cd, 0):
                     return 0.0  # C sets *valid=1
 
-    # ->71, aug format 3times, 1-236,34, valid ->196, 185~205
     if not fre and ref_length < 5:
         if vk1 == 2 and vk2 == 3 and vk3 == 6:
             if _max_index(cd, n) == 2:
@@ -1293,11 +1251,10 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         and _g(cd, 1) - _g(cd, 3) > 15):
                     _, k1, k2 = queue_fre2(_g(cf, 1), _g(cf, 2))
                     if k1 == 3 and k2 == 4:
-                        if _g(cd, 1) - _g(cd, 2) > 30:  # ->x1xx
+                        if _g(cd, 1) - _g(cd, 2) > 30:
                             return _g(cf, 1)
                         return _g(cf, 1) / 3
 
-    # boundary ->string1/3/4/5/6
     if not fre:
         # dB desc then FULL fre asc (restores ascending order in place)
         _sort_view(cd, n, asc=False)
@@ -1306,7 +1263,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         _, us1, us2, uk1, uk2, uk3 = queue_fre3(
             _g(cf, 0), _g(cf, 1), _g(cf, 2))
 
-        # ->1string 330
         if _index and _g(cf, _index) > 520:
             _fre, k1, k2 = queue_fre2(_g(cf, _index - 1), _g(cf, _index))
             if (_index >= 2
@@ -1325,7 +1281,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if k1 == 1:
                 return _fre
 
-        # ->2string 247
         if index1 == 3 and 240 < _g(cf, 3) / 2 < 255:
             _, tk1, tk2 = queue_fre2(_g(cf, index1 - 1), _g(cf, index1))
             if (tk1 == 1 and tk2 == 2
@@ -1333,7 +1288,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             - _g(cf, index1)) < 5):
                 return _g(cf, index1) / 2
 
-        # ->3string 197
         if _index < 3:
             _fre, k1, k2 = queue_fre2(_g(cf, _index), _g(cf, _index + 1))
             if k1 == 1 and 190 < _g(cf, _index) < 204:
@@ -1345,7 +1299,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if k1 == 1:
                     return _g(cf, 3) / k2 if k2 < 5 else _g(cf, 1)
 
-        # ->6string 75~95
         _fre, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 1))
         if _index == 1:
             if (k1 == 1 and k2 == 2
@@ -1355,7 +1308,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     and _g(cd, 0) - _g(cd, 3) < 3):
                 return _fre
 
-        # ->4string 147 ->49/37/29 346/458/56-10, 1, x1x2
         if _index == 1:
             if _g(cd, 1) - _g(cd, 0) > 15:
                 _, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
@@ -1368,12 +1320,11 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if (_g(cd, 1) - _g(cd, 2) > 20
                         and _g(cd, 1) - _g(cd, 3) > 20):
                     return _g(cf, 1)
-                else:  # 80 ???
+                else:
                     _fre, k1, k2 = queue_fre2(_g(cf, 1), _g(cf, 3))
                     if k1 == 1:
                         return _g(cf, 1)
 
-        # ->5string 110->37
         if (not _index and uk1 == 3 and uk2 in (4, 5) and uk3 == 6):
             if _g(cd, 0) > _g(cd, 1) and _g(cd, 2) > _g(cd, 1):
                 _fre, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
@@ -1381,7 +1332,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 if wk1 == 1 and 210 < _g(cf, 2) < 230:
                     return _fre
         else:
-            if _index:  # 23x
+            if _index:
                 if (_g(cd, 0) > _g(cd, 2) and _g(cd, 0) > _g(cd, 3)
                         and _g(cd, 1) > _g(cd, 2)
                         and _g(cd, 1) > _g(cd, 3)):
@@ -1395,14 +1346,13 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             return 0.0
                         return _fre
 
-        # ->6string 75~95 (second form)
         _fre, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 1))
         if (k1 == 1 and k2 == 2 and abs(_g(cf, 0) * 2 - _g(cf, 1)) < 5
                 and _g(cf, 0) < 95 and _g(cd, 1) - _g(cd, 0) < 12
                 and _g(cd, 0) > _g(cd, 2) and _g(cd, 0) > _g(cd, 3)):
             return _fre
         elif (index1 and index1 < 3
-              and 150 < _g(cf, index1) < 170):  # 75~85
+              and 150 < _g(cf, index1) < 170):
             _fre, k1, k2 = queue_fre2(_g(cf, index1), _g(cf, index1 + 1))
             if k1 == 2 and k2 == 3:
                 return _g(cf, index1) / 2
@@ -1422,9 +1372,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             if k1 == 1 and k2 == 2:
                                 return _g(cf, 1) / 2
 
-    # ->valid 110, 12, 1<2; 1x23, 2>1>3
     if not fre and 105 < _g(cf, 0) < 115:
-        # 1x24
         if (index1 == 2 and _g(cd, 0) > _g(cd, 1)
                 and _g(cd, 3) > _g(cd, 1)):
             _, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
@@ -1432,14 +1380,12 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if (wk1 == 1 and wk2 == 2
                     and abs(_g(cf, 0) * 2 - _g(cf, 2)) < 5):
                 return _g(cf, 2) / 2
-        # 12nn
         if (index1 == 1 and _g(cd, 0) > _g(cd, 2)
                 and _g(cd, 0) > _g(cd, 3)):
             _, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 1))
             if (k1 == 1 and k2 == 2
                     and abs(_g(cf, 0) * 2 - _g(cf, 1)) < 5):
                 return _g(cf, 1) / 2
-        # 1x23
         if (_g(cd, 0) - _g(cd, 3) > 12
                 and _g(cd, 2) - _g(cd, 3) > 12):
             _, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
@@ -1448,7 +1394,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     and abs(_g(cf, 0) * 2 - _g(cf, 2)) < 4
                     and abs(_g(cf, 0) * 3 - _g(cf, 3)) < 4):
                 return _g(cf, 2) / 2
-        # 1x3
         if (_g(cd, 0) - _g(cd, 2) > 12
                 and _g(cd, 2) - _g(cd, 3) > 20):
             _, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 2))
@@ -1456,7 +1401,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     and abs(_g(cf, 0) - _g(cf, 2) / 3) < 4):
                 return _g(cf, 2) / 3
 
-    # valid ->110, 220-max, 124/1x24
     if (not fre and 200 < _g(cf, index1) < 240 and index1 < 3
             and ref_length > 10):
         flag = 0
@@ -1471,18 +1415,17 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             _g(cf, index1) / 2, _g(cf, index1), 0):
                 return _g(cf, index1) / 2
         if (index1 == 1
-                and abs(_g(cf, index1) / 2 - _g(cf, 0)) < 5):  # 124
+                and abs(_g(cf, index1) / 2 - _g(cf, 0)) < 5):
             if queue_query2(f3, d3, h3, ref_length, 0,
                             _g(cf, index1) / 2, _g(cf, index1), 1):
                 return _g(cf, index1) / 2
         if (index1 == 2 and _g(cd, 0) > _g(cd, 1)
                 and _g(cd, 2) > _g(cd, 1)
-                and abs(_g(cf, index1) / 2 - _g(cf, 0)) < 5):  # 1x24
+                and abs(_g(cf, index1) / 2 - _g(cf, 0)) < 5):
             if queue_query2(f3, d3, h3, ref_length, 0,
                             _g(cf, index1) / 2, _g(cf, index1), 1):
                 return _g(cf, index1) / 2
 
-    # valid ->110, 123, 2<1<3, 13-n, 1x23
     if (not fre and (315 < _g(cf, index1) < 345
                      or 105 < _g(cf, index1) < 115)
             and ref_length > 10):
@@ -1504,14 +1447,13 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             _g(cf, 3), 0):
                 return _g(cf, 3) / 3
 
-    # valid 110, max-220, 2x35,12x5
     if (not fre and 200 < _g(cf, index1) < 240 and ref_length > 5):
-        if index1 == 0:  # 2x35
+        if index1 == 0:
             _, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 2))
             if (k1 == 2 and k2 == 3
                     and abs(_g(cf, 0) / 2 * 3 - _g(cf, 2)) < 5):
                 return _g(cf, 0) / 2
-        if index1 == 1:  # 12x5
+        if index1 == 1:
             _, ws1, ws2, wk1, wk2, wk3 = queue_fre3(
                 _g(cf, 0), _g(cf, 1), _g(cf, 3))
             if (wk1 == 1 and wk2 == 2
@@ -1519,7 +1461,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     and abs(_g(cf, 0) * wk3 - _g(cf, 3)) < wk3 * 3):
                 return _g(cf, 1) / 2
 
-    # valid 80, 1x23,x236, 3>2>>1
     if (not fre and 230 < _g(cf, index1) < 260 and index1 > 1):
         _, k1, k2 = queue_fre2(_g(cf, index1 - 1), _g(cf, index1))
         if ((k1 == 2 and k2 == 3)
@@ -1539,7 +1480,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if flag:
                 return _g(cf, index1 - 1) / 2
 
-    # valid 80, x23n
     if (not fre and _g(cd, 1) > _g(cd, 0) and _g(cd, 2) > _g(cd, 0)
             and _g(cd, 1) > _g(cd, 3) and _g(cd, 2) > _g(cd, 3)):
         _, k1, k2 = queue_fre2(_g(cf, 1), _g(cf, 2))
@@ -1547,7 +1487,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 and abs(_g(cf, 1) / 2 - _g(cf, 2) / 3) < 3):
             return _g(cf, 1) / 2
 
-    # valid 147, x124, x245, 1x23
     if (not fre and 280 < _g(cf, index1) < 310 and ref_length > 3):
         if index1 == 2:
             _, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -1556,7 +1495,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(cf, index1) / 2
             _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(cf, 0), _g(cf, index1), _g(cf, index1 + 1))
-            if uk1 == 1 and uk2 == 2 and uk3 == 3:  # 1x23
+            if uk1 == 1 and uk2 == 2 and uk3 == 3:
                 return _g(cf, index1) / 2
         elif index1 == 1:
             _, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -1572,7 +1511,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         or (uk1 == 2 and uk2 == 4 and uk3 == 5)):
                     return _g(f2, _index) / 2
 
-    # valid 196, x12n, 2-max
     if (not fre and index1 == 2 and _g(cd, 1) > _g(cd, 0)
             and _g(cd, 1) > _g(cd, 3)):
         _, k1, k2 = queue_fre2(_g(cf, 1), _g(cf, 2))
@@ -1582,7 +1520,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                             _g(cf, index1) / 2, _g(cf, index1), 1):
                 return _g(cf, index1) / 2
 
-    # valid 246, x123,3-max
     if (not fre and index1 == 2 and _g(cf, 2) / 2 > 230
             and ref_length > 12):
         _, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -1590,7 +1527,6 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if uk1 == 1 and uk2 == 2 and uk3 == 3:
             return _g(cf, 2) / 2
 
-    # valid->246, light=1, refLength>6, queue_multi
     if not fre and light > 0.98 and ref_length > 6:
         _fre1 = queue_multi(f3, d3, h3, ref_length, 2, 0, 1, 0)
         if 230 < _fre1 < 255:
@@ -1607,20 +1543,17 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             if flag:
                 return _g(cf, 2)
 
-    # valid 246
     if not fre and ref_length > 9:
         _fre1 = queue_multi(f3, d3, h3, ref_length, 2, 0, 1, 0)
         if 230 < _fre1 < 255:
             fre = _fre1
 
-    # valid 329
     if not fre and 300 < _g(cf, index1) < 360:
         if queue_four(f3, d3, h3, ref_length, _g(cf, index1)):
             if queue_count(f3, d3, h3, ref_length, 0,
                            _g(cf, index1) * 4 + 20, _g(cf, index1), 1):
                 fre = _g(cf, index1)
 
-    # valid 329
     if (not fre and index1 == 1 and 300 < _g(cf, index1) < 360
             and _g(cf, 3) > 2000 and ref_length > 4):
         _, k1, k2 = queue_fre2(_g(cf, 1), _g(cf, 2))

@@ -9,6 +9,16 @@ and the 2- / 3-candidate harmonic-base solvers.
 
 Host-side scalar code (the candidate sets are tiny per frame); fuzz-verified
 against the C symbols, which the reference exports (tests/test_queue_util).
+
+Annotation note: the C source carries terse per-branch trace tags in a
+private shorthand (harmonic-slot signatures like ``1x23`` meaning
+"harmonics 1,2,3 present with a gap", arrows to the fundamental the
+rule resolves toward, e.g. a ~110 Hz open-string).  Those tags are the
+C author's expression and are NOT carried here; the behavior itself is
+locked down branch-for-branch by the ctypes fuzz rigs in
+``tests/test_queue_util.py`` (thousands of randomized cases per
+strategy vs the compiled reference), which are the ground truth for
+this port.
 """
 
 from __future__ import annotations
@@ -278,7 +288,7 @@ def queue_direct(fre_arr, db_arr, height_arr, index_arr, length,
             if fre:
                 q_flag = _valid_fre3(fre_arr[0], fre_arr[1], fre_arr[2],
                                      fre, uk1, uk2, uk3)
-                if not q_flag:  # format noise
+                if not q_flag:  # rejected by the ratio-format gate
                     fre = 0.0
                     if length >= 4:
                         _, _, _, uk1, uk2, uk3 = queue_fre3(
@@ -303,9 +313,9 @@ def queue_direct(fre_arr, db_arr, height_arr, index_arr, length,
                     elif uk1 == 1 and uk2 == 2 and uk3 == 4:
                         if db_arr[1] > db_arr[2] > db_arr[0]:
                             return 0.0
-                    elif 2 * uk1 == uk3:  # 1:x:2 -> slide
+                    elif 2 * uk1 == uk3:
                         return 0.0
-                    elif 2 * uk2 == uk3:  # x:1:2
+                    elif 2 * uk2 == uk3:
                         fre = 0.0 if length > 5 else fre_arr[1]
                     elif (uk1 == 2 and uk2 == 4 and uk3 == 5
                           and _index == 2 and db_arr[0] < db_arr[1]
@@ -401,7 +411,7 @@ def queue_weak(fre_arr, db_arr, height_arr, index_arr, length,
                 if abs(db_arr[i] - db_arr[i + 1]) < 15:
                     fre = 0.0
                     break
-    if fre:  # reject >6x spreads from sub-bass guesses
+    if fre:
         _index = _max_index(db_arr, length)
         if 40 < fre < 50 and fre_arr[_index] / fre > 5.5:
             fre = fre_arr[_index]
@@ -426,7 +436,6 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
     fre = 0.0
 
     if length >= 3:
-        # 012 -> 1:1
         for i in range(length - 2):
             if index_arr[i] + index_arr[i + 1] + index_arr[i + 2] == 3:
                 _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -438,7 +447,6 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                         if index_arr[i] == 0 and 2 * uk1 == uk3:
                             return 0.0
                 break
-        # 01x -> 1:1
         if not fre:
             for i in range(length - 2):
                 if index_arr[i] + index_arr[i + 1] == 1:
@@ -452,7 +460,6 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                                     and ref_length > 5):
                                 return 0.0
                     break
-        # 02x (023) -> 1:1
         if not fre:
             for i in range(length - 2):
                 if (index_arr[i] + index_arr[i + 1] == 2
@@ -466,7 +473,6 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                             if index_arr[i] == 0 and 2 * uk1 == uk3:
                                 return 0.0
                     break
-        # 0xx -> 1:1
         if not fre and index_arr[0] == 0:
             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 fre_arr[0], fre_arr[1], fre_arr[2])
@@ -477,7 +483,7 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                     if 2 * uk1 == uk3:
                         return 0.0
 
-    # 2. 1-24-5/7, 124-8-11, 2347 stacks
+# 2. overtone-stack sweeps around the dB-max candidate
     if not fre and length >= 4:
         _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
             fre_arr[0], fre_arr[1], fre_arr[2])
@@ -549,7 +555,7 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                       and 190 < fre_arr[1] < 204):
                     fre = 0.0
                 else:
-                    if us1 and us1 == 2 * us2:  # 2:1 -> 1:3:4
+                    if us1 and us1 == 2 * us2:
                         if (abs(fre_arr[index1] / uk1 * uk2
                                 - fre_arr[index1 + 1]) < 5
                                 and abs(fre_arr[index1] / uk1 * uk3
@@ -601,7 +607,7 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                             _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
                                 fre_arr[index1], fre_arr[index1 + 1],
                                 fre_arr[index1 + 2])
-                            if us1 and us1 == 3 * us2:  # 3:1 -> 1:4:5
+                            if us1 and us1 == 3 * us2:
                                 if (abs(fre_arr[i] * uk2
                                         - fre_arr[index1 + 1]) < 5
                                         and abs(fre_arr[i] * uk3
@@ -609,7 +615,6 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
                                     fre = _fre
                         break
 
-    # valid ->197
     if not fre:
         index1 = _max_index(db_arr, length)
         if not index1 and 190 < fre_arr[index1] < 204:
@@ -739,15 +744,15 @@ def queue_cal(fre_arr, db_arr, height_arr, length, start, flag):
             jump_flag = 1 if uk1 * 2 == uk3 else 2
             index2, k2 = start, 1
             ln = 2
-        elif uk1 == 4 and uk3 == 6:  # 2x3 -> 456
+        elif uk1 == 4 and uk3 == 6:
             jump_flag = 1
             index2, k2 = start, 2
             ln = 2
         index1, k1 = start, uk1
-    else:  # fail -> jump
+    else:
         if start + 3 < length:
             _, uk1, uk2 = queue_fre2(_g(fre_arr, start), _g(fre_arr, start + 1))
-            if uk1 and uk1 * 2 == uk2:  # 12x
+            if uk1 and uk1 * 2 == uk2:
                 _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                     _g(fre_arr, start), _g(fre_arr, start + 1),
                     _g(fre_arr, start + 3))
@@ -758,7 +763,7 @@ def queue_cal(fre_arr, db_arr, height_arr, length, start, flag):
             else:
                 _, uk1, uk3 = queue_fre2(_g(fre_arr, start),
                                          _g(fre_arr, start + 2))
-                if uk1 and uk1 * 2 == uk3:  # 1x2
+                if uk1 and uk1 * 2 == uk3:
                     _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                         _g(fre_arr, start), _g(fre_arr, start + 2),
                         _g(fre_arr, start + 3))
@@ -776,10 +781,10 @@ def queue_jump_bound(fre_arr, db_arr, height_arr, length, start,
     index2 = k2 = 0
     offset = length - 1
     if start + 4 < length:
-        if jump_flag == 1:  # 1x2
+        if jump_flag == 1:
             _fre1 = _g(fre_arr, start + 2)
             _index3 = start + 2
-        else:  # 12x
+        else:
             _fre1 = _g(fre_arr, start + 1)
             _index3 = start + 1
         _, us1, us2, uka, _ukb, _ukc = queue_fre3(
@@ -794,10 +799,10 @@ def queue_jump_bound(fre_arr, db_arr, height_arr, length, start,
             _g(fre_arr, start + 4))
         f2 = queue_is_equal(fre_arr, length, start + 1, uk1_, start + 2, uk2_)
         if f1:
-            if f2:  # -> two
+            if f2:
                 index2, k2 = start + 1, uk1_
                 offset = start + 3
-            else:  # -> success
+            else:
                 fre = _g(fre_arr, index1) / k1
                 if uk1_:
                     index2, k2 = start + 1, uk1_
@@ -805,12 +810,12 @@ def queue_jump_bound(fre_arr, db_arr, height_arr, length, start,
                     index2, k2 = start + 2, vk1
                 offset = start + 3
         else:
-            if f2:  # -> success
+            if f2:
                 fre = _g(fre_arr, start + 1) / uk1_
                 index2, k2 = start + 1, uk1_
                 offset = start + 3
             else:
-                if _uk3 or uk1_ or vk1:  # -> two
+                if _uk3 or uk1_ or vk1:
                     if _uk3:
                         index2, k2 = _index3, _uk3
                     elif uk1_:
@@ -818,7 +823,7 @@ def queue_jump_bound(fre_arr, db_arr, height_arr, length, start,
                     else:
                         index2, k2 = start + 2, vk1
                     offset = index2 + 1
-                else:  # -> one
+                else:
                     offset = start + 3
     else:
         _, us1, us2, uk1_, uk2_, uk3_ = queue_fre3(
@@ -833,7 +838,6 @@ def queue_two_move(fre_arr, db_arr, height_arr, length, start,
                    index1, k1, index2, k2, jump_flag):
     """__queue_twoMove (_queue.c:6806). -> (fre, offset)."""
     fre = 0.0
-    # hack ->146/240/80 stacks
     _index = _max_index(db_arr, length)
     _, us1, us2, uk1, uk2, uk3 = queue_fre3(
         _g(fre_arr, start), _g(fre_arr, start + 1), _g(fre_arr, start + 2))
@@ -881,7 +885,7 @@ def queue_two_move(fre_arr, db_arr, height_arr, length, start,
                     _fre2 = (_g(fre_arr, i + 1) if jump_flag == 1
                              else _g(fre_arr, i))
                     _fre3 = _g(fre_arr, i + 2)
-                else:  # start+2 -> 12x
+                else:
                     _fre1 = _g(fre_arr, i - 1)
                     _fre2 = _g(fre_arr, i + 1)
                     _fre3 = _g(fre_arr, i + 2)
@@ -910,7 +914,7 @@ def queue_two_move(fre_arr, db_arr, height_arr, length, start,
                                             fre_arr, length, _fre2, i + 2)
                                 if _v_flag:
                                     fre = _fre2
-                                    if index1 == 0:  # skip-harmonic
+                                    if index1 == 0:
                                         _imax = _max_index(db_arr, length)
                                         if _imax == 0 and k2 == 1 and vk1 == 1:
                                             _k, _ = cal_range_times(
@@ -920,7 +924,7 @@ def queue_two_move(fre_arr, db_arr, height_arr, length, start,
                                     break
                             else:
                                 fre = _g(fre_arr, index2) / k2
-                                if vs2 == 4:  # valid ->1:4/1:2:6
+                                if vs2 == 4:
                                     _base = _g(fre_arr, index1) / k1
                                     _v_flag, _index1 = queue_has(
                                         fre_arr, length, _base, i + 2)
@@ -939,7 +943,6 @@ def queue_one_move(fre_arr, db_arr, height_arr, length, start, index1, k1):
     fre = 0.0
     index2 = k2 = 0
     offset = 0
-    # hack ->240, 236
     _index = _max_index(db_arr, length)
     _, us1, us2, uk1, uk2, uk3 = queue_fre3(
         _g(fre_arr, start), _g(fre_arr, start + 1), _g(fre_arr, start + 2))
@@ -1016,7 +1019,7 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
                 if s_fre[i] > fre - 10:
                     _, k1, k2 = queue_fre2(fre, s_fre[i])
                     if k1:
-                        if db_arr[_index1] - s_db[i] > 10:  # ->110
+                        if db_arr[_index1] - s_db[i] > 10:
                             flag = 1
                             fre = fre_arr[_index1]
                     break
@@ -1031,7 +1034,7 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
                         if db_arr[_index1] - s_db[i] > 10:
                             flag = 1
                             fre = fre_arr[_index1]
-                        else:  # ->196, 591
+                        else:
                             if (s_fre[i] > fre + 10
                                     and 190 < fre_arr[_index1] < 204
                                     and db_arr[_index1] - s_db[i] > 6):
@@ -1050,7 +1053,7 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
                     if k1 == 1 and k2 in (2, 3):
                         if fre_arr[_index1] > 130:
                             if (155 < fre_arr[_index1] < 175
-                                    and k2 == 2):  # ->165, filter
+                                    and k2 == 2):
                                 pass
                             else:
                                 fre = fre_arr[_index1]
@@ -1065,7 +1068,7 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
                                                  fre_arr[_index1], fre1, 0)
                             if f:
                                 fre = fre_arr[_index1]
-                    elif k1 == 2 and k2 == 3:  # ->75~90, 190~204
+                    elif k1 == 2 and k2 == 3:
                         if (150 < fre_arr[_index1] < 180
                                 or 380 < fre_arr[_index1] < 408):
                             fre = fre_arr[_index1] / 2
@@ -1073,12 +1076,12 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
         if flag and _index1 == 0 and 100 < fre_arr[0] < 120:
             _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                 _g(fre_arr, 0), _g(fre_arr, 1), _g(fre_arr, 2))
-            if uk1 == 1 and uk2 == 2 and uk3 == 3:  # ->110
+            if uk1 == 1 and uk2 == 2 and uk3 == 3:
                 pass
             else:
                 f = queue_query3(fre_arr, db_arr, height_arr, length, 0,
                                  fre_arr[_index1], fre1, 0)
-                if not f:  # ->330
+                if not f:
                     fre = value
         if not flag and _index1 in (0, 1) and 100 < fre_arr[0] < 120:
             _, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -1133,7 +1136,7 @@ def _slide_valid(fre_arr, db_arr, height_arr, index_arr, length, value):
                 if k1 == 1 and k2 in (2, 3):
                     if fre_arr[i] > 130:
                         if 155 < fre_arr[i] < 175 and k2 == 2:
-                            pass  # ->165, filter
+                            pass
                         else:
                             fre = fre_arr[i]
                         break
@@ -1194,7 +1197,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                     and length - 2 > 5):
                 i += 2  # C: i++ + the for-increment
                 continue
-            if ln:  # ->329, 124, max-4
+            if ln:
                 _imax = _max_index(db_arr, length)
                 if (uk1 == 1 and uk2 == 2 and uk3 == 4
                         and _imax == i + 2 and i > 0
@@ -1219,11 +1222,11 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                         and jump_flag == 2
                         and _g(db_arr, 2) > _g(db_arr, 0)
                         and _g(db_arr, 2) > _g(db_arr, 1)
-                        and _index == 3):  # 12xn -> xx12
+                        and _index == 3):
                     _, lk1, lk2 = queue_fre2(_g(fre_arr, 2), _g(fre_arr, 3))
                     if lk1 == 1 and lk2 == 2:
                         fre = _g(fre_arr, 3) / 2
-                if not fre:  # -> 1:x:2, 1&2 is noise
+                if not fre:
                     if (length > 5 and _g(db_arr, i + 1) > _g(db_arr, i)
                             and c1 <= 1):
                         c1 += 1
@@ -1264,7 +1267,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                     o_flag = 1
                     fre, index2, k2, offset = queue_one_move(
                         fre_arr, db_arr, height_arr, length, i, index1, k1)
-                    if not fre:  # -> x:1:2, no 124/126
+                    if not fre:
                         _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                             _g(fre_arr, i), _g(fre_arr, i + 1),
                             _g(fre_arr, i + 2))
@@ -1303,7 +1306,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                             fre = base1
                             if (index_arr[index1] == 0
                                     and _g(fre_arr, index1) > 120):
-                                pass  # max -> fre=base1
+                                pass
                             else:
                                 f2, _i2 = queue_has(
                                     fre_arr, length,
@@ -1320,7 +1323,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                                                 offset)
                             if f1:
                                 fre = base2
-                                if o_flag:  # -> skip-harmonic
+                                if o_flag:
                                     _imax = _max_index(db_arr, length)
                                     if (index1 == 0 and _imax == 0
                                             and k1 == 1 and k2 == 1):
@@ -1342,7 +1345,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
         if k1 and k2:  # priority weak
             _fre1 = _g(fre_arr, index1) / k1
             _fre2 = _g(fre_arr, index2) / k2
-            if index1 == index2:  # 1:2 pk 2:3
+            if index1 == index2:
                 fre = _fre1
                 _, us1, us2, uk1, uk2, uk3 = queue_fre3(
                     _g(fre_arr, index1), _g(fre_arr, index1 + 1),
@@ -1355,7 +1358,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                     elif fre > 70:
                         fre = _fre2
             else:
-                if k1 == k2 and index1 + 1 == index2:  # 1:2:4
+                if k1 == k2 and index1 + 1 == index2:
                     _db1 = _g(db_arr, index1)
                     _db2 = _g(db_arr, index2)
                     fre = _fre1 if _db2 - _db1 < 8 else _fre2
@@ -1390,7 +1393,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
         if fre:
             status = 4
 
-    if fre and length >= 4:  # ->80, 12-nn, 23-nn
+    if fre and length >= 4:
         li1 = _max_index(db_arr, length)
         li2 = _max_index(db_arr[2:], length - 2) + 2
         if (li1 <= 1 and db_arr[li1] - db_arr[li2] > 18
@@ -1405,7 +1408,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
         fre = _slide_valid(fre_arr, db_arr, height_arr, index_arr, length,
                            fre)
 
-    if not fre and length >= 8:  # ->197+7, 190~204
+    if not fre and length >= 8:
         li1 = _max_index(db_arr, length)
         if li1 < 3:
             li2 = _max_index(db_arr[li1 + 1:], length - (li1 + 1)) + li1 + 1
@@ -1414,7 +1417,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                                    height_arr[li2:], index_arr[li2:],
                                    length - li2, light, valid)
 
-    if fre:  # valid ->247, ->80
+    if fre:
         _imax = _max_index(db_arr, length)
         if (230 < fre_arr[_imax] < 255 and fre_arr[_imax] / fre > 3.6):
             if _imax > 0 and index_arr[_imax - 1] == 1:
@@ -1422,7 +1425,7 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
                     return fre_arr[_imax - 1] / 2, status
             fre = fre_arr[_imax]
 
-    if fre and light > 0.98 and length > 3:  # valid ->110
+    if fre and light > 0.98 and length > 3:
         li1 = _max_index(db_arr, length)
         li2 = _max_index(db_arr[2:], length - 2) + 2
         if (300 < fre < 360 and li1 == 1 and li2 == 2
@@ -1591,7 +1594,7 @@ def queue_standard(fre_arr, db_arr, height_arr, index_arr, length,
             else:
                 fre = 0.0
 
-        if 280 < fre < 310:  # valid ->147
+        if 280 < fre < 310:
             if queue_query2(fre_arr3, db_arr3, height_arr3, ref_length, 0,
                             fre / 2, fre, 0):
                 flag = 1
@@ -1605,14 +1608,14 @@ def queue_standard(fre_arr, db_arr, height_arr, index_arr, length,
                 fre = 0.0
 
         if ((190 < fre / 2 < 205 or 190 < fre / 4 < 205)
-                and ref_length > 4):  # valid ->197, 391/782
+                and ref_length > 4):
             i1 = _max_index(db_arr3, ref_length)
             i2 = _max_index(db_arr3[1:], ref_length - 1) + 1
             if (179 < _g(fre_arr3, i1) < 205
                     or 179 < _g(fre_arr3, i2) < 205):
                 fre = fre / 2 if 190 < fre / 2 < 205 else fre / 4
         if ((240 < fre / 2 < 255 or 240 < fre / 4 < 255)
-                and ref_length > 8):  # valid ->247, 492/984
+                and ref_length > 8):
             _fre1 = queue_multi(fre_arr3, db_arr3, height_arr3, ref_length,
                                 2, 0, 2, 0)
             if 240 < _fre1 < 255:
@@ -1621,7 +1624,7 @@ def queue_standard(fre_arr, db_arr, height_arr, index_arr, length,
                 and _g(db_arr, 0) - _g(db_arr, 2) > 10):
             flag = queue_query3(fre_arr3, db_arr3, height_arr3, ref_length,
                                 0, _g(fre_arr, 0), fre, 0)
-            if flag:  # ->110
+            if flag:
                 fre = _g(fre_arr, 0)
             else:
                 _, us1, us2, uk1, uk2, uk3 = queue_fre3(
@@ -1811,7 +1814,7 @@ def queue_cut_valid(fre_arr, db_arr, length, o_flag, mode,
     count = 0
     for i in range(_len):
         k, t = cal_range_times(_g(fre_arr, 0) / 2, _g(_fre, i))
-        if o_flag and not mode:  # ->247
+        if o_flag and not mode:
             if k == 1 and length3 < 6:
                 count += 1
         if k and not t:
