@@ -139,6 +139,63 @@ class FusedMelPlan:
             lo = (melp4 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
             self.fs_melp_hi, self.fs_melp_lo = hi, lo
 
+        # --- flip factorization (N = Q*128, full-MXU stages) -----------
+        # n = q + Q*n2 (q in [0,Q), n2 in [0,128)), k = k1 + 128*k2:
+        #   stage 1:  A[q, k1] = sum_n2 x[q + Q*n2] W128[n2, k1]
+        #             -> contracts the LANE dim: (rows,128)@(128,128)
+        #   stage 2:  B = A * exp(-2i pi q k1 / N)            (twiddle)
+        #   stage 3:  X[k2, k1] = sum_q WQ[k2, q] B[q, k1]
+        # Rows are packed (f_lo, q) with FL = 128//Q frames per row-block,
+        # so stage 3 is one block-diagonal (I_FL kron WQ) 128x128 matmul —
+        # both DFT stages hit the full 128-wide MXU (the four-step above
+        # runs its Q-DFT as a 16x16 dot that idles >85% of the array).
+        # Conjugate symmetry: mel only needs bins k <= N/2, i.e. row
+        # groups k2 <= Q/2 — the mel stage skips the mirror half.
+        Q = self.n_fft // 128
+        ok = (Q >= 2 and self.n_fft == Q * 128 and 128 % Q == 0
+              and self.slide % Q == 0
+              and (128 // Q) * (self.slide // Q) >= 128)
+        self.flip_q = Q if ok else 0
+        if ok:
+            import ml_dtypes
+            FL = 128 // Q
+            self.flip_fl = FL
+            N = self.n_fft
+            # windowing in the (row=(f_lo,q), lane=n2) layout
+            q_idx = np.arange(128) % Q
+            n2_idx = np.arange(128)
+            self.flip_win = window[(q_idx[:, None] + Q * n2_idx[None, :])
+                                   ].astype(np.float32)
+            w128 = np.exp(-2j * np.pi * np.outer(np.arange(128),
+                                                 np.arange(128)) / 128)
+            tw = np.exp(-2j * np.pi * np.outer(q_idx, np.arange(128)) / N)
+            self.flip_twr = tw.real.astype(np.float32)
+            self.flip_twi = tw.imag.astype(np.float32)
+            wq = np.exp(-2j * np.pi * np.outer(np.arange(Q),
+                                               np.arange(Q)) / Q)
+            bd = np.kron(np.eye(FL), wq)          # rows (f_lo,k2) x (f_lo,q)
+            mats = {"w1r": w128.real, "w1i": w128.imag,
+                    "bdr": bd.real, "bdi": bd.imag,
+                    "bds": bd.real + bd.imag}
+            for name, full in mats.items():
+                full = full.astype(np.float32)
+                hi = full.astype(ml_dtypes.bfloat16)
+                lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+                setattr(self, "flip_" + name + "_hi", hi)
+                setattr(self, "flip_" + name + "_lo", lo)
+            n_k2 = Q // 2 + 1
+            self.flip_nk2 = n_k2
+            fbs = np.zeros((n_k2, 128, self.mel_pad), np.float32)
+            for k2 in range(n_k2):
+                for k1 in range(128):
+                    kbin = k1 + 128 * k2
+                    if kbin < n_bins:
+                        fbs[k2, k1, :self.num_mel] = mel_fb[:, kbin]
+            hi = fbs.astype(ml_dtypes.bfloat16)
+            lo = (fbs - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self.flip_fb_hi, self.flip_fb_lo = hi, lo
+            self.flip_fb = fbs
+
 
 def _kernel(*refs, n_shift: int, log_floor: float, precision, fast: bool):
     if fast:
@@ -253,6 +310,135 @@ def _kernel4(*refs, n1: int, tile: int, log_floor: float, precision,
     cc_out[0, :, :] = jax.lax.dot(logm, dct_ref[...], precision=precision)
 
 
+def _kernel_flip(x_ref, win_ref, w1rh, w1rl, w1ih, w1il, twr_ref, twi_ref,
+                 bdrh, bdrl, bdih, bdil, bdsh, bdsl, fbh, fbl, dct_ref,
+                 mel_out, cc_out, *, fl: int, q: int, n_k2: int,
+                 log_floor: float, precision):
+    xw = x_ref[0] * win_ref[...][:, None, :]     # (128=(f_lo,q), T8, 128=n2)
+
+    def dot3(a, bh_ref, bl_ref, contract):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jax.lax.dot_general, dimension_numbers=contract,
+                              preferred_element_type=jnp.float32)
+        return (d(ah, bh_ref[...]) + d(ah, bl_ref[...])
+                + d(al, bh_ref[...]))
+
+    def dot3l(ah_ref, al_ref, b, contract):
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jax.lax.dot_general, dimension_numbers=contract,
+                              preferred_element_type=jnp.float32)
+        return (d(ah_ref[...], bh) + d(ah_ref[...], bl)
+                + d(al_ref[...], bh))
+
+    # stage 1: 128-point DFT over the lane (n2) dim — full-MXU dots
+    cd_lane = (((2,), (0,)), ((), ()))
+    ar = dot3(xw, w1rh, w1rl, cd_lane)
+    ai = dot3(xw, w1ih, w1il, cd_lane)
+    # stage 2: twiddle (VPU)
+    twr = twr_ref[...][:, None, :]
+    twi = twi_ref[...][:, None, :]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # stage 3: block-diagonal Q-point DFT over the row (q) dim; Karatsuba
+    # complex product (3 matmuls), each as a bf16x3 triplet
+    cd_row = (((1,), (0,)), ((), ()))
+    t1 = dot3l(bdrh, bdrl, br, cd_row)
+    t2 = dot3l(bdih, bdil, bi, cd_row)
+    t3 = dot3l(bdsh, bdsl, br + bi, cd_row)
+    xr = t1 - t2
+    xi = t3 - t1 - t2
+    power = xr * xr + xi * xi                    # rows (f_lo, k2)
+    # mel: accumulate per-k2 row-group projections; mirror half (k2 > Q/2)
+    # never contributes
+    t8 = power.shape[1]
+    p4 = power.reshape(fl, q, t8, 128)
+    ph = p4.astype(jnp.bfloat16)
+    plo = (p4 - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    mel = None
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_lane,
+                          preferred_element_type=jnp.float32)
+    for k2 in range(n_k2):
+        m_k = (d(ph[:, k2], fbh[k2]) + d(ph[:, k2], fbl[k2])
+               + d(plo[:, k2], fbh[k2]))
+        mel = m_k if mel is None else mel + m_k
+    mel_out[0] = mel                             # (FL, T8, mel_pad)
+    logm = jnp.log10(jnp.maximum(mel, log_floor))
+    cc_out[0] = jax.lax.dot_general(logm, dct_ref[...],
+                                    dimension_numbers=cd_lane,
+                                    precision=precision)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _fused_call_flip(plan: FusedMelPlan, x, n_frames: int, tile: int,
+                     precision, interpret: bool):
+    b = x.shape[0]
+    Q, FL = plan.flip_q, plan.flip_fl
+    # Mosaic needs the block's sublane dim (t8) divisible by 8; round the
+    # requested tile up and zero-pad the frame count to a whole grid
+    t8 = max(8, -(-(tile // FL) // 8) * 8)
+    u_needed = -(-n_frames // FL)
+    u_total = -(-u_needed // t8) * t8
+    t_pad = u_total * FL
+    n_tiles = u_total // t8
+    hs = plan.slide // Q
+    # data used ends at comb element (T-1)*hs + 128; the row-reshape trick
+    # below additionally touches (then discards) up to FL*hs - 128 trailing
+    # elements in the last row — zero-pad the comb so slices stay in bounds
+    m = max((t_pad - 1) * hs + 128, (t_pad - 1 + FL) * hs)
+    need = m * Q
+    if x.shape[1] >= need:
+        x = x[:, :need]
+    else:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    # comb relayout: audT[b, q, j] = x[b, j*Q + q]
+    audt = jnp.swapaxes(x.reshape(b, m, Q), 1, 2)
+    views = []
+    for f_lo in range(FL):
+        for qi in range(Q):
+            sq = jax.lax.slice(audt, (0, qi, f_lo * hs),
+                               (b, qi + 1, f_lo * hs + u_total * FL * hs))
+            views.append(sq.reshape(b, u_total, FL * hs)[:, :, :128])
+    xs = jnp.stack(views, axis=1)                # (b, 128, U, 128)
+
+    kern = functools.partial(_kernel_flip, fl=FL, q=Q, n_k2=plan.flip_nk2,
+                             log_floor=1e-8, precision=precision)
+
+    def _const(arr):
+        return pl.BlockSpec(arr.shape, lambda i, t: (0,) * arr.ndim)
+
+    consts = [plan.flip_win, plan.flip_w1r_hi, plan.flip_w1r_lo,
+              plan.flip_w1i_hi, plan.flip_w1i_lo,
+              plan.flip_twr, plan.flip_twi,
+              plan.flip_bdr_hi, plan.flip_bdr_lo,
+              plan.flip_bdi_hi, plan.flip_bdi_lo,
+              plan.flip_bds_hi, plan.flip_bds_lo,
+              plan.flip_fb_hi, plan.flip_fb_lo, plan.dct_t]
+    mel, cc = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec((1, 128, t8, 128), lambda i, t: (i, 0, t, 0))]
+        + [_const(c) for c in consts],
+        out_specs=[
+            pl.BlockSpec((1, FL, t8, plan.mel_pad), lambda i, t: (i, 0, t, 0)),
+            pl.BlockSpec((1, FL, t8, plan.cc_pad), lambda i, t: (i, 0, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, FL, u_total, plan.mel_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, FL, u_total, plan.cc_pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xs, *[jnp.asarray(c) for c in consts])
+    # rows are (f_lo, u) with frame f = u*FL + f_lo -> (b, T, band)
+    mel = jnp.swapaxes(mel, 1, 2).reshape(b, t_pad, plan.mel_pad)
+    cc = jnp.swapaxes(cc, 1, 2).reshape(b, t_pad, plan.cc_pad)
+    return (mel[:, :n_frames, :plan.num_mel],
+            cc[:, :n_frames, :plan.cc_num])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def _fused_call4(plan: FusedMelPlan, x, n_frames: int, tile: int,
                  precision, interpret: bool, fast: bool):
@@ -345,12 +531,15 @@ def _fused_call(plan: FusedMelPlan, x, n_frames: int, tile: int,
 def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
                    precision=jax.lax.Precision.HIGHEST,
                    interpret: bool = False, fast: bool = False,
-                   algo: str = "fourstep"):
+                   algo: str = "auto"):
     """(B, n) audio -> (B, num_mel, T), (B, cc_num, T).
 
     ``n`` must be at least ``T*slide + (fft - slide)`` with ``T`` divisible
     by ``tile`` (tile a multiple of 8).  Callers with other lengths should
-    pad (the generic path has no such restriction).
+    pad (the generic path has no such restriction).  ``algo`` picks the
+    kernel: "flip" (full-MXU two-stage DFT, bf16x3 — the fastest),
+    "fourstep", "dense", or "auto" (flip when the shape allows, else
+    fourstep, else dense).
     """
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 1:
@@ -360,12 +549,24 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
         squeeze = False
     n = x.shape[-1]
     n_frames = (n - plan.n_fft) // plan.slide + 1
-    if n_frames % tile:
-        raise ValueError(f"frame count {n_frames} not divisible by tile "
-                         f"{tile}; pad the input")
-    call = (_fused_call4 if (algo == "fourstep" and plan.fs_n1)
-            else _fused_call)
-    mel, cc = call(plan, x, n_frames, tile, precision, interpret, fast)
+    # auto: fourstep for now (flip's XLA-side comb relayout is still the
+    # bottleneck); flip additionally covers non-divisible frame counts
+    use_flip = bool(plan.flip_q) and (
+        algo == "flip"
+        or (algo == "auto" and (not plan.fs_n1 or n_frames % tile)))
+    if algo == "flip" and not use_flip:
+        raise ValueError("flip kernel needs fft = Q*128 with Q | 128, "
+                         "Q | slide and 8*slide >= fft")
+    if use_flip:
+        mel, cc = _fused_call_flip(plan, x, n_frames, tile, precision,
+                                   interpret)
+    else:
+        if n_frames % tile:
+            raise ValueError(f"frame count {n_frames} not divisible by tile "
+                             f"{tile}; pad the input")
+        call = (_fused_call4 if (algo in ("auto", "fourstep") and plan.fs_n1)
+                else _fused_call)
+        mel, cc = call(plan, x, n_frames, tile, precision, interpret, fast)
     mel = jnp.swapaxes(mel, -1, -2)
     cc = jnp.swapaxes(cc, -1, -2)
     if squeeze:

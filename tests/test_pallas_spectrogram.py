@@ -70,9 +70,14 @@ def test_fused_rejects_bad_length():
     plan = MelSpectrogram(num=32, samplate=32000, radix2_exp=11,
                           slide_length=512)
     fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:13], 512)
+    # the flip kernel pads internally: any frame count works
+    mel, cc = fused_mel_mfcc(fp, np.zeros(10 * 512 + 1536, np.float32),
+                             tile=8, interpret=True)
+    assert mel.shape[-1] == 10 and cc.shape[-1] == 10
+    # the explicit fourstep/dense paths still require tile | frames
     with pytest.raises(ValueError):
         fused_mel_mfcc(fp, np.zeros(10 * 512 + 1536, np.float32), tile=8,
-                       interpret=True)
+                       interpret=True, algo="fourstep")
 
 
 def test_fused_other_configs():
