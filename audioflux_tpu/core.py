@@ -38,7 +38,7 @@ def linear_spectrogram(X, num=None, radix2_exp=12, samplate=32000,
                       high_fre=high_fre, window_type=window_type,
                       data_type=data_type,
                       filter_bank_type=SpectralFilterBankScaleType.LINEAR)
-    return obj.spectrogram(X)
+    return obj.spectrogram(X), obj.get_fre_band_arr()
 
 
 def _band_spectrogram(cls, X, num, radix2_exp, samplate, slide_length,
@@ -57,9 +57,10 @@ def mel_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
                     data_type=SpectralDataType.POWER,
                     style_type=SpectralFilterBankStyleType.SLANEY,
                     normal_type=SpectralFilterBankNormalType.NONE):
-    return _band_spectrogram(MelSpectrogram, X, num, radix2_exp, samplate,
-                             slide_length, low_fre, high_fre, window_type,
-                             data_type, style_type, normal_type)[1]
+    obj, spec = _band_spectrogram(
+        MelSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, data_type, style_type, normal_type)
+    return spec, obj.get_fre_band_arr()
 
 
 def bark_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
@@ -68,9 +69,10 @@ def bark_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
                      data_type=SpectralDataType.POWER,
                      style_type=SpectralFilterBankStyleType.SLANEY,
                      normal_type=SpectralFilterBankNormalType.NONE):
-    return _band_spectrogram(BarkSpectrogram, X, num, radix2_exp, samplate,
-                             slide_length, low_fre, high_fre, window_type,
-                             data_type, style_type, normal_type)[1]
+    obj, spec = _band_spectrogram(
+        BarkSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, data_type, style_type, normal_type)
+    return spec, obj.get_fre_band_arr()
 
 
 def erb_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
@@ -79,9 +81,10 @@ def erb_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
                     data_type=SpectralDataType.POWER,
                     style_type=SpectralFilterBankStyleType.SLANEY,
                     normal_type=SpectralFilterBankNormalType.NONE):
-    return _band_spectrogram(ErbSpectrogram, X, num, radix2_exp, samplate,
-                             slide_length, low_fre, high_fre, window_type,
-                             data_type, style_type, normal_type)[1]
+    obj, spec = _band_spectrogram(
+        ErbSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
+        high_fre, window_type, data_type, style_type, normal_type)
+    return spec, obj.get_fre_band_arr()
 
 
 def mfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
@@ -91,7 +94,7 @@ def mfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
         MelSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
         high_fre, window_type, SpectralDataType.POWER,
         SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type)
+    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
 
 
 def bfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
@@ -101,7 +104,7 @@ def bfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
         BarkSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
         high_fre, window_type, SpectralDataType.POWER,
         SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type)
+    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
 
 
 def gtcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
@@ -112,7 +115,7 @@ def gtcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
         high_fre, window_type, SpectralDataType.POWER,
         SpectralFilterBankStyleType.GAMMATONE,
         SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type)
+    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
 
 
 def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
@@ -123,7 +126,7 @@ def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
                bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
                window_type=window_type, slide_length=slide_length,
                normal_type=normal_type, is_scale=is_scale)
-    return obj.cqt(X)
+    return obj.cqt(X), obj.get_fre_band_arr()
 
 
 def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
@@ -135,7 +138,7 @@ def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
                thresh=thresh, window_type=window_type,
                slide_length=slide_length, normal_type=normal_type,
                is_scale=is_scale)
-    return obj.cqt(X)
+    return obj.cqt(X), obj.get_fre_band_arr()
 
 
 def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=84,
@@ -147,7 +150,8 @@ def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=84,
                window_type=window_type, slide_length=slide_length,
                normal_type=normal_type, is_scale=is_scale)
     C = obj.cqt(X)
-    return obj.cqcc(np.abs(np.asarray(C)), cc_num, rectify_type)
+    return (obj.cqcc(np.abs(np.asarray(C)), cc_num, rectify_type),
+            obj.get_fre_band_arr())
 
 
 def chroma_linear(X, chroma_num=12, radix2_exp=12, samplate=32000,

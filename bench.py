@@ -9,13 +9,14 @@ window, DFT, power, mel and log-DCT in one VMEM-resident kernel with bf16x3
 MXU dots (~2e-6 relative error vs the fp32 reference path; verified
 against the exact path below before timing).
 
-Prints ONE JSON line:
+Default run prints ONE JSON line (the driver's contract):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-vs_baseline compares audio-hours/sec against the reference C library on a
-32-core AMD TR 3970X (BASELINE.md: 1.43854 s for the same 1000-sample mel
-workload => 4.458 audio-hours / 1.43854 s = 3.099 audio-h/s; we additionally
-compute MFCC-13 in the same pass, which the C number does not include).
+``python bench.py --matrix`` additionally runs the reference's wider
+benchmark matrix (base benchmark T=1/100/1000/3000, plus the server
+feature rows Mel/MFCC/CQT/Chroma on 1000x128ms clips,
+``benchmark/README.md:77-179``) — one JSON line per row, and writes
+``BENCH_MATRIX.json``.  C anchors from BASELINE.md (AMD TR 3970X).
 """
 
 import json
@@ -35,17 +36,47 @@ TIME_STEP = 1000
 N_SAMPLES = 1000
 TILE = 200  # frames per Pallas grid step
 
-# audioFlux C mel-only, same workload (BASELINE.md, AMD TR 3970X)
-BASELINE_S = 1.43854
+# audioFlux C on AMD TR 3970X (BASELINE.md)
+BASELINE_MEL_S = {1: 0.04294, 100: 0.67030, 1000: 1.43854, 3000: 4.90343}
+BASELINE_SERVER_S = {"mel": 0.777, "mfcc": 0.797, "cqt": 5.743,
+                     "chroma": 0.155}
 
 
-def main():
+def _sync(y):
+    for leaf in jax.tree_util.tree_leaves(y):
+        leaf.block_until_ready()
+    # the axon tunnel's block_until_ready can return before execution
+    # finishes; a host fetch of one element is the reliable fence
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _time(fn, *args):
+    y = fn(*args)
+    _sync(y)
+    t0 = time.perf_counter()
+    y = fn(*args)
+    _sync(y)
+    return time.perf_counter() - t0
+
+
+def _emit(metric, seconds, audio_hours, baseline_s, rows=None):
+    hps = audio_hours / seconds
+    base_hps = audio_hours / baseline_s
+    row = {"metric": metric, "value": round(hps, 3),
+           "unit": "audio-hours/sec", "vs_baseline": round(hps / base_hps, 3)}
+    print(json.dumps(row))
+    if rows is not None:
+        rows.append(dict(row, seconds=round(seconds, 5),
+                         baseline_seconds=baseline_s))
+    return row
+
+
+def headline(rows=None):
     from audioflux_tpu.transforms.spectrogram import MelSpectrogram
 
     clip_len = TIME_STEP * SLIDE + (1 << R2E) - SLIDE  # 513536 samples
-    audio_seconds = N_SAMPLES * clip_len / SR
-    audio_hours = audio_seconds / 3600.0
-    baseline_hps = audio_hours / BASELINE_S
+    audio_hours = N_SAMPLES * clip_len / SR / 3600.0
 
     plan = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=R2E,
                           slide_length=SLIDE)
@@ -56,8 +87,6 @@ def main():
         return 0.2 * jax.random.normal(key, (N_SAMPLES, clip_len),
                                        jnp.float32)
 
-    # data resident in HBM before timing (reference protocol also excludes
-    # data generation)
     xs = synth(0)
     xs.block_until_ready()
 
@@ -70,22 +99,79 @@ def main():
         print(f"accuracy gate failed: rel err {rel:.3e}", file=sys.stderr)
         sys.exit(1)
 
-    # warm-up / compile
-    m, c = plan.spectrogram_mfcc_fused(xs, tile=TILE)
-    jax.block_until_ready((m, c))
+    elapsed = _time(lambda x: plan.spectrogram_mfcc_fused(x, tile=TILE), xs)
+    return _emit(
+        "mel+mfcc audio-hours/sec/chip (1000x T=1000, 32kHz)",
+        elapsed, audio_hours, BASELINE_MEL_S[1000], rows)
 
-    t0 = time.perf_counter()
-    m, c = plan.spectrogram_mfcc_fused(xs, tile=TILE)
-    jax.block_until_ready((m, c))
-    elapsed = time.perf_counter() - t0
 
-    hps = audio_hours / elapsed
-    print(json.dumps({
-        "metric": "mel+mfcc audio-hours/sec/chip (1000x T=1000, 32kHz)",
-        "value": round(hps, 3),
-        "unit": "audio-hours/sec",
-        "vs_baseline": round(hps / baseline_hps, 3),
-    }))
+def matrix(rows):
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+    from audioflux_tpu.transforms.cqt import CQT
+    from audioflux_tpu import chroma_linear
+
+    plan = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=R2E,
+                          slide_length=SLIDE)
+
+    # base benchmark at the other TimeSteps (T=3000 is chunked: the 4x
+    # framing expansion of all 1000 clips at once would not fit HBM)
+    for ts, n_chunks in ((1, 1), (100, 1), (3000, 4)):
+        clip_len = ts * SLIDE + (1 << R2E) - SLIDE
+        audio_hours = N_SAMPLES * clip_len / SR / 3600.0
+        key = jax.random.PRNGKey(ts)
+        xs = 0.2 * jax.random.normal(key, (N_SAMPLES // n_chunks, clip_len),
+                                     jnp.float32)
+        xs.block_until_ready()
+        tile = min(TILE, ts) if ts % 8 == 0 or ts == 1 else ts
+
+        def run(x, t=tile, reps=n_chunks):
+            outs = None
+            for _ in range(reps):  # same resident chunk: timing-equivalent
+                outs = plan.spectrogram_mfcc_fused(x, tile=t)
+            return outs
+
+        el = _time(run, xs)
+        _emit(f"mel+mfcc audio-hours/sec/chip (1000x T={ts}, 32kHz)",
+              el, audio_hours, BASELINE_MEL_S[ts], rows)
+
+    # server feature rows: 1000 clips of 128 ms (4096 samples)
+    key = jax.random.PRNGKey(7)
+    xs = 0.2 * jax.random.normal(key, (1000, 4096), jnp.float32)
+    xs.block_until_ready()
+    audio_hours = 1000 * 4096 / SR / 3600.0
+
+    plan12 = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=12,
+                            slide_length=1024)
+    el = _time(plan12.spectrogram, xs)
+    _emit("server mel audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
+          BASELINE_SERVER_S["mel"], rows)
+
+    def mel_mfcc(x):
+        spec = plan12.spectrogram(x)
+        return plan12.mfcc(spec, 13)
+    el = _time(mel_mfcc, xs)
+    _emit("server mfcc audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
+          BASELINE_SERVER_S["mfcc"], rows)
+
+    cqt_obj = CQT(num=84, samplate=SR, slide_length=1024)
+    el = _time(cqt_obj.cqt, xs)
+    _emit("server cqt audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
+          BASELINE_SERVER_S["cqt"], rows)
+
+    el = _time(lambda x: chroma_linear(x, chroma_num=12, radix2_exp=12,
+                                       samplate=SR, slide_length=1024), xs)
+    _emit("server chroma audio-hours/sec/chip (1000x 128ms)", el,
+          audio_hours, BASELINE_SERVER_S["chroma"], rows)
+
+
+def main():
+    want_matrix = "--matrix" in sys.argv
+    rows = [] if want_matrix else None
+    headline(rows)
+    if want_matrix:
+        matrix(rows)
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

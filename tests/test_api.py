@@ -9,13 +9,13 @@ import audioflux_tpu as af
 
 def test_one_shot_api(signals):
     x = signals["chord"][:8192]
-    m = np.asarray(af.mel_spectrogram(x, num=64, radix2_exp=10))
+    m = np.asarray(af.mel_spectrogram(x, num=64, radix2_exp=10)[0])
     assert m.shape[0] == 64
-    cc = np.asarray(af.mfcc(x, num=64, radix2_exp=10))
+    cc = np.asarray(af.mfcc(x, num=64, radix2_exp=10)[0])
     assert cc.shape[0] == 13
     c = np.asarray(af.chroma_linear(x, radix2_exp=10))
     assert c.shape[0] == 12
-    q = np.asarray(af.cqt(x[:4096], num=48, samplate=32000))
+    q = np.asarray(af.cqt(x[:4096], num=48, samplate=32000)[0])
     assert q.shape[0] == 48
 
 
@@ -59,7 +59,7 @@ def test_display_smoke(tmp_path, signals):
     matplotlib.use("Agg")
     from audioflux_tpu.display import Plot, fill_spec
     x = signals["chord"][:4096]
-    m = np.asarray(af.mel_spectrogram(x, num=32, radix2_exp=9))
+    m = np.asarray(af.mel_spectrogram(x, num=32, radix2_exp=9)[0])
     p = Plot(nrows=2)
     p.add_spec_data(m, title="mel")
     p.add_wave_data(x)
