@@ -29,7 +29,7 @@ class Plot:
         from audioflux_tpu.display.display import fill_spec
         return fill_spec(data, axes=self._next_axes(), x_coords=x_coords,
                          y_coords=y_coords,
-                         y_axis=(scale or "fre"), title=title)
+                         y_axis=scale, title=title)
 
     def add_wave_data(self, data, samplate=32000, title=None):
         from audioflux_tpu.display.display import fill_wave

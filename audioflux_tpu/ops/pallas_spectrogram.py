@@ -139,6 +139,60 @@ class FusedMelPlan:
             lo = (melp4 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
             self.fs_melp_hi, self.fs_melp_lo = hi, lo
 
+        # --- fs2: natural-row four-step with in-kernel gather ----------
+        # n = 128*q + n2, k = k1 + Q*k2 (k1 in [0,Q), k2 in [0,128)):
+        #   X[k] = sum_n2 W128[n2,k2] * tw[k1,n2] * sum_q W_Q[k1,q] x[q,n2]
+        # Rows packed (f_lo, q), FL = 128//Q frames per row-block; frames
+        # are gathered from plain row-reshaped audio by a 0/1 selection
+        # matmul inside the kernel (no XLA-side framing copies at all).
+        Q = self.n_fft // 128
+        FL = (128 // Q) if Q and 128 % Q == 0 else 0
+        fr = self.slide // 128
+        blk = FL * fr
+        off_max = (FL - 1) * fr + Q - 1 if FL else 0
+        ok2 = (Q >= 2 and self.n_fft == Q * 128 and FL
+               and self.slide % 128 == 0 and off_max < 2 * blk)
+        self.fs2_q = Q if ok2 else 0
+        if ok2:
+            import ml_dtypes
+            self.fs2_fl, self.fs2_fr, self.fs2_blk = FL, fr, blk
+            N = self.n_fft
+            g = np.zeros((128, 2 * blk), np.float32)
+            for f_lo in range(FL):
+                for qi in range(Q):
+                    g[f_lo * Q + qi, fr * f_lo + qi] = 1.0
+            self.fs2_g = g.astype(ml_dtypes.bfloat16)  # exact (0/1)
+            q_of_r = (np.arange(128) % Q)
+            n2_idx = np.arange(128)
+            self.fs2_win = window[(q_of_r[:, None] * 128
+                                   + n2_idx[None, :])].astype(np.float32)
+            wq = np.exp(-2j * np.pi * np.outer(np.arange(Q),
+                                               np.arange(Q)) / Q)
+            bd = np.kron(np.eye(FL), wq)       # rows (f_lo,k1) x (f_lo,q)
+            k1_of_r = q_of_r                   # rows (f_lo, k1) pattern
+            tw = np.exp(-2j * np.pi * np.outer(k1_of_r, n2_idx) / N)
+            w128 = np.exp(-2j * np.pi * np.outer(n2_idx, n2_idx) / 128)
+            mats = {"bdr": bd.real, "bdi": bd.imag,
+                    "wr": w128.real, "wi": w128.imag,
+                    "ws": w128.real + w128.imag}
+            for name, full in mats.items():
+                full = full.astype(np.float32)
+                hi = full.astype(ml_dtypes.bfloat16)
+                lo = (full - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+                setattr(self, "fs2_" + name + "_hi", hi)
+                setattr(self, "fs2_" + name + "_lo", lo)
+            self.fs2_twr = tw.real.astype(np.float32)
+            self.fs2_twi = tw.imag.astype(np.float32)
+            fbs = np.zeros((Q, 128, self.mel_pad), np.float32)
+            for k1 in range(Q):
+                for k2 in range(128):
+                    kbin = k1 + Q * k2
+                    if kbin < n_bins:
+                        fbs[k1, k2, :self.num_mel] = mel_fb[:, kbin]
+            hi = fbs.astype(ml_dtypes.bfloat16)
+            lo = (fbs - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self.fs2_fb_hi, self.fs2_fb_lo = hi, lo
+
         # --- flip factorization (N = Q*128, full-MXU stages) -----------
         # n = q + Q*n2 (q in [0,Q), n2 in [0,128)), k = k1 + 128*k2:
         #   stage 1:  A[q, k1] = sum_n2 x[q + Q*n2] W128[n2, k1]
@@ -310,6 +364,99 @@ def _kernel4(*refs, n1: int, tile: int, log_floor: float, precision,
     cc_out[0, :, :] = jax.lax.dot(logm, dct_ref[...], precision=precision)
 
 
+def _kernel_fs2(main_ref, halo_ref, g_ref, win_ref, bdrh, bdrl, bdih, bdil,
+                twr_ref, twi_ref, wrh, wrl, wih, wil, wsh, wsl, fbh, fbl,
+                dct_ref, mel_out, cc_out, *, t8: int, blk: int, fl: int,
+                q: int, log_floor: float, precision):
+    """Natural-row four-step: in-kernel frame gather + full-MXU DFT stages.
+
+    Input is the plain row-reshaped audio (no XLA-side framing or comb
+    relayout — XLA strided-slice framing runs at ~1/6 of HBM bandwidth
+    and dominated the older kernels' wall time).  Per grid step:
+
+      window rows -> 0/1 gather matmul (exact: two bf16 passes select
+      disjoint hi/lo parts) -> rows (f_lo, q) -> block-diag I_FL (x) W_Q
+      row-DFT -> twiddle -> 128-DFT over lanes (Karatsuba complex x
+      bf16x3) -> power -> per-k1 mel accumulation -> log10 -> DCT.
+
+    Layout is u-major (t8 leading) throughout, so the output needs no
+    final transpose: out rows flatten directly to frame order.
+    """
+    x3 = main_ref[0].reshape(t8, blk, 128)
+    h3 = halo_ref[0].reshape(1, blk, 128)
+    full = jnp.concatenate([x3, h3], axis=0)          # (t8+1, blk, 128)
+    w = jnp.concatenate([jax.lax.slice_in_dim(full, 0, t8, axis=0),
+                         jax.lax.slice_in_dim(full, 1, t8 + 1, axis=0)],
+                        axis=1)                        # (t8, 2*blk, 128)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    g = g_ref[...]                                     # (128, 2*blk) bf16
+    gb = jnp.broadcast_to(g, (t8, 128, 2 * blk))
+    cd_b = (((2,), (1,)), ((0,), (0,)))
+
+    def bdot(a, b):
+        return jax.lax.dot_general(a, b, cd_b,
+                                   preferred_element_type=jnp.float32)
+
+    # exact gather: the hi/lo parts are selected separately and recombined
+    xg = bdot(gb, wh) + bdot(gb, wl)                   # (t8, 128r, 128n2)
+    xw = xg * win_ref[...][None, :, :]
+
+    # stage A: block-diagonal Q-point DFT over the row (q) dim
+    ah = xw.astype(jnp.bfloat16)
+    al = (xw - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def adot(m_hi, m_lo):
+        mh = jnp.broadcast_to(m_hi[...], (t8, 128, 128))
+        ml = jnp.broadcast_to(m_lo[...], (t8, 128, 128))
+        return bdot(mh, ah) + bdot(ml, ah) + bdot(mh, al)
+
+    ar = adot(bdrh, bdrl)
+    ai = adot(bdih, bdil)
+    # stage B: twiddle (VPU); tw depends on (k1, n2) only
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # stage C: 128-DFT over the lane (n2) dim; Karatsuba x bf16x3
+    cd_l = (((2,), (0,)), ((), ()))
+
+    def ldot3(a, m_hi, m_lo):
+        h = a.astype(jnp.bfloat16)
+        lo = (a - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
+                              preferred_element_type=jnp.float32)
+        return (d(h, m_hi[...]) + d(h, m_lo[...]) + d(lo, m_hi[...]))
+
+    t1 = ldot3(br, wrh, wrl)
+    t2 = ldot3(bi, wih, wil)
+    t3 = ldot3(br + bi, wsh, wsl)
+    xr = t1 - t2
+    xi = t3 - t1 - t2
+    power = xr * xr + xi * xi                          # (t8, (f_lo,k1), k2)
+
+    p4 = power.reshape(t8, fl, q, 128)
+    ph = p4.astype(jnp.bfloat16)
+    plo = (p4 - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
+                          preferred_element_type=jnp.float32)
+    mel = None
+    for k1 in range(q):
+        m_k = (d(ph[:, :, k1], fbh[k1]) + d(ph[:, :, k1], fbl[k1])
+               + d(plo[:, :, k1], fbh[k1]))
+        mel = m_k if mel is None else mel + m_k
+    # write band-major: a per-tile in-kernel transpose replaces what would
+    # otherwise be an XLA relayout of the full (B, T, num) output (which
+    # costs more than the whole DFT at these shapes)
+    mel_out[0] = mel.reshape(t8 * fl, -1).T            # (mel_pad, t8*FL)
+    logm = jnp.log10(jnp.maximum(mel, log_floor))
+    cc = jax.lax.dot_general(logm, dct_ref[...],
+                             dimension_numbers=cd_l,
+                             precision=precision)
+    cc_out[0] = cc.reshape(t8 * fl, -1).T              # (cc_pad, t8*FL)
+
+
 def _kernel_flip(x_ref, win_ref, w1rh, w1rl, w1ih, w1il, twr_ref, twi_ref,
                  bdrh, bdrl, bdih, bdil, bdsh, bdsl, fbh, fbl, dct_ref,
                  mel_out, cc_out, *, fl: int, q: int, n_k2: int,
@@ -368,6 +515,68 @@ def _kernel_flip(x_ref, win_ref, w1rh, w1rl, w1ih, w1il, twr_ref, twi_ref,
     cc_out[0] = jax.lax.dot_general(logm, dct_ref[...],
                                     dimension_numbers=cd_lane,
                                     precision=precision)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _fused_call_fs2(plan: FusedMelPlan, x, n_frames: int, tile: int,
+                    precision, interpret: bool):
+    b = x.shape[0]
+    Q, FL, blk = plan.fs2_q, plan.fs2_fl, plan.fs2_blk
+    u_needed = -(-n_frames // FL)
+    if tile >= n_frames and (u_needed * blk) % 8 == 0:
+        # single-tile mode: whole clip per grid step — no frame padding
+        # and no post-kernel slice copy (out block == full output)
+        t8 = u_needed
+    else:
+        t8 = max(8, -(-(tile // FL) // 8) * 8)
+    u_total = -(-u_needed // t8) * t8
+    t_pad = u_total * FL
+    n_tiles = u_total // t8
+    rows_needed = u_total * blk + blk  # + one halo block for the last tile
+    need = rows_needed * 128
+    if x.shape[1] >= need:
+        x = x[:, :need]
+    else:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    rows = x.reshape(b, rows_needed, 128)
+
+    kern = functools.partial(_kernel_fs2, t8=t8, blk=blk, fl=FL, q=Q,
+                             log_floor=1e-8, precision=precision)
+
+    def _const(arr):
+        return pl.BlockSpec(arr.shape, lambda i, t: (0,) * arr.ndim)
+
+    consts = [plan.fs2_g, plan.fs2_win,
+              plan.fs2_bdr_hi, plan.fs2_bdr_lo,
+              plan.fs2_bdi_hi, plan.fs2_bdi_lo,
+              plan.fs2_twr, plan.fs2_twi,
+              plan.fs2_wr_hi, plan.fs2_wr_lo,
+              plan.fs2_wi_hi, plan.fs2_wi_lo,
+              plan.fs2_ws_hi, plan.fs2_ws_lo,
+              plan.fs2_fb_hi, plan.fs2_fb_lo, plan.dct_t]
+    main_spec = pl.BlockSpec((1, t8 * blk, 128),
+                             lambda i, t: (i, t, 0))
+    halo_spec = pl.BlockSpec((1, blk, 128),
+                             lambda i, t: (i, (t + 1) * t8, 0))
+    mel, cc = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[main_spec, halo_spec] + [_const(c) for c in consts],
+        out_specs=[
+            pl.BlockSpec((1, plan.mel_pad, t8 * FL), lambda i, t: (i, 0, t)),
+            pl.BlockSpec((1, plan.cc_pad, t8 * FL), lambda i, t: (i, 0, t)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, plan.mel_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, plan.cc_pad, t_pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rows, rows, *[jnp.asarray(c) for c in consts])
+    # outputs are already band-major (in-kernel transpose)
+    return (mel[:, :plan.num_mel, :n_frames],
+            cc[:, :plan.cc_num, :n_frames])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -530,7 +739,7 @@ def _fused_call(plan: FusedMelPlan, x, n_frames: int, tile: int,
 
 def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
                    precision=jax.lax.Precision.HIGHEST,
-                   interpret: bool = False, fast: bool = False,
+                   interpret: bool | None = None, fast: bool = False,
                    algo: str = "auto"):
     """(B, n) audio -> (B, num_mel, T), (B, cc_num, T).
 
@@ -542,6 +751,8 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
     fourstep, else dense).
     """
     x = jnp.asarray(x, jnp.float32)
+    if interpret is None:  # Mosaic kernels only compile for TPU
+        interpret = jax.default_backend() != "tpu"
     if x.ndim == 1:
         x = x[None]
         squeeze = True
@@ -549,14 +760,23 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
         squeeze = False
     n = x.shape[-1]
     n_frames = (n - plan.n_fft) // plan.slide + 1
-    # auto: fourstep for now (flip's XLA-side comb relayout is still the
-    # bottleneck); flip additionally covers non-divisible frame counts
-    use_flip = bool(plan.flip_q) and (
+    use_fs2 = bool(plan.fs2_q) and algo in ("auto", "fs2")
+    use_flip = (not use_fs2) and bool(plan.flip_q) and (
         algo == "flip"
         or (algo == "auto" and (not plan.fs_n1 or n_frames % tile)))
+    if algo == "fs2" and not use_fs2:
+        raise ValueError("fs2 kernel needs fft = Q*128 with Q | 128, "
+                         "128 | slide and a 2-block gather window")
     if algo == "flip" and not use_flip:
         raise ValueError("flip kernel needs fft = Q*128 with Q | 128, "
                          "Q | slide and 8*slide >= fft")
+    if use_fs2:
+        # fs2 emits band-major (B, num, T) directly (in-kernel transpose)
+        mel, cc = _fused_call_fs2(plan, x, n_frames, tile, precision,
+                                  interpret)
+        if squeeze:
+            mel, cc = mel[0], cc[0]
+        return mel, cc
     if use_flip:
         mel, cc = _fused_call_flip(plan, x, n_frames, tile, precision,
                                    interpret)

@@ -178,6 +178,41 @@ class BFT:
             self._temp.temporal(data_arr)
         return jnp.swapaxes(out, -1, -2)
 
+    def bft_fused(self, data_arr, cc_num: int = 13, tile: int = 200):
+        """Bulk throughput path: fused Pallas spectrogram (+ xxcc).
+
+        Routes the BFT hot loop (frame -> window -> DFT -> power ->
+        filterbank [-> log-DCT]) through the fused kernel
+        (``ops.pallas_spectrogram``), the same fast path ``bench.py``
+        measures.  Requires the plain real/POWER configuration
+        (result_type 1, POWER data, norm 1, no reassign, matmul scale).
+        Returns (spec (..., num, T), cc (..., cc_num, T)); numerics are
+        bf16x3 (~2e-6 relative) vs the exact ``bft`` path.
+        """
+        S = SpectralFilterBankScaleType
+        if (self.data_type != SpectralDataType.POWER
+                or self.norm_value != 1 or self.is_reassign
+                or self.scale_type == S.LINEAR or self.filter_bank is None):
+            raise ValueError("bft_fused needs POWER data, norm 1, no "
+                             "reassign and a matmul filterbank; use .bft()")
+        from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
+                                                          fused_mel_mfcc)
+        from audioflux_tpu.transforms.spectrogram import dct_matrix
+        key = ("_fused_plan", cc_num)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        plan = cache.get(key)
+        if plan is None:
+            from audioflux_tpu.ops.window import get_fft_window
+            win = get_fft_window(self.window_type,
+                                 1 << self.radix2_exp)
+            plan = FusedMelPlan(win, self.filter_bank,
+                                dct_matrix(self.num)[:cc_num],
+                                self.slide_length)
+            cache[key] = plan
+        return fused_mel_mfcc(plan, data_arr, tile=tile)
+
     def get_temporal_data(self):
         if self._temp is None:
             raise RuntimeError("BFT was created with is_temporal=False")

@@ -51,13 +51,21 @@ def _sync(y):
     np.asarray(leaf.ravel()[:1])
 
 
-def _time(fn, *args):
+def _time(fn, *args, reps: int = 3):
+    """Median-free amortized wall: time ``reps`` dispatches and divide.
+
+    The axon tunnel charges one host<->TPU round trip per timed region
+    (~tens of ms) that is an artifact of this setup, not the chip;
+    amortizing over a few dispatches keeps the number comparable to the
+    reference protocol's tight C loop.
+    """
     y = fn(*args)
     _sync(y)
     t0 = time.perf_counter()
-    y = fn(*args)
+    for _ in range(reps):
+        y = fn(*args)
     _sync(y)
-    return time.perf_counter() - t0
+    return (time.perf_counter() - t0) / reps
 
 
 def _emit(metric, seconds, audio_hours, baseline_s, rows=None):
@@ -163,15 +171,38 @@ def matrix(rows):
     _emit("server chroma audio-hours/sec/chip (1000x 128ms)", el,
           audio_hours, BASELINE_SERVER_S["chroma"], rows)
 
+    # reassignment spectrogram; the reference publishes no number for this,
+    # so the anchor is the compiled reference C measured on this box
+    # (single core, 0.299 ms/clip — see tools/bench_ref_reassign note)
+    from audioflux_tpu.transforms.bft import BFT
+    from audioflux_tpu.types import (SpectralDataType,
+                                     SpectralFilterBankScaleType)
+    bft = BFT(num=NUM, radix2_exp=12, samplate=SR, slide_length=1024,
+              scale_type=SpectralFilterBankScaleType.LINEAR,
+              data_type=SpectralDataType.POWER, is_reassign=True)
+    el = _time(lambda x: bft.bft(x, result_type=1), xs)
+    _emit("server reassign audio-hours/sec/chip (1000x 128ms, local-C base)",
+          el, audio_hours, 0.299, rows)
+
+
+# perf-regression gate: fail the bench if the headline throughput drops
+# more than 15% below the best recorded value (update deliberately when
+# the kernel genuinely improves)
+HEADLINE_FLOOR = 24.0  # audio-h/s
+
 
 def main():
     want_matrix = "--matrix" in sys.argv
     rows = [] if want_matrix else None
-    headline(rows)
+    row = headline(rows)
     if want_matrix:
         matrix(rows)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
+    if row["value"] < 0.85 * HEADLINE_FLOOR:
+        print(f"PERF REGRESSION: {row['value']} < 0.85*{HEADLINE_FLOOR}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

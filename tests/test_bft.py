@@ -89,3 +89,21 @@ def test_reassign_batched(x):
     batch = np.asarray(rs.reassign(np.stack([x, x])))
     np.testing.assert_allclose(batch[0], single, atol=1e-6)
     np.testing.assert_allclose(batch[1], single, atol=1e-6)
+
+
+def test_bft_fused_matches_exact():
+    from audioflux_tpu.transforms.bft import BFT
+    from audioflux_tpu.types import (SpectralDataType,
+                                     SpectralFilterBankScaleType)
+    import numpy as np
+    bft = BFT(num=64, radix2_exp=11, samplate=32000, slide_length=512,
+              scale_type=SpectralFilterBankScaleType.MEL,
+              data_type=SpectralDataType.POWER)
+    rng = np.random.default_rng(3)
+    x = (0.2 * rng.standard_normal((2, 16 * 512 + 1536))).astype(np.float32)
+    ref = np.asarray(bft.bft(x, result_type=1))
+    spec, cc = bft.bft_fused(x, cc_num=5, tile=8)
+    spec = np.asarray(spec)
+    assert spec.shape == ref.shape
+    assert np.max(np.abs(spec - ref)) <= 1e-4 * np.max(np.abs(ref))
+    assert np.asarray(cc).shape == (2, 5, ref.shape[-1])
