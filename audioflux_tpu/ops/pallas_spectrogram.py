@@ -169,8 +169,8 @@ class FusedMelPlan:
             wq = np.exp(-2j * np.pi * np.outer(np.arange(Q),
                                                np.arange(Q)) / Q)
             bd = np.kron(np.eye(FL), wq)       # rows (f_lo,k1) x (f_lo,q)
-            k1_of_r = q_of_r                   # rows (f_lo, k1) pattern
-            tw = np.exp(-2j * np.pi * np.outer(k1_of_r, n2_idx) / N)
+            k1_sub = np.tile(np.arange(Q), FL)
+            tw = np.exp(-2j * np.pi * np.outer(k1_sub, n2_idx) / N)
             w128 = np.exp(-2j * np.pi * np.outer(n2_idx, n2_idx) / 128)
             mats = {"bdr": bd.real, "bdi": bd.imag,
                     "wr": w128.real, "wi": w128.imag,
@@ -183,15 +183,68 @@ class FusedMelPlan:
                 setattr(self, "fs2_" + name + "_lo", lo)
             self.fs2_twr = tw.real.astype(np.float32)
             self.fs2_twi = tw.imag.astype(np.float32)
-            fbs = np.zeros((Q, 128, self.mel_pad), np.float32)
+            # mirror-folded filterbank: |X[N-k]|^2 == |X[k]|^2 for real
+            # input, so bins living in rows k1 > Q/2 are folded into their
+            # mirror cell (Q-k1, 127-k2) — the mel stage only touches
+            # Q/2 + 1 of the Q row groups
+            n_k1 = Q // 2 + 1
+            self.fs2_nk1 = n_k1
+            fbs = np.zeros((n_k1, 128, self.mel_pad), np.float32)
             for k1 in range(Q):
                 for k2 in range(128):
                     kbin = k1 + Q * k2
                     if kbin < n_bins:
-                        fbs[k1, k2, :self.num_mel] = mel_fb[:, kbin]
+                        if k1 <= Q // 2:
+                            fbs[k1, k2, :self.num_mel] += mel_fb[:, kbin]
+                        else:
+                            fbs[Q - k1, 127 - k2,
+                                :self.num_mel] += mel_fb[:, kbin]
             hi = fbs.astype(ml_dtypes.bfloat16)
             lo = (fbs - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
             self.fs2_fb_hi, self.fs2_fb_lo = hi, lo
+
+            # spectral 3-tap windows (periodic cosine family):
+            # win[n] = c0 + 2*c1*cos(2 pi n / N)  <=>  DFT-domain taps
+            # (c0, c1, c1) — lets the kernel skip time-domain windowing
+            # entirely, which in turn lets the frame gather fold into the
+            # stage-A matrix (BD @ G, one combined matmul)
+            nn = np.arange(N)
+            cosn = np.cos(2 * np.pi * nn / N)
+            c0 = float(np.mean(window))
+            c1 = float(np.mean(window * cosn))  # = (2*c1')/2
+            fit = c0 + 2 * c1 * cosn
+            if np.max(np.abs(fit - window)) < 1e-6 * max(
+                    1.0, np.max(np.abs(window))):
+                self.fs3_taps = (c0, c1)
+                # all Q row groups, ROTATED one position (k1(p) = p-1 mod
+                # Q): every mel-read group (k1 <= Q/2, at p = k1+1) then
+                # has both its 3-tap neighbors at p +- 1, so the taps are
+                # plain sublane rolls with no edge masking.  (Restricting
+                # to fewer groups measured slower — Mosaic pads M to 128.)
+                k1_list = [(p - 1) % Q for p in range(Q)]
+                self.fs3_ngrp = Q
+                bd3 = np.kron(np.eye(FL), wq[k1_list, :])
+                bdg = bd3 @ g.astype(np.float64)       # (nrows, 2*blk)
+                for name, full in (("bdgr", bdg.real), ("bdgi", bdg.imag)):
+                    full = full.astype(np.float32)
+                    hi = full.astype(ml_dtypes.bfloat16)
+                    lo = (full - hi.astype(np.float32)).astype(
+                        ml_dtypes.bfloat16)
+                    setattr(self, "fs3_" + name + "_hi", hi)
+                    setattr(self, "fs3_" + name + "_lo", lo)
+                k1_sub3 = np.tile(np.asarray(k1_list), FL)
+                tw3 = np.exp(-2j * np.pi * np.outer(k1_sub3, n2_idx) / N)
+                # the k1=0 rows' up-neighbor (k1=Q-1) lives one k2 lane
+                # to the left; pre-shift that row group by folding the
+                # lane shift into its twiddle as a phase ramp
+                ngrp = len(k1_list)
+                shift_phase = np.exp(+2j * np.pi * n2_idx / 128)
+                for f_lo in range(FL):
+                    tw3[f_lo * ngrp] *= shift_phase
+                self.fs3_twr = tw3.real.astype(np.float32)
+                self.fs3_twi = tw3.imag.astype(np.float32)
+            else:
+                self.fs3_taps = None
 
         # --- flip factorization (N = Q*128, full-MXU stages) -----------
         # n = q + Q*n2 (q in [0,Q), n2 in [0,128)), k = k1 + 128*k2:
@@ -403,13 +456,14 @@ def _kernel_fs2(main_ref, halo_ref, g_ref, win_ref, bdrh, bdrl, bdih, bdil,
     xg = bdot(gb, wh) + bdot(gb, wl)                   # (t8, 128r, 128n2)
     xw = xg * win_ref[...][None, :, :]
 
-    # stage A: block-diagonal Q-point DFT over the row (q) dim
+    # stage A: block-diagonal Q-point DFT over the row (q) dim; only the
+    # k1 <= Q/2 row groups exist (the mirror-folded mel never reads more)
     ah = xw.astype(jnp.bfloat16)
     al = (xw - ah.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def adot(m_hi, m_lo):
-        mh = jnp.broadcast_to(m_hi[...], (t8, 128, 128))
-        ml = jnp.broadcast_to(m_lo[...], (t8, 128, 128))
+        mh = jnp.broadcast_to(m_hi[...], (t8,) + m_hi.shape)
+        ml = jnp.broadcast_to(m_lo[...], (t8,) + m_lo.shape)
         return bdot(mh, ah) + bdot(ml, ah) + bdot(mh, al)
 
     ar = adot(bdrh, bdrl)
@@ -436,25 +490,114 @@ def _kernel_fs2(main_ref, halo_ref, g_ref, win_ref, bdrh, bdrl, bdih, bdil,
     xi = t3 - t1 - t2
     power = xr * xr + xi * xi                          # (t8, (f_lo,k1), k2)
 
-    p4 = power.reshape(t8, fl, q, 128)
+    _mel_dct_store(power, fbh, fbl, dct_ref, mel_out, cc_out,
+                   t8=t8, fl=fl, off=0, log_floor=log_floor,
+                   precision=precision)
+
+
+def _mel_dct_store(power, fbh, fbl, dct_ref, mel_out, cc_out, *,
+                   t8, fl, off, log_floor, precision):
+    """Mirror-folded mel accumulation + log-DCT + band-major stores.
+
+    ``fbh/fbl`` carry Q//2 + 1 folded slices (bins in rows k1 > Q/2 are
+    pre-added at their mirror cell — real input has |X[N-k]| = |X[k]|);
+    ``off`` is the row-group position of k1 = 0 in ``power``.  The
+    band-major in-kernel transpose replaces what would otherwise be an
+    XLA relayout of the full (B, T, num) output (which costs more than
+    the whole DFT at these shapes).
+    """
+    cd_l = (((2,), (0,)), ((), ()))
+    grp = power.shape[1] // fl
+    p4 = power.reshape(t8, fl, grp, 128)
     ph = p4.astype(jnp.bfloat16)
     plo = (p4 - ph.astype(jnp.float32)).astype(jnp.bfloat16)
     d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
                           preferred_element_type=jnp.float32)
     mel = None
-    for k1 in range(q):
-        m_k = (d(ph[:, :, k1], fbh[k1]) + d(ph[:, :, k1], fbl[k1])
-               + d(plo[:, :, k1], fbh[k1]))
+    for k1 in range(fbh.shape[0]):
+        p = k1 + off
+        m_k = (d(ph[:, :, p], fbh[k1]) + d(ph[:, :, p], fbl[k1])
+               + d(plo[:, :, p], fbh[k1]))
         mel = m_k if mel is None else mel + m_k
-    # write band-major: a per-tile in-kernel transpose replaces what would
-    # otherwise be an XLA relayout of the full (B, T, num) output (which
-    # costs more than the whole DFT at these shapes)
     mel_out[0] = mel.reshape(t8 * fl, -1).T            # (mel_pad, t8*FL)
     logm = jnp.log10(jnp.maximum(mel, log_floor))
     cc = jax.lax.dot_general(logm, dct_ref[...],
                              dimension_numbers=cd_l,
                              precision=precision)
     cc_out[0] = cc.reshape(t8 * fl, -1).T              # (cc_pad, t8*FL)
+
+
+def _kernel_fs3(main_ref, halo_ref, bdgrh, bdgrl, bdgih, bdgil,
+                twr_ref, twi_ref, wrh, wrl, wih, wil, wsh, wsl, fbh, fbl,
+                dct_ref, mel_out, cc_out, *, t8: int, blk: int, fl: int,
+                q: int, c0: float, c1: float, log_floor: float, precision):
+    """fs2 variant for 3-tap (periodic cosine) windows.
+
+    The time-domain window multiply disappears: a periodic Hann/Hamm is
+    exactly (c0, c1, c1) taps in the DFT domain, applied after stage C
+    with sublane/lane rolls.  With no window between them, the frame
+    gather folds into the stage-A matrix (one precomputed BD @ G complex
+    matmul over the 2-block row window) — replacing gather (1 unit) +
+    stage A (6 units) with 3 half-width units.
+    """
+    x3 = main_ref[0].reshape(t8, blk, 128)
+    h3 = halo_ref[0].reshape(1, blk, 128)
+    full = jnp.concatenate([x3, h3], axis=0)
+    w = jnp.concatenate([jax.lax.slice_in_dim(full, 0, t8, axis=0),
+                         jax.lax.slice_in_dim(full, 1, t8 + 1, axis=0)],
+                        axis=1)                        # (t8, 2*blk, 128)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    cd_b = (((2,), (1,)), ((0,), (0,)))
+
+    def bdot(m, b):
+        return jax.lax.dot_general(
+            jnp.broadcast_to(m[...], (t8,) + m.shape), b, cd_b,
+            preferred_element_type=jnp.float32)
+
+    # fused gather + stage A: rows (f_lo, k1) directly from audio rows.
+    # Row groups are {Q-1, 0, 1, ..., Q/2+1}: the Q/2+1 groups the
+    # folded mel reads plus one tap neighbor on each side, so the 3-tap
+    # below needs no edge handling at all (its garbage edge rows are
+    # never read).
+    ar = bdot(bdgrh, wh) + bdot(bdgrl, wh) + bdot(bdgrh, wl)
+    ai = bdot(bdgih, wh) + bdot(bdgil, wh) + bdot(bdgih, wl)
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    cd_l = (((2,), (0,)), ((), ()))
+
+    def ldot3(a, m_hi, m_lo):
+        h = a.astype(jnp.bfloat16)
+        lo = (a - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
+                              preferred_element_type=jnp.float32)
+        return (d(h, m_hi[...]) + d(h, m_lo[...]) + d(lo, m_hi[...]))
+
+    t1 = ldot3(br, wrh, wrl)
+    t2 = ldot3(bi, wih, wil)
+    t3 = ldot3(br + bi, wsh, wsl)
+    xr = t1 - t2
+    xi = t3 - t1 - t2                                  # unwindowed X[k]
+
+    # spectral 3-tap window: Xw[k] = c0 X[k] + c1 (X[k-1] + X[k+1]);
+    # k +- 1 is one step along the row-group axis (neighbors exist by
+    # construction of the row set)
+    nrows = xr.shape[1]
+
+    def tap3(v):
+        up = pltpu.roll(v, 1, 1)
+        dn = pltpu.roll(v, nrows - 1, 1)
+        return c0 * v + c1 * (up + dn)
+
+    xr = tap3(xr)
+    xi = tap3(xi)
+    power = xr * xr + xi * xi
+    _mel_dct_store(power, fbh, fbl, dct_ref, mel_out, cc_out,
+                   t8=t8, fl=fl, off=1, log_floor=log_floor,
+                   precision=precision)
 
 
 def _kernel_flip(x_ref, win_ref, w1rh, w1rl, w1ih, w1il, twr_ref, twi_ref,
@@ -540,20 +683,32 @@ def _fused_call_fs2(plan: FusedMelPlan, x, n_frames: int, tile: int,
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
     rows = x.reshape(b, rows_needed, 128)
 
-    kern = functools.partial(_kernel_fs2, t8=t8, blk=blk, fl=FL, q=Q,
-                             log_floor=1e-8, precision=precision)
+    if plan.fs3_taps is not None:
+        c0, c1 = plan.fs3_taps
+        kern = functools.partial(_kernel_fs3, t8=t8, blk=blk, fl=FL, q=Q,
+                                 c0=c0, c1=c1, log_floor=1e-8,
+                                 precision=precision)
+        consts = [plan.fs3_bdgr_hi, plan.fs3_bdgr_lo,
+                  plan.fs3_bdgi_hi, plan.fs3_bdgi_lo,
+                  plan.fs3_twr, plan.fs3_twi,
+                  plan.fs2_wr_hi, plan.fs2_wr_lo,
+                  plan.fs2_wi_hi, plan.fs2_wi_lo,
+                  plan.fs2_ws_hi, plan.fs2_ws_lo,
+                  plan.fs2_fb_hi, plan.fs2_fb_lo, plan.dct_t]
+    else:
+        kern = functools.partial(_kernel_fs2, t8=t8, blk=blk, fl=FL, q=Q,
+                                 log_floor=1e-8, precision=precision)
+        consts = [plan.fs2_g, plan.fs2_win,
+                  plan.fs2_bdr_hi, plan.fs2_bdr_lo,
+                  plan.fs2_bdi_hi, plan.fs2_bdi_lo,
+                  plan.fs2_twr, plan.fs2_twi,
+                  plan.fs2_wr_hi, plan.fs2_wr_lo,
+                  plan.fs2_wi_hi, plan.fs2_wi_lo,
+                  plan.fs2_ws_hi, plan.fs2_ws_lo,
+                  plan.fs2_fb_hi, plan.fs2_fb_lo, plan.dct_t]
 
     def _const(arr):
         return pl.BlockSpec(arr.shape, lambda i, t: (0,) * arr.ndim)
-
-    consts = [plan.fs2_g, plan.fs2_win,
-              plan.fs2_bdr_hi, plan.fs2_bdr_lo,
-              plan.fs2_bdi_hi, plan.fs2_bdi_lo,
-              plan.fs2_twr, plan.fs2_twi,
-              plan.fs2_wr_hi, plan.fs2_wr_lo,
-              plan.fs2_wi_hi, plan.fs2_wi_lo,
-              plan.fs2_ws_hi, plan.fs2_ws_lo,
-              plan.fs2_fb_hi, plan.fs2_fb_lo, plan.dct_t]
     main_spec = pl.BlockSpec((1, t8 * blk, 128),
                              lambda i, t: (i, t, 0))
     halo_spec = pl.BlockSpec((1, blk, 128),

@@ -8,9 +8,32 @@ slot per batch for dropped cells.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_scatter_add"]
+__all__ = ["batched_scatter_add", "columnar_scatter_add"]
+
+
+def columnar_scatter_add(values, fi, out_size: int):
+    """Per-column scatter-add: ``out[..., f, t] = sum over i with
+    fi[..., i, t] == f of values[..., i, t]``; out-of-range rows drop.
+
+    TPU-friendly form of the synchrosqueezing reassignment: XLA's
+    ``scatter-add`` serializes duplicate indices on TPU, while this
+    contracts a one-hot membership tensor on the MXU.  Intended for
+    moderate ``out_size`` (the one-hot is out_size x n per column).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
+    if jnp.iscomplexobj(values):
+        ohf = oh.astype(jnp.float32)
+        re = jnp.einsum("...fit,...it->...ft", ohf, jnp.real(values),
+                        precision=hp)
+        im = jnp.einsum("...fit,...it->...ft", ohf, jnp.imag(values),
+                        precision=hp)
+        return re + 1j * im
+    ohf = oh.astype(values.dtype)
+    return jnp.einsum("...fit,...it->...ft", ohf, values, precision=hp)
 
 
 def batched_scatter_add(values, flat_idx, out_size: int):

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audioflux_tpu.ops.scatter import batched_scatter_add
+from audioflux_tpu.ops.scatter import (batched_scatter_add,
+                                        columnar_scatter_add)
 from audioflux_tpu.transforms.cwt import CWT
 from audioflux_tpu.types import (SpectralFilterBankScaleType,
                                  WaveletContinueType)
@@ -55,6 +56,11 @@ def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
 
     power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
     ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
+    if num <= 512:
+        # columnar reassignment: one-hot MXU contraction beats TPU
+        # scatter-add (which serializes duplicate bins)
+        fi_d = jnp.where(ok, fi, num)
+        return columnar_scatter_add(D, fi_d, num)
     j = jnp.broadcast_to(jnp.arange(T), fi.shape)
     flat_idx = jnp.where(ok, fi * T + j, num * T)
     out = batched_scatter_add(D.reshape(D.shape[:-2] + (-1,)),

@@ -3,6 +3,18 @@
 import ctypes
 import os
 
+# The reference .so corrupts the host process heap across calls (latent
+# overreads; see CLAUDE.md) — symptoms surface much later as segfaults in
+# unrelated XLA compiles.  These C-oracle tests therefore run inside an
+# isolated child pytest (tests/test_c_oracle.py); in the main process
+# they are skipped.
+import os as _os
+import pytest as _pytest
+if _os.environ.get("AF_C_ORACLE") != "1":
+    pytestmark = _pytest.mark.skip(
+        reason="runs isolated via test_c_oracle.py (C heap corruption)")
+
+
 import numpy as np
 import pytest
 

@@ -44,16 +44,24 @@ def test_tune_track_streaming_clear():
     np.testing.assert_allclose(f1, f2)
 
 
-def test_tune_track_frame_exact_vs_c():
-    import ctypes
+def test_tune_track_frame_exact_vs_c(tmp_path):
+    """Oracle comparison vs the C tuneTrackObj.
+
+    The C library corrupts its allocator across calls in one process
+    (latent heap overreads; see CLAUDE.md), so the ctypes drive runs in
+    a throwaway subprocess — in-process it segfaults depending on what
+    ran before in the suite.
+    """
     import os
+    import subprocess
+    import sys
+
     ref = os.path.join(os.path.dirname(__file__), "..", ".ref",
                        "libaudioflux.so")
     if not os.path.exists(ref):
         import pytest
         pytest.skip("reference oracle not built")
-    lib = ctypes.CDLL(ref)
-    FP = ctypes.POINTER(ctypes.c_float)
+
     sr = 32000
     rng = np.random.default_rng(17)
     notes = [82.41, 110.0, 146.83, 196.0, 246.94, 329.63]
@@ -68,14 +76,30 @@ def test_tune_track_frame_exact_vs_c():
         x[n_i * seg:(n_i + 1) * seg] = s
     x += 0.0025 * rng.standard_normal(len(x)).astype(np.float32)
     x = x.astype(np.float32)
-    obj = ctypes.c_void_p()
-    lib.tuneTrackObj_new(ctypes.byref(obj), ctypes.byref(ctypes.c_int(sr)),
-                         None, None, ctypes.byref(ctypes.c_int(12)),
-                         ctypes.byref(ctypes.c_int(1024)), None)
-    T = lib.tuneTrackObj_calTimeLength(obj, ctypes.c_int(len(x)))
-    fre_c = np.zeros(T + 8, np.float32)
-    lib.tuneTrackObj_tune(obj, x.ctypes.data_as(FP), ctypes.c_int(len(x)),
-                          fre_c.ctypes.data_as(FP))
+
+    xp = tmp_path / "x.npy"
+    outp = tmp_path / "fre_c.npy"
+    np.save(xp, x)
+    worker = f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({str(ref)!r})
+FP = ctypes.POINTER(ctypes.c_float)
+x = np.load({str(xp)!r})
+obj = ctypes.c_void_p()
+lib.tuneTrackObj_new(ctypes.byref(obj), ctypes.byref(ctypes.c_int(32000)),
+                     None, None, ctypes.byref(ctypes.c_int(12)),
+                     ctypes.byref(ctypes.c_int(1024)), None)
+T = lib.tuneTrackObj_calTimeLength(obj, ctypes.c_int(len(x)))
+fre_c = np.zeros(T + 8, np.float32)
+lib.tuneTrackObj_tune(obj, x.ctypes.data_as(FP), ctypes.c_int(len(x)),
+                      fre_c.ctypes.data_as(FP))
+np.save({str(outp)!r}, fre_c[:T])
+"""
+    r = subprocess.run([sys.executable, "-c", worker], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+    fre_c = np.load(outp)
+    T = len(fre_c)
     tk = TuneTrack(samplate=sr, radix2_exp=12, slide_length=1024)
     fre_p = tk.tune(x)
-    assert np.max(np.abs(fre_c[:T] - fre_p[:T])) <= 0.05
+    assert np.max(np.abs(fre_c - fre_p[:T])) <= 0.05
