@@ -5,9 +5,22 @@ the JAX_PLATFORMS env var, so we set the config flag programmatically.
 """
 
 import os
+import subprocess
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
+
+# The full suite compiles ~300 XLA executables in one process; each adds
+# dozens of mmaps and the default vm.max_map_count (65530) is exhausted
+# around test ~250, after which the next mmap fails and XLA segfaults in
+# backend_compile. Raise the limit (best-effort; needs root).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1048576:
+            subprocess.run(["sysctl", "-w", "vm.max_map_count=1048576"],
+                           capture_output=True, timeout=10)
+except Exception:
+    pass
 
 import jax  # noqa: E402
 
