@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 __all__ = ["CZT", "czt"]
@@ -40,8 +41,8 @@ def czt(data_arr, low_w: float, high_w: float, out_length: int = None):
     h[:m] = np.conj(wk2[:m])
     h[L - n + 1:] = np.conj(wk2[1:n][::-1])
     Fh = jnp.asarray(np.fft.fft(h).astype(np.complex64))
-    Fg = jnp.fft.fft(g, n=L, axis=-1)
-    y = jnp.fft.ifft(Fg * Fh, axis=-1)[..., :m]
+    Fg = afft.fft(g, n=L, axis=-1)
+    y = afft.ifft(Fg * Fh, axis=-1)[..., :m]
     return y * jnp.asarray(wk2[:m].astype(np.complex64))
 
 

@@ -8,6 +8,7 @@ transform.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 __all__ = ["Hilbert", "hilbert"]
@@ -17,12 +18,12 @@ def hilbert(data_arr, fft_length: int = None):
     """(..., n) -> complex analytic signal (..., fft_length or n)."""
     x = jnp.asarray(data_arr, jnp.float32)
     L = fft_length or x.shape[-1]
-    F = jnp.fft.fft(x, n=L, axis=-1)
+    F = afft.fft(x, n=L, axis=-1)
     h = np.zeros(L, np.float32)
     h[0] = 1.0
     h[L // 2] = 1.0
     h[1:L // 2] = 2.0
-    return jnp.fft.ifft(F * h, axis=-1)
+    return afft.ifft(F * h, axis=-1)
 
 
 class Hilbert:

@@ -7,6 +7,7 @@ Reference ``src/dsp/xcorr_algorithm.c``: full correlation over lags
 from __future__ import annotations
 
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from enum import IntEnum
@@ -29,16 +30,16 @@ def xcorr(v1, v2=None, norm_type: XcorrNormalType = XcorrNormalType.COEFF):
     x = jnp.asarray(v1, jnp.float32)
     n = x.shape[-1]
     L = _ceil_pow2(2 * n)
-    F1 = jnp.fft.fft(x, n=L, axis=-1)
+    F1 = afft.fft(x, n=L, axis=-1)
     if v2 is None:
         prod = jnp.abs(F1) ** 2
         e2 = None
     else:
         y = jnp.asarray(v2, jnp.float32)
-        F2 = jnp.fft.fft(y, n=L, axis=-1)
+        F2 = afft.fft(y, n=L, axis=-1)
         prod = F1 * jnp.conj(F2)
         e2 = jnp.sum(y * y, axis=-1, keepdims=True)
-    r = jnp.real(jnp.fft.ifft(prod, axis=-1))
+    r = jnp.real(afft.ifft(prod, axis=-1))
     out = jnp.concatenate([r[..., L - (n - 1):], r[..., :n]], axis=-1)
     if XcorrNormalType(norm_type) == XcorrNormalType.COEFF:
         e1 = jnp.sum(x * x, axis=-1, keepdims=True)

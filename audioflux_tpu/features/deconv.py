@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 __all__ = ["Deconv"]
@@ -40,9 +42,9 @@ class Deconv:
         (..., num, T)."""
         num, L = self.num, self._L
         x = jnp.swapaxes(jnp.asarray(m_data_arr, jnp.float32), -1, -2)
-        F = jnp.fft.fft(x, n=L, axis=-1)
+        F = afft.fft(x, n=L, axis=-1)
         mag = jnp.abs(F)
-        timbre = jnp.real(jnp.fft.ifft(mag, axis=-1))[..., :num]
+        timbre = jnp.real(afft.ifft(mag, axis=-1))[..., :num]
         white = F / jnp.maximum(mag, 1e-16)
-        pitch = jnp.real(jnp.fft.ifft(white, axis=-1))[..., :num]
+        pitch = jnp.real(afft.ifft(white, axis=-1))[..., :num]
         return jnp.swapaxes(timbre, -1, -2), jnp.swapaxes(pitch, -1, -2)

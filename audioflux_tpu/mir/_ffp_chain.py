@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from audioflux_tpu.ops import fft as afft
 
 from audioflux_tpu.ops.correct import correct_fn
 from audioflux_tpu.ops.frame import frame_signal
@@ -184,7 +185,7 @@ class FFPChain:
         import jax.numpy as jnp
         x = np.asarray(x, np.float32)
         frames = frame_signal(x, self.fft_length, self.slide_length)
-        spec = jnp.fft.rfft(jnp.asarray(frames) * jnp.asarray(self.window),
+        spec = afft.rfft(jnp.asarray(frames) * jnp.asarray(self.window),
                             axis=-1)
         power = np.asarray(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
                            np.float64)

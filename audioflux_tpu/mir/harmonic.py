@@ -13,6 +13,7 @@ host-side in NumPy, ported statement-for-statement from the C.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import frame_signal
@@ -69,7 +70,7 @@ class Harmonic:
         """Run the STFT + peak filter chain; caches per-frame peak lists."""
         x = jnp.asarray(data_arr, jnp.float32)
         frames = frame_signal(x, self.fft_length, self.slide_length)
-        spec = jnp.fft.rfft(frames * jnp.asarray(self.window), axis=-1)
+        spec = afft.rfft(frames * jnp.asarray(self.window), axis=-1)
         power = np.asarray(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
         s, e = self.min_index, self.max_index
         P = power[..., s:e + 1]

@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import frame_signal
@@ -26,8 +27,8 @@ __all__ = ["HarmonicRatio"]
 def _hr_impl(x, window, *, window_length, slide_length, fft_length,
              max_length):
     frames = frame_signal(x, window_length, slide_length) * window
-    F = jnp.fft.fft(frames, n=fft_length, axis=-1)
-    acf = jnp.real(jnp.fft.ifft(jnp.abs(F) ** 2, axis=-1))
+    F = afft.fft(frames, n=fft_length, axis=-1)
+    acf = jnp.real(afft.ifft(jnp.abs(F) ** 2, axis=-1))
 
     csum = jnp.cumsum(frames * frames, axis=-1)
     # tail[j] = cumE[window_length-2-j] (harmonicRatio_algorithm.c:186-189)

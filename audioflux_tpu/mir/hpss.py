@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.filter import median_filter
@@ -28,7 +29,7 @@ __all__ = ["HPSS", "HPSSNMF"]
                                    "p_order"))
 def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
     frames = frame_signal(x, fft_length, slide_length)
-    D = jnp.fft.rfft(frames * window, axis=-1)  # (..., T, m)
+    D = afft.rfft(frames * window, axis=-1)  # (..., T, m)
     mag = jnp.abs(D)
     phase = D / jnp.maximum(mag, 1e-16)
 
@@ -64,7 +65,7 @@ def _hpss_nmf_impl(x, window, W0, H0, *, fft_length, slide_length, k,
     from audioflux_tpu.classic.nmf import _nmf_impl
 
     frames = frame_signal(x, fft_length, slide_length)
-    D = jnp.fft.rfft(frames * window, axis=-1)  # (T, m)
+    D = afft.rfft(frames * window, axis=-1)  # (T, m)
     mag = jnp.abs(D)
     phase = D / jnp.maximum(mag, 1e-16)
 

@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import frame_signal
@@ -75,8 +76,8 @@ class PitchNCF(_PitchBase):
         frames = frame_signal(x, self.fft_length, self.slide_length)
         if self.window_type != WindowType.RECT:
             frames = frames * jnp.asarray(self.window)
-        F = jnp.fft.fft(frames, n=L2, axis=-1)
-        acf = jnp.real(jnp.fft.ifft(jnp.abs(F) ** 2, axis=-1))
+        F = afft.fft(frames, n=L2, axis=-1)
+        acf = jnp.real(afft.ifft(jnp.abs(F) ** 2, axis=-1))
         acf = acf / np.sqrt(L2)
         rms = jnp.sqrt(acf[..., :1])
         lags = acf[..., self.min_index:self.max_index + 1] / rms
@@ -103,8 +104,8 @@ class PitchCEP(_PitchBase):
         frames = frame_signal(x, self.fft_length, self.slide_length)
         if self.window_type != WindowType.RECT:
             frames = frames * jnp.asarray(self.window)
-        F = jnp.fft.fft(frames, n=L2, axis=-1)
-        ceps = jnp.real(jnp.fft.ifft(jnp.log(jnp.abs(F) ** 2), axis=-1))
+        F = afft.fft(frames, n=L2, axis=-1)
+        ceps = jnp.real(afft.ifft(jnp.log(jnp.abs(F) ** 2), axis=-1))
         band = ceps[..., self.min_index:self.max_index + 1]
         idx = jnp.argmax(band, axis=-1) + self.min_index
         return self.samplate / (idx + 1).astype(jnp.float32)
@@ -134,7 +135,7 @@ class _HarmonicGrid(_PitchBase):
         frames = frame_signal(x, self.fft_length, self.slide_length)
         if self.window_type != WindowType.RECT:
             frames = frames * jnp.asarray(self.window)
-        F = jnp.fft.fft(frames, n=self.interp_fft_length, axis=-1)
+        F = afft.fft(frames, n=self.interp_fft_length, axis=-1)
         return jnp.abs(F)
 
 
@@ -239,7 +240,7 @@ class PitchPEF(_PitchBase):
         N = self.fft_length
         frames = frame_signal(x, N, self.slide_length)
         frames = frames * jnp.asarray(self.window)
-        F = jnp.fft.fft(frames, n=2 * N, axis=-1)
+        F = afft.fft(frames, n=2 * N, axis=-1)
         power = (jnp.real(F) ** 2 + jnp.imag(F) ** 2)[..., :N + 1]
 
         # linear->log frequency resample (vinterp_linear)
@@ -258,10 +259,10 @@ class PitchPEF(_PitchBase):
         X = self.xcorr_fft_length
         buf = jnp.pad(interp, [(0, 0)] * (interp.ndim - 1)
                       + [(self._pad_num, X - self._pad_num - 2 * N)])
-        Ff = jnp.fft.fft(jnp.asarray(np.pad(self._filter,
+        Ff = afft.fft(jnp.asarray(np.pad(self._filter,
                                             (0, X - N))).astype(jnp.float32))
-        Fb = jnp.fft.fft(buf, axis=-1)
-        xc = jnp.real(jnp.fft.ifft(Fb * jnp.conj(Ff), axis=-1))
+        Fb = afft.fft(buf, axis=-1)
+        xc = jnp.real(afft.ifft(Fb * jnp.conj(Ff), axis=-1))
 
         # lag pick (dealResult, len=maxIndex+1): the winning index IS the
         # lag, mapped through the log grid

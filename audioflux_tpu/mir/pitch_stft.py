@@ -13,6 +13,7 @@ the per-frame candidate walk and trist rules on host.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.mir._trist import trist
@@ -65,7 +66,7 @@ class PitchSTFT:
         """(n,) -> (fre_arr, db_arr) per frame."""
         x = jnp.asarray(data_arr, jnp.float32)
         frames = frame_signal(x, self.fft_length, self.slide_length)
-        spec = jnp.fft.rfft(frames * jnp.asarray(self.window), axis=-1)
+        spec = afft.rfft(frames * jnp.asarray(self.window), axis=-1)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         # vectorized fractional-bin correction for every bin
         mag = jnp.sqrt(power)

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import frame_signal
@@ -32,10 +33,10 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
 
     # autocorrelation via circular convolution with the reversed prefix
     # (_pitch_yin.c:351-369); no aliasing in the taken range
-    A = jnp.fft.fft(frames, axis=-1)
+    A = afft.fft(frames, axis=-1)
     rev = jnp.flip(frames[..., :auto_length + 1], axis=-1)
-    B = jnp.fft.fft(rev, n=fft_length, axis=-1)
-    acf_full = jnp.real(jnp.fft.ifft(A * B, axis=-1))
+    B = afft.fft(rev, n=fft_length, axis=-1)
+    acf_full = jnp.real(afft.ifft(A * B, axis=-1))
     acf = acf_full[..., auto_length:]
     acf = jnp.where(jnp.abs(acf) >= 1e-6, acf, 0.0)  # (..., T, diff)
 

@@ -28,6 +28,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -72,7 +74,7 @@ def sharded_stft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
             [x_loc, _right_halo(x_loc, time_axis, halo)], axis=-1)
         n_frames = x_loc.shape[-1] // slide_length
         frames = frame_signal(ext, fft_length, slide_length, n_frames)
-        D = jnp.fft.rfft(frames * window, axis=-1)
+        D = afft.rfft(frames * window, axis=-1)
         n_glob = x_loc.shape[-1] * jax.lax.axis_size(time_axis)
         t_valid = valid_frames(n_glob, fft_length, slide_length)
         mask = _frame_mask(n_frames, t_valid, time_axis)
@@ -107,7 +109,7 @@ def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
 
     def make_local(t_orig: int):
         def local_istft(D_loc):  # (B_loc, T_loc, fre)
-            frames = jnp.fft.irfft(D_loc, n=fft_length, axis=-1)
+            frames = afft.irfft(D_loc, n=fft_length, axis=-1)
             T_loc = frames.shape[-2]
             mask = _frame_mask(T_loc, t_orig, time_axis).astype(frames.dtype)
             out_len = T_loc * slide_length + halo
@@ -225,7 +227,7 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
             [x_loc, _right_halo(x_loc, time_axis, halo)], axis=-1)
         n_frames = x_loc.shape[-1] // slide
         frames = frame_signal(ext, fft_length, slide, n_frames)
-        spec = jnp.fft.rfft(frames * window, axis=-1)
+        spec = afft.rfft(frames * window, axis=-1)
         re, im = jnp.real(spec), jnp.imag(spec)
         S = re * re + im * im
         if mag:

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
@@ -48,9 +50,9 @@ class Cepstrogram:
         m = L // 2 + 1
         x = jnp.asarray(data_arr, jnp.float32)
         frames = frame_signal(x, L, self.slide_length)
-        spec = jnp.fft.fft(frames * jnp.asarray(self.window), axis=-1)
+        spec = afft.fft(frames * jnp.asarray(self.window), axis=-1)
         logp = jnp.log(jnp.maximum(jnp.abs(spec) ** 2, 1e-16))
-        ceps = jnp.real(jnp.fft.ifft(logp, axis=-1))  # (..., T, L), even
+        ceps = jnp.real(afft.ifft(logp, axis=-1))  # (..., T, L), even
 
         # envelope: keep [0..cep], mirror [1..cep] into the tail
         # (cepstrogram_algorithm.c:160-168)
@@ -58,14 +60,14 @@ class Cepstrogram:
         env_mask[:cep_num + 1] = 1.0
         env_mask[L - cep_num:] = 1.0  # tail j: arr[L-j-1] = arr[j+1]
         env_in = ceps * env_mask
-        envelope = jnp.real(jnp.fft.fft(env_in, axis=-1))[..., :m]
+        envelope = jnp.real(afft.fft(env_in, axis=-1))[..., :m]
 
         # details: keep [cep+1 .. L-cep] (the complementary copy length is
         # fftLength-2*cep_num, cepstrogram_algorithm.c:184-186)
         det_mask = np.zeros((L,), np.float32)
         det_mask[cep_num + 1:cep_num + 1 + (L - 2 * cep_num)] = 1.0
         det_in = ceps * det_mask
-        details = jnp.real(jnp.fft.fft(det_in, axis=-1))[..., :m]
+        details = jnp.real(afft.fft(det_in, axis=-1))[..., :m]
 
         c = ceps[..., :m]
         sw = lambda a: jnp.swapaxes(a, -1, -2)

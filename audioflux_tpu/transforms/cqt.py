@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.dsp.resample import Resample
@@ -214,7 +216,7 @@ class CQTBase:
         xp = pad_signal(x, self.fft_length, slide,
                         PaddingPositionType.CENTER, PaddingModeType.CONSTANT)
         frames = frame_signal(xp, self.fft_length, slide)
-        S = jnp.fft.rfft(frames, axis=-1)
+        S = afft.rfft(frames, axis=-1)
         Kt = jnp.asarray(kernel)
         re = (jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.real(Kt),
                          precision=_HIGHEST)
@@ -282,8 +284,8 @@ class CQTBase:
         num = self.num
         L = _ceil_pow2(2 * num)
         x = jnp.swapaxes(jnp.asarray(m_data_arr, jnp.float32), -1, -2)
-        F = jnp.fft.fft(x, n=L, axis=-1)
-        ceps = jnp.real(jnp.fft.ifft(jnp.abs(F), axis=-1))
+        F = afft.fft(x, n=L, axis=-1)
+        ceps = jnp.real(afft.ifft(jnp.abs(F), axis=-1))
         idx = np.round(self.bin_per_octave
                        * np.log2(np.arange(1, hc_num + 1))).astype(np.int64)
         out = ceps[..., idx]

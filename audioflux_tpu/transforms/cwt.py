@@ -5,7 +5,7 @@ symmetric-pad the (2^radix2_exp)-sample signal, FFT once, multiply by the
 num x fftLength real frequency-domain wavelet bank (morse/morlet/bump/paul/
 dog/mexican/hermit/ricker, cwt_filterBank.c:19-66 + generators), then one
 IFFT per scale. The reference's per-scale IFFT loop (cwt_algorithm.c:443-456)
-is a single batched ``jnp.fft.ifft`` over the (..., num, fftLength) tile.
+is a single batched ``afft.ifft`` over the (..., num, fftLength) tile.
 
 Rows are computed scale-ordered (highest band first, cwt_filterBank.c sArr
 reversal) and flipped to ascending frequency on output like the Python
@@ -18,6 +18,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank import scales as _sc
@@ -253,12 +255,12 @@ class CWT:
         if p:
             pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
             x = jnp.pad(x, pad, mode="symmetric")
-        F = jnp.fft.fft(x, axis=-1)  # (..., L)
+        F = afft.fft(x, axis=-1)  # (..., L)
         B = jnp.asarray(bank)
         prod = B * F[..., None, :]
         if det:
             prod = prod * 1j
-        out = jnp.fft.ifft(prod, axis=-1)
+        out = afft.ifft(prod, axis=-1)
         if p:
             out = out[..., p:p + self.data_length]
         return jnp.flip(out, axis=-2)  # ascending frequency

@@ -19,6 +19,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank import scales as _sc
@@ -87,7 +89,7 @@ class _DeepBase:
         """(..., n) -> (amp, left, right) each (..., T, base_num)."""
         x = jnp.asarray(data_arr, jnp.float32)
         frames = frame_signal(x, self.fft_length, self.slide_length)
-        mag = jnp.abs(jnp.fft.rfft(frames * jnp.asarray(self.window),
+        mag = jnp.abs(afft.rfft(frames * jnp.asarray(self.window),
                                    axis=-1))  # (..., T, m)
         m = mag.shape[-1]
         s, e = self.start_index, self.end_index

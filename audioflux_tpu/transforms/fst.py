@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 __all__ = ["FST"]
@@ -78,7 +80,7 @@ class FST:
 
         # ifftshift -> fft -> fftshift -> /sqrt(L)
         xs = jnp.concatenate([x[..., L // 2:], x[..., :L // 2]], axis=-1)
-        F = jnp.fft.fft(xs, axis=-1)
+        F = afft.fft(xs, axis=-1)
         F = jnp.concatenate([F[..., L // 2:], F[..., :L // 2]], axis=-1)
         F = F / np.sqrt(L)
 
@@ -93,7 +95,7 @@ class FST:
             if transform and seg_len > 1:
                 h = seg_len // 2
                 s = jnp.concatenate([seg[..., h:], seg[..., :h]], axis=-1)
-                s = jnp.fft.ifft(s, axis=-1) * np.sqrt(seg_len)
+                s = afft.ifft(s, axis=-1) * np.sqrt(seg_len)
                 seg = jnp.concatenate([s[..., h:], s[..., :h]], axis=-1)
             segments.append(seg)
             pos += seg_len

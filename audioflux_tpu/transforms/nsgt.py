@@ -7,7 +7,7 @@ slice is rotated (center to bin 0) and IDFT'd at the band's own length
 (num, maxLen) time grid by previous-sample hold (:578-600).
 
 TPU mapping: bands are bucketed by window length so each bucket is one
-batched ``jnp.fft.ifft``; the slice/rotate/expand steps are precomputed
+batched ``afft.ifft``; the slice/rotate/expand steps are precomputed
 gathers. EFFICIENT mode uses symmetric windows, STANDARD periodic ones.
 """
 
@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank.auditory import _revise_fre, _scale_funcs, _linspace_f32
@@ -202,7 +204,7 @@ class NSGT:
         x = jnp.asarray(data_arr, jnp.float32)
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
-        F = jnp.fft.fft(x, axis=-1)
+        F = afft.fft(x, axis=-1)
 
         # bucket bands by length: one batched ifft per distinct length
         cells = [None] * self.num
@@ -218,7 +220,7 @@ class NSGT:
                 sl = jnp.roll(sl, -(ln // 2), axis=-1)
                 slices.append(sl)
             block = jnp.stack(slices, axis=-2)  # (..., nb, ln)
-            out = jnp.fft.ifft(block, axis=-1)
+            out = afft.ifft(block, axis=-1)
             for j, i in enumerate(idxs):
                 cells[i] = out[..., j, :]
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank.auditory import auditory_filter_bank, _revise_fre
@@ -96,8 +98,8 @@ class PWT:
         if p:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
                         mode="symmetric")
-        F = jnp.fft.fft(x, axis=-1)
-        out = jnp.fft.ifft(jnp.asarray(self._bank) * F[..., None, :], axis=-1)
+        F = afft.fft(x, axis=-1)
+        out = afft.ifft(jnp.asarray(self._bank) * F[..., None, :], axis=-1)
         if p:
             out = out[..., p:p + self.data_length]
         return out

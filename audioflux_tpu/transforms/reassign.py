@@ -15,6 +15,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
@@ -61,7 +63,7 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
     T = frames.shape[-2]
     # one batched rfft over all three windows: (..., 3, T, m)
-    S = jnp.fft.rfft(frames[..., None, :, :] * wins[:, None, :], axis=-1)
+    S = afft.rfft(frames[..., None, :, :] * wins[:, None, :], axis=-1)
     Sh, Sdh, Sth = S[..., 0, :, :], S[..., 1, :, :], S[..., 2, :, :]
 
     rt = ReassignType(re_type)

@@ -19,6 +19,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank import scales as _sc
@@ -80,7 +82,7 @@ def chroma_normalize(x, norm_type: ChromaDataNormalType):
 
 
 def _power_spec(frames, window, fft_length):
-    spec = jnp.fft.rfft(frames * window, n=fft_length, axis=-1)
+    spec = afft.rfft(frames * window, n=fft_length, axis=-1)
     re, im = jnp.real(spec), jnp.imag(spec)
     return re * re + im * im
 

@@ -13,6 +13,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 __all__ = ["ST"]
@@ -34,12 +36,12 @@ def _st_windows(fft_length: int, factor: float, norm: float,
 @partial(jax.jit, static_argnames=("fft_length",))
 def _st_impl(x, windows, bins, *, fft_length):
     L = fft_length
-    F = jnp.fft.fft(x, axis=-1)
+    F = afft.fft(x, axis=-1)
     F2 = jnp.concatenate([F, F], axis=-1)
     # (..., nbins, L): circularly shifted spectrum per bin
     idx = bins[:, None] + jnp.arange(L)[None, :]
     shifted = F2[..., idx]
-    out = jnp.fft.ifft(shifted * windows, axis=-1)
+    out = afft.ifft(shifted * windows, axis=-1)
     mean = jnp.mean(x, axis=-1, keepdims=True)[..., None]
     zero_row = (bins == 0)[:, None]
     return jnp.where(zero_row, mean.astype(out.dtype), out)

@@ -1,7 +1,7 @@
 """STFT / ISTFT — batched, jitted, TPU-first.
 
 Replaces the reference's per-frame FFT loop (``src/stft_algorithm.c:696-806``)
-with a single framed-tile ``jnp.fft.rfft`` over ``(..., T, fft)``; the window
+with a single framed-tile ``afft.rfft`` over ``(..., T, fft)``; the window
 multiply fuses into the same XLA computation. ISTFT implements weighted
 overlap-add with COA normalization (``stft_algorithm.c:304-409``).
 
@@ -15,6 +15,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.ops.frame import cal_data_length, cal_time_length, frame_signal
@@ -38,7 +40,7 @@ def _stft_impl(x, window, *, fft_length, slide_length, is_pad,
     with scope("af.frame"):
         frames = frame_signal(x, fft_length, slide_length)
     with scope("af.rfft"):
-        spec = jnp.fft.rfft(frames * window, axis=-1)
+        spec = afft.rfft(frames * window, axis=-1)
     return jnp.swapaxes(spec, -1, -2)  # (..., fft//2+1, T)
 
 
@@ -46,7 +48,7 @@ def _stft_impl(x, window, *, fft_length, slide_length, is_pad,
 def _istft_impl(D, window, *, fft_length, slide_length, method_type):
     # D: (..., fft//2+1, T) complex -> (..., (T-1)*slide + fft) real
     spec = jnp.swapaxes(D, -1, -2)  # (..., T, F/2+1)
-    frames = jnp.fft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
+    frames = afft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
 
     e = 1.0 if method_type == 0 else 0.0  # 0='weighted OLA', 1='OLA'
     win1 = jnp.power(window, e)

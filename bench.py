@@ -162,7 +162,14 @@ def matrix(rows):
           BASELINE_SERVER_S["mfcc"], rows)
 
     cqt_obj = CQT(num=84, samplate=SR, slide_length=1024)
-    el = _time(cqt_obj.cqt, xs)
+
+    @jax.jit
+    def cqt_mag(x):
+        # the axon backend cannot transfer complex64 to the host; return
+        # the magnitude (what the downstream features consume anyway)
+        return jnp.abs(cqt_obj.cqt(x))
+
+    el = _time(cqt_mag, xs)
     _emit("server cqt audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["cqt"], rows)
 
@@ -188,7 +195,7 @@ def matrix(rows):
 # perf-regression gate: fail the bench if the headline throughput drops
 # more than 15% below the best recorded value (update deliberately when
 # the kernel genuinely improves)
-HEADLINE_FLOOR = 24.0  # audio-h/s
+HEADLINE_FLOOR = 40.0  # audio-h/s
 
 
 def main():
