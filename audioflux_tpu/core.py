@@ -6,6 +6,8 @@ build the matching plan object, run it, and return numpy-compatible arrays.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from audioflux_tpu.transforms.cqt import CQT as _CQT, VQT as _VQT
@@ -27,13 +29,34 @@ __all__ = [
 ]
 
 
+@functools.lru_cache(maxsize=256)
+def _plan_cache(cls, items, chroma_norm=None):
+    obj = cls(**dict(items))
+    if chroma_norm is not None:
+        obj.set_chroma_data_normal_type(chroma_norm)
+    return obj
+
+
+def _plan(cls, _chroma_norm=None, **kwargs):
+    """Memoized plan constructor for the one-shot API.
+
+    Each plan object owns a ``jax.jit`` wrapper whose compilation cache
+    dies with the object, so rebuilding a plan per call (the reference's
+    one-shot wrappers do: ``python/audioflux/core.py:17-1358``) would
+    recompile the XLA program on every invocation.  All constructor
+    arguments are hashable scalars/enums, so identical one-shot calls
+    reuse one plan — and therefore one compiled executable.
+    """
+    return _plan_cache(cls, tuple(sorted(kwargs.items())), _chroma_norm)
+
+
 def linear_spectrogram(X, num=None, radix2_exp=12, samplate=32000,
                        slide_length=None, low_fre=0.0, high_fre=None,
                        window_type=WindowType.HANN,
                        data_type=SpectralDataType.POWER):
     if high_fre is None:
         high_fre = samplate / 2.0
-    obj = Spectrogram(samplate=samplate, radix2_exp=radix2_exp,
+    obj = _plan(Spectrogram, samplate=samplate, radix2_exp=radix2_exp,
                       slide_length=slide_length, low_fre=low_fre,
                       high_fre=high_fre, window_type=window_type,
                       data_type=data_type,
@@ -44,7 +67,7 @@ def linear_spectrogram(X, num=None, radix2_exp=12, samplate=32000,
 def _band_spectrogram(cls, X, num, radix2_exp, samplate, slide_length,
                       low_fre, high_fre, window_type, data_type, style_type,
                       normal_type):
-    obj = cls(num=num, samplate=samplate, radix2_exp=radix2_exp,
+    obj = _plan(cls, num=num, samplate=samplate, radix2_exp=radix2_exp,
               slide_length=slide_length, low_fre=low_fre, high_fre=high_fre,
               window_type=window_type, data_type=data_type,
               style_type=style_type, normal_type=normal_type)
@@ -122,10 +145,10 @@ def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
         factor=1.0, thresh=0.01, window_type=WindowType.HANN,
         slide_length=None,
         normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
-    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
-               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
-               window_type=window_type, slide_length=slide_length,
-               normal_type=normal_type, is_scale=is_scale)
+    obj = _plan(_CQT, num=num, samplate=samplate, low_fre=low_fre,
+                bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+                window_type=window_type, slide_length=slide_length,
+                normal_type=normal_type, is_scale=is_scale)
     return obj.cqt(X), obj.get_fre_band_arr()
 
 
@@ -133,11 +156,11 @@ def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
         factor=1.0, beta=0.5, thresh=0.01, window_type=WindowType.HANN,
         slide_length=None,
         normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
-    obj = _VQT(num=num, samplate=samplate, low_fre=low_fre,
-               bin_per_octave=bin_per_octave, factor=factor, beta=beta,
-               thresh=thresh, window_type=window_type,
-               slide_length=slide_length, normal_type=normal_type,
-               is_scale=is_scale)
+    obj = _plan(_VQT, num=num, samplate=samplate, low_fre=low_fre,
+                bin_per_octave=bin_per_octave, factor=factor, beta=beta,
+                thresh=thresh, window_type=window_type,
+                slide_length=slide_length, normal_type=normal_type,
+                is_scale=is_scale)
     return obj.cqt(X), obj.get_fre_band_arr()
 
 
@@ -145,10 +168,10 @@ def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=84,
          samplate=32000, low_fre=None, bin_per_octave=12, factor=1.0,
          thresh=0.01, window_type=WindowType.HANN, slide_length=None,
          normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
-    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
-               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
-               window_type=window_type, slide_length=slide_length,
-               normal_type=normal_type, is_scale=is_scale)
+    obj = _plan(_CQT, num=num, samplate=samplate, low_fre=low_fre,
+                bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+                window_type=window_type, slide_length=slide_length,
+                normal_type=normal_type, is_scale=is_scale)
     C = obj.cqt(X)
     return (obj.cqcc(np.abs(np.asarray(C)), cc_num, rectify_type),
             obj.get_fre_band_arr())
@@ -159,12 +182,12 @@ def chroma_linear(X, chroma_num=12, radix2_exp=12, samplate=32000,
                   window_type=WindowType.HANN,
                   data_type=SpectralDataType.POWER,
                   norm_type=ChromaDataNormalType.MAX):
-    obj = Spectrogram(num=chroma_num, samplate=samplate,
-                      radix2_exp=radix2_exp, slide_length=slide_length,
-                      low_fre=low_fre, high_fre=high_fre,
-                      window_type=window_type, data_type=data_type,
-                      filter_bank_type=SpectralFilterBankScaleType.CHROMA)
-    obj.set_chroma_data_normal_type(norm_type)
+    obj = _plan(Spectrogram, _chroma_norm=norm_type, num=chroma_num,
+                samplate=samplate, radix2_exp=radix2_exp,
+                slide_length=slide_length, low_fre=low_fre,
+                high_fre=high_fre, window_type=window_type,
+                data_type=data_type,
+                filter_bank_type=SpectralFilterBankScaleType.CHROMA)
     return obj.spectrogram(X)
 
 
@@ -177,14 +200,13 @@ def chroma_octave(X, chroma_num=12, radix2_exp=12, samplate=32000,
                   norm_type=ChromaDataNormalType.MAX):
     if low_fre is None:
         low_fre = note_to_hz("C1")
-    obj = Spectrogram(num=chroma_num, samplate=samplate,
-                      radix2_exp=radix2_exp, slide_length=slide_length,
-                      low_fre=low_fre, high_fre=high_fre,
-                      bin_per_octave=bin_per_octave, window_type=window_type,
-                      data_type=data_type, style_type=style_type,
-                      normal_type=normal_type,
-                      filter_bank_type=SpectralFilterBankScaleType.LOG_CHROMA)
-    obj.set_chroma_data_normal_type(norm_type)
+    obj = _plan(Spectrogram, _chroma_norm=norm_type, num=chroma_num,
+                samplate=samplate, radix2_exp=radix2_exp,
+                slide_length=slide_length, low_fre=low_fre,
+                high_fre=high_fre, bin_per_octave=bin_per_octave,
+                window_type=window_type, data_type=data_type,
+                style_type=style_type, normal_type=normal_type,
+                filter_bank_type=SpectralFilterBankScaleType.LOG_CHROMA)
     return obj.spectrogram(X)
 
 
@@ -194,9 +216,9 @@ def chroma_cqt(X, chroma_num=12, num=84, samplate=32000, low_fre=None,
                normal_type=SpectralFilterBankNormalType.AREA, is_scale=True,
                data_type=SpectralDataType.POWER,
                norm_type=ChromaDataNormalType.MAX):
-    obj = _CQT(num=num, samplate=samplate, low_fre=low_fre,
-               bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
-               window_type=window_type, slide_length=slide_length,
-               normal_type=normal_type, is_scale=is_scale)
+    obj = _plan(_CQT, num=num, samplate=samplate, low_fre=low_fre,
+                bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
+                window_type=window_type, slide_length=slide_length,
+                normal_type=normal_type, is_scale=is_scale)
     C = obj.cqt(X)
     return obj.chroma(C, chroma_num, data_type, norm_type)

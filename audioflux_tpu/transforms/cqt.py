@@ -196,6 +196,12 @@ class CQTBase:
         self._resampler.set_samplate(2, 1)
         self._dct = dct_matrix(num)
         self._deconv = Deconv(num)
+        # whole multirate pipeline under one jit: per-dispatch op-by-op
+        # execution costs one host<->device round trip per op, and XLA can
+        # only fuse the octave chain when it sees the whole graph.  The
+        # is_scale choice enters as a traced (num,) operand, not a baked
+        # constant, so toggling it never needs (or trips over) a retrace.
+        self._cqt_run = jax.jit(self._cqt_impl)
 
     # ------------------------------------------------------------------
     def get_fft_length(self) -> int:
@@ -228,9 +234,23 @@ class CQTBase:
                            precision=_HIGHEST))
         return re + 1j * im
 
+    def _scale_vec(self) -> np.ndarray:
+        """Per-bin output scaling: each octave's sqrt(2^d) downsampling
+        compensation, divided per-bin by sqrt(len_arr) when is_scale."""
+        bpo = self.bin_per_octave
+        v = np.zeros(self.num, np.float32)
+        for i in range(self.octave_num):
+            scale = self._d_len[self.octave_num - i - 1]
+            sl = slice(i * bpo, (i + 1) * bpo)
+            v[sl] = scale / self._s_len[sl] if self.is_scale else scale
+        return v
+
     def cqt(self, data_arr):
         """(..., n) -> complex64 (..., num, time)."""
-        x = jnp.asarray(data_arr, jnp.float32)
+        return self._cqt_run(jnp.asarray(data_arr, jnp.float32),
+                             jnp.asarray(self._scale_vec()))
+
+    def _cqt_impl(self, x, scale_vec):
         T = self.cal_time_length(x.shape[-1])
         bpo = self.bin_per_octave
         slide = self.slide_length
@@ -242,17 +262,12 @@ class CQTBase:
             if cur_T < T:
                 spec = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
                                + [(0, T - cur_T), (0, 0)])
-            spec = spec[..., :T, :]
-            scale = self._d_len[self.octave_num - i - 1]
-            if self.is_scale:
-                spec = spec * (scale / self._s_len[i * bpo:(i + 1) * bpo])
-            else:
-                spec = spec * scale
-            blocks[i] = spec
+            blocks[i] = spec[..., :T, :]
             if i > 0:
                 x = self._resampler.resample(x)
                 slide //= 2
         out = jnp.concatenate(blocks, axis=-1)  # (..., T, num)
+        out = out * scale_vec
         return jnp.swapaxes(out, -1, -2)
 
     # -- postprocessing ------------------------------------------------------

@@ -122,13 +122,16 @@ def matrix(rows):
                           slide_length=SLIDE)
 
     # base benchmark at the other TimeSteps (T=3000 is chunked: the 4x
-    # framing expansion of all 1000 clips at once would not fit HBM)
-    for ts, n_chunks in ((1, 1), (100, 1), (3000, 4)):
+    # framing expansion of all 1000 clips at once would not fit HBM; tiny
+    # T is batch-multiplied: a T=1 dispatch runs ~2ms of kernel behind
+    # ~50ms of axon-tunnel round trip, so 1000xT=1 would time the tunnel,
+    # not the chip -- process mult x 1000 clips per dispatch and divide)
+    for ts, n_chunks, mult in ((1, 1, 16), (100, 1, 4), (3000, 4, 1)):
         clip_len = ts * SLIDE + (1 << R2E) - SLIDE
         audio_hours = N_SAMPLES * clip_len / SR / 3600.0
         key = jax.random.PRNGKey(ts)
-        xs = 0.2 * jax.random.normal(key, (N_SAMPLES // n_chunks, clip_len),
-                                     jnp.float32)
+        xs = 0.2 * jax.random.normal(
+            key, (mult * N_SAMPLES // n_chunks, clip_len), jnp.float32)
         xs.block_until_ready()
         tile = min(TILE, ts) if ts % 8 == 0 or ts == 1 else ts
 
@@ -138,26 +141,28 @@ def matrix(rows):
                 outs = plan.spectrogram_mfcc_fused(x, tile=t)
             return outs
 
-        el = _time(run, xs)
+        el = _time(run, xs) / mult
         _emit(f"mel+mfcc audio-hours/sec/chip (1000x T={ts}, 32kHz)",
               el, audio_hours, BASELINE_MEL_S[ts], rows)
 
-    # server feature rows: 1000 clips of 128 ms (4096 samples)
+    # server feature rows: 1000 clips of 128 ms (4096 samples); same
+    # tunnel amortization as above -- mult x 1000 clips per dispatch
+    smult = 8
     key = jax.random.PRNGKey(7)
-    xs = 0.2 * jax.random.normal(key, (1000, 4096), jnp.float32)
+    xs = 0.2 * jax.random.normal(key, (smult * 1000, 4096), jnp.float32)
     xs.block_until_ready()
     audio_hours = 1000 * 4096 / SR / 3600.0
 
     plan12 = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=12,
                             slide_length=1024)
-    el = _time(plan12.spectrogram, xs)
+    el = _time(plan12.spectrogram, xs) / smult
     _emit("server mel audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["mel"], rows)
 
     def mel_mfcc(x):
         spec = plan12.spectrogram(x)
         return plan12.mfcc(spec, 13)
-    el = _time(mel_mfcc, xs)
+    el = _time(mel_mfcc, xs) / smult
     _emit("server mfcc audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["mfcc"], rows)
 
@@ -169,12 +174,13 @@ def matrix(rows):
         # the magnitude (what the downstream features consume anyway)
         return jnp.abs(cqt_obj.cqt(x))
 
-    el = _time(cqt_mag, xs)
+    el = _time(cqt_mag, xs) / smult
     _emit("server cqt audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["cqt"], rows)
 
     el = _time(lambda x: chroma_linear(x, chroma_num=12, radix2_exp=12,
-                                       samplate=SR, slide_length=1024), xs)
+                                       samplate=SR, slide_length=1024),
+               xs) / smult
     _emit("server chroma audio-hours/sec/chip (1000x 128ms)", el,
           audio_hours, BASELINE_SERVER_S["chroma"], rows)
 
@@ -187,7 +193,7 @@ def matrix(rows):
     bft = BFT(num=NUM, radix2_exp=12, samplate=SR, slide_length=1024,
               scale_type=SpectralFilterBankScaleType.LINEAR,
               data_type=SpectralDataType.POWER, is_reassign=True)
-    el = _time(lambda x: bft.bft(x, result_type=1), xs)
+    el = _time(lambda x: bft.bft(x, result_type=1), xs) / smult
     _emit("server reassign audio-hours/sec/chip (1000x 128ms, local-C base)",
           el, audio_hours, 0.299, rows)
 

@@ -19,6 +19,45 @@ def test_one_shot_api(signals):
     assert q.shape[0] == 48
 
 
+def test_one_shot_plan_caching(signals):
+    """Identical one-shot calls must reuse one plan object (and therefore
+    one compiled executable); distinct parameters must not collide."""
+    from audioflux_tpu.core import _plan
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+
+    a = _plan(MelSpectrogram, num=32, radix2_exp=10, samplate=32000)
+    b = _plan(MelSpectrogram, num=32, radix2_exp=10, samplate=32000)
+    c = _plan(MelSpectrogram, num=48, radix2_exp=10, samplate=32000)
+    assert a is b and a is not c
+
+    x = signals["chord"][:4096]
+    m1 = np.asarray(af.chroma_linear(x, radix2_exp=10))
+    m2 = np.asarray(af.chroma_linear(x, radix2_exp=10))
+    np.testing.assert_array_equal(m1, m2)
+    # chroma norm is part of the cache key, not a mutation of a shared plan
+    m3 = np.asarray(af.chroma_linear(
+        x, radix2_exp=10, norm_type=af.ChromaDataNormalType.NONE))
+    assert not np.array_equal(m1, m3)
+
+
+def test_cqt_jit_reuse(signals):
+    """CQT runs under one per-instance jit; set_scale only swaps the
+    traced scale-vector operand, so the same executable serves both."""
+    x = signals["chord"][:4096].astype(np.float32)
+    obj = af.CQT(num=48, samplate=32000, slide_length=1024)
+    q1 = np.asarray(obj.cqt(x))
+    fn1 = obj._cqt_run
+    q2 = np.asarray(obj.cqt(x))
+    assert obj._cqt_run is fn1
+    np.testing.assert_array_equal(q1, q2)
+    obj.set_scale(False)
+    q3 = np.asarray(obj.cqt(x))
+    assert not np.array_equal(q1, q3)
+    # unscaled output differs exactly by the per-bin sqrt(len) factor
+    obj.set_scale(True)
+    np.testing.assert_array_equal(np.asarray(obj.cqt(x)), q1)
+
+
 def test_feature_extractor(signals):
     x = signals["chord"][:4096]
     fe = af.FeatureExtractor(
