@@ -116,6 +116,14 @@ class BFT:
                                slide_length=self.slide_length,
                                window_type=self.window_type)
                       if self.is_temporal else None)
+        # the full pipeline (reassign STFT -> power/mag -> filterbank)
+        # under one jit: the post-reassign ops are small per-element work,
+        # but eagerly they each pay a device dispatch, which over the axon
+        # tunnel costs more than the whole computation.  result_type and
+        # norm enter as static args (changing them retraces; both are
+        # rarely-toggled config, not data).
+        self._bft_run = jax.jit(self._bft_impl,
+                                static_argnames=("rt", "norm_value"))
 
     # ------------------------------------------------------------------
     def cal_time_length(self, data_length: int) -> int:
@@ -141,8 +149,13 @@ class BFT:
         """(..., n) -> (..., num, time); complex64 when result_type 0."""
         if result_type is not None:
             self.set_result_type(result_type)
-        rt = self.result_type
+        out = self._bft_run(jnp.asarray(data_arr, jnp.float32),
+                            rt=self.result_type, norm_value=self.norm_value)
+        if self._temp is not None:
+            self._temp.temporal(data_arr)
+        return out
 
+    def _bft_impl(self, data_arr, *, rt, norm_value):
         D = self._re.reassign(data_arr)  # complex (..., m, T)
         D = jnp.swapaxes(D, -1, -2)      # (..., T, m)
         S = SpectralFilterBankScaleType
@@ -164,18 +177,16 @@ class BFT:
             P = jnp.real(D) ** 2 + jnp.imag(D) ** 2
             if self.data_type == SpectralDataType.MAG:
                 P = jnp.sqrt(P)
-            elif self.norm_value != 1:
-                P = jnp.power(P, self.norm_value)
+            elif norm_value != 1:
+                P = jnp.power(P, norm_value)
             if self.scale_type == S.LINEAR:
                 out = P[..., self.low_index:self.high_index + 1]
             else:
                 out = jnp.einsum("...tf,nf->...tn", P, fb,
                                  precision=_HIGHEST)
-            if self.data_type == SpectralDataType.MAG and self.norm_value != 1:
-                out = jnp.power(out, self.norm_value)
+            if self.data_type == SpectralDataType.MAG and norm_value != 1:
+                out = jnp.power(out, norm_value)
 
-        if self._temp is not None:
-            self._temp.temporal(data_arr)
         return jnp.swapaxes(out, -1, -2)
 
     def bft_fused(self, data_arr, cc_num: int = 13, tile: int = 200):
