@@ -228,6 +228,9 @@ class CWT:
         self.fre_band_arr = fre
         self.bin_band_arr = bins
         self._det_bank = None
+        # whole filterbank convolution under one jit (eager per-op
+        # dispatch over the axon tunnel costs more than the transform)
+        self._cwt_run = jax.jit(self._run, static_argnames=("det",))
 
     def get_fre_band_arr(self):
         return self.fre_band_arr
@@ -266,13 +269,13 @@ class CWT:
         return jnp.flip(out, axis=-2)  # ascending frequency
 
     def cwt(self, data_arr):
-        return self._run(data_arr, self._bank, det=False)
+        return self._cwt_run(data_arr, self._bank, det=False)
 
     def cwt_det(self, data_arr):
         """CWT with the derivative bank (i*omega*psi) — instantaneous
         frequency numerator for WSST."""
         self.enable_det(True)
-        return self._run(data_arr, self._det_bank, det=True)
+        return self._cwt_run(data_arr, self._det_bank, det=True)
 
     def y_coords(self):
         return self.fre_band_arr

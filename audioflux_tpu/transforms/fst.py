@@ -62,6 +62,10 @@ class FST:
         self.fft_length = 1 << radix2_exp
         self._lens = _partition(radix2_exp)
         self._index = _reassign_index(radix2_exp)
+        # one jitted program per (shape, band range): eager per-op
+        # dispatch over the axon tunnel costs more than the transform
+        self._fst_run = jax.jit(self._fst_impl,
+                                static_argnames=("min_index", "max_index"))
 
     def fst(self, data_arr, min_index: int = None, max_index: int = None):
         """(..., 2**radix2_exp) -> complex64 (..., max-min+1, fft_length)."""
@@ -77,7 +81,11 @@ class FST:
         x = jnp.asarray(data_arr, jnp.float32)
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
+        return self._fst_run(x, min_index=min_index, max_index=max_index)
 
+    def _fst_impl(self, x, *, min_index, max_index):
+        L = self.fft_length
+        R = self.radix2_exp
         # ifftshift -> fft -> fftshift -> /sqrt(L)
         xs = jnp.concatenate([x[..., L // 2:], x[..., :L // 2]], axis=-1)
         F = afft.fft(xs, axis=-1)
