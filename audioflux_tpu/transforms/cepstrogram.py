@@ -37,6 +37,9 @@ class Cepstrogram:
         self.slide_length = (slide_length if slide_length > 0
                              else self.fft_length // 4)
         self.window = get_fft_window(self.window_type, self.fft_length)
+        # one jitted program per (shape, cep_num): eager per-op dispatch
+        # over the axon tunnel costs more than the transform
+        self._cep_run = jax.jit(self._cep_impl, static_argnames=("cep_num",))
 
     def cal_time_length(self, data_length: int) -> int:
         return cal_time_length(data_length, self.fft_length, self.slide_length)
@@ -46,6 +49,10 @@ class Cepstrogram:
         (..., fft_length//2+1, time)."""
         if not 4 <= cep_num <= 128:
             raise ValueError("cep_num must be in [4, 128]")
+        x = jnp.asarray(data_arr, jnp.float32)
+        return self._cep_run(x, cep_num=cep_num)
+
+    def _cep_impl(self, data_arr, *, cep_num):
         L = self.fft_length
         m = L // 2 + 1
         x = jnp.asarray(data_arr, jnp.float32)

@@ -154,11 +154,17 @@ class DeepSpectrogram(_DeepBase):
         self.fre_band_arr = np.asarray(_sc.log_to_hz(logs, 12), np.float32)
         det = samplate / float(self.fft_length)
         self.bin_band_arr = np.round(self.fre_band_arr / det).astype(np.int32)
+        # whole frame->peak->tone pipeline under one jit (eager per-op
+        # dispatch over the axon tunnel costs more than the math)
+        self._spec_run = jax.jit(self._spec_impl)
 
     def get_fre_band_arr(self):
         return self.fre_band_arr
 
     def spectrogram(self, data_arr):
+        return self._spec_run(jnp.asarray(data_arr, jnp.float32))
+
+    def _spec_impl(self, data_arr):
         amp, l_ch, r_ch = self._deep_amps(data_arr, self.base_num)
         out = jnp.stack([amp, l_ch, r_ch], axis=-3)  # (..., 3, T, num)
         if self.data_type == SpectralDataType.POWER:
@@ -188,8 +194,12 @@ class DeepChromaSpectrogram(_DeepBase):
         self.base_num = int(hi - lo) + 1
         self._fold = chroma_cqt_filter_bank(num, self.base_num, 12,
                                             self.base_fre)
+        self._spec_run = jax.jit(self._spec_impl)
 
     def spectrogram(self, data_arr):
+        return self._spec_run(jnp.asarray(data_arr, jnp.float32))
+
+    def _spec_impl(self, data_arr):
         amp, _, _ = self._deep_amps(data_arr, self.base_num)
         if self.data_type == SpectralDataType.POWER:
             amp = amp * amp

@@ -88,6 +88,9 @@ class DWT:
         self.fre_band_arr = (self.bin_band_arr * samplate
                              / self.fft_length).astype(np.float32)
         self._rows = _dyadic_rows(num, self.fft_length)
+        # whole decomposition cascade under one jit (eager per-op
+        # dispatch over the axon tunnel costs more than the math)
+        self._dwt_run = jax.jit(self._dwt_impl)
 
     def get_fre_band_arr(self):
         return self.fre_band_arr
@@ -100,6 +103,9 @@ class DWT:
         L = self.fft_length
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
+        return self._dwt_run(x)
+
+    def _dwt_impl(self, x):
         pieces = []
         cA = x
         for _ in range(self.num):
@@ -134,12 +140,27 @@ class WPT:
         self.wavelet_type = WaveletDiscreteType(wavelet_type)
         self.t1, self.t2 = t1, t2
         self.lo_d, self.hi_d = wavelet_coef(self.wavelet_type, t1, t2, 0)
+        # reassign gather: row i repeats leaf i with kLen stride
+        # (wpt_algorithm.c:253-270); precomputed once, reused per call
+        L = self.fft_length
+        down = L >> self.num
+        k_len = L // down
+        rows = np.zeros((1 << self.num, L), np.int64)
+        for i in range(1 << self.num):
+            for k in range(k_len):
+                js = np.arange(k, L, k_len)
+                rows[i, js] = i * down + np.arange(len(js))
+        self._rows = rows
+        self._wpt_run = jax.jit(self._wpt_impl)
 
     def wpt(self, data_arr):
         x = jnp.asarray(data_arr, jnp.float32)
         L = self.fft_length
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
+        return self._wpt_run(x)
+
+    def _wpt_impl(self, x):
         nodes = {0: x}
         count = (1 << self.num) - 1
         child = 1
@@ -153,16 +174,7 @@ class WPT:
         first_leaf = (1 << self.num) - 1
         leaves = [nodes[first_leaf + j] for j in range(1 << self.num)]
         coef = jnp.concatenate(leaves, axis=-1)
-        # reassign: row i repeats leaf i with kLen stride
-        # (wpt_algorithm.c:253-270)
-        down = L >> self.num
-        k_len = L // down
-        rows = np.zeros((1 << self.num, L), np.int64)
-        for i in range(1 << self.num):
-            for k in range(k_len):
-                js = np.arange(k, L, k_len)
-                rows[i, js] = i * down + np.arange(len(js))
-        m_data = coef[..., jnp.asarray(rows)]
+        m_data = coef[..., jnp.asarray(self._rows)]
         return coef, m_data
 
     def y_coords(self):
@@ -187,6 +199,7 @@ class SWT:
         self.wavelet_type = WaveletDiscreteType(wavelet_type)
         self.t1, self.t2 = t1, t2
         self.lo_d, self.hi_d = wavelet_coef(self.wavelet_type, t1, t2, 0)
+        self._swt_run = jax.jit(self._swt_impl)
 
     def swt(self, data_arr):
         """(..., fft_length) -> (approx (..., num, L), detail (..., num, L))."""
@@ -194,6 +207,10 @@ class SWT:
         L = self.fft_length
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
+        return self._swt_run(x)
+
+    def _swt_impl(self, x):
+        L = self.fft_length
         dec = len(self.lo_d)
         approx, detail = [], []
         cur = x

@@ -101,6 +101,9 @@ class NSGT:
         self.normal_type = normal_type
 
         self._build()
+        # whole FFT->bucketed-IDFT->expand pipeline under one jit (eager
+        # per-op dispatch over the axon tunnel costs more than the math)
+        self._nsgt_run = jax.jit(self._nsgt_impl)
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -204,6 +207,10 @@ class NSGT:
         x = jnp.asarray(data_arr, jnp.float32)
         if x.shape[-1] != L:
             raise ValueError(f"data length must be {L}")
+        return self._nsgt_run(x)
+
+    def _nsgt_impl(self, x):
+        L = self.fft_length
         F = afft.fft(x, axis=-1)
 
         # bucket bands by length: one batched ifft per distinct length

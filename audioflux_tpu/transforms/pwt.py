@@ -82,6 +82,9 @@ class PWT:
         self._bank = fb
         self.fre_band_arr = fre
         self.bin_band_arr = bins
+        # whole pad->FFT->bank->IFFT pipeline under one jit (eager
+        # per-op dispatch over the axon tunnel costs more than the math)
+        self._pwt_run = jax.jit(self._pwt_impl)
 
     def get_fre_band_arr(self):
         return self.fre_band_arr
@@ -94,12 +97,15 @@ class PWT:
         x = jnp.asarray(data_arr, jnp.float32)
         if x.shape[-1] != self.data_length:
             raise ValueError(f"data length must be exactly {self.data_length}")
+        return self._pwt_run(x, jnp.asarray(self._bank))
+
+    def _pwt_impl(self, x, bank):
         p = self.pad_length
         if p:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
                         mode="symmetric")
         F = afft.fft(x, axis=-1)
-        out = afft.ifft(jnp.asarray(self._bank) * F[..., None, :], axis=-1)
+        out = afft.ifft(bank * F[..., None, :], axis=-1)
         if p:
             out = out[..., p:p + self.data_length]
         return out

@@ -31,6 +31,9 @@ class Temporal:
         self.window_type = WindowType(window_type)
         self.window = get_fft_window(self.window_type, self.frame_length)
         self._frames = None  # windowed frames cache for get_data
+        # all frame reductions in one jitted program (eager per-op
+        # dispatch over the axon tunnel costs more than the math)
+        self._temporal_run = jax.jit(self._temporal_impl)
 
     def cal_time_length(self, data_length: int) -> int:
         if data_length < self.frame_length:
@@ -40,6 +43,12 @@ class Temporal:
     def temporal(self, data_arr):
         """Compute and cache (energy, rms, zcr) for (..., n) audio."""
         x = jnp.asarray(data_arr, jnp.float32)
+        energy, rms, zcr, fw = self._temporal_run(x)
+        self._frames = fw
+        self._energy, self._rms, self._zcr = energy, rms, zcr
+        return energy, rms, zcr
+
+    def _temporal_impl(self, x):
         frames = frame_signal(x, self.frame_length, self.slide_length)
         w = jnp.asarray(self.window)
         fw = frames * w
@@ -47,9 +56,7 @@ class Temporal:
         rms = jnp.sqrt(energy / self.frame_length)
         sign_change = (fw[..., 1:] * fw[..., :-1] < 0).astype(jnp.float32)
         zcr = jnp.sum(sign_change, axis=-1) / self.frame_length
-        self._frames = fw
-        self._energy, self._rms, self._zcr = energy, rms, zcr
-        return energy, rms, zcr
+        return energy, rms, zcr, fw
 
     def get_data(self):
         """(energy, rms, zcr, windowed frame matrix (..., T, frame_length))."""
