@@ -4,4 +4,5 @@ from audioflux_tpu.parallel.sharded import (
 )
 from audioflux_tpu.parallel.features import sharded_spectral_stats_fn
 from audioflux_tpu.parallel.runner import BatchRunner
+from audioflux_tpu.parallel.pipeline import pipeline_chain_fn
 from audioflux_tpu.parallel import distributed

@@ -167,3 +167,56 @@ def test_batch_runner_resumable(tmp_path):
     # idempotent third run
     n3, sk3 = runner2.run_files_resumable(paths, out_dir, chunk_size=2)
     assert (n3, sk3) == (0, 6)
+
+
+def test_pipeline_chain_matches_composition():
+    """GPipe-style op-chain staging (SURVEY §2.10 pipeline row): a
+    frame->DFT-power->mel->log chain staged over a 4-device pipe axis
+    equals the direct composition."""
+    from audioflux_tpu.parallel.pipeline import pipeline_chain_fn
+    from audioflux_tpu.filterbank.auditory import auditory_filter_bank
+    from audioflux_tpu.ops.frame import frame_signal
+    from audioflux_tpu.types import (SpectralFilterBankNormalType,
+                                     SpectralFilterBankScaleType,
+                                     SpectralFilterBankStyleType)
+
+    fft, slide, n = 1024, 256, 8192
+    T = (n - fft) // slide + 1
+    m = fft // 2 + 1
+    num_mel = 32
+    win = np.asarray(get_fft_window(WindowType.HANN, fft))
+    fb, _, _ = auditory_filter_bank(
+        num_mel, fft, SR, SpectralFilterBankScaleType.MEL,
+        SpectralFilterBankStyleType.SLANEY,
+        SpectralFilterBankNormalType.NONE, 0.0, SR / 2.0, 12)
+    fb = np.asarray(fb)
+    k = np.arange(fft)[:, None] * np.arange(m)[None, :]
+    dr = np.cos(-2 * np.pi * k / fft).astype(np.float32)
+    di = np.sin(-2 * np.pi * k / fft).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    def s_frame(x):          # (mb, n) -> (mb, T, fft)
+        return frame_signal(x, fft, slide) * jnp.asarray(win)
+
+    def s_power(f):          # (mb, T, fft) -> (mb, T, m)
+        re = f @ jnp.asarray(dr)
+        im = f @ jnp.asarray(di)
+        return re * re + im * im
+
+    def s_mel(p):            # (mb, T, m) -> (mb, T, num_mel)
+        return p @ jnp.asarray(fb).T
+
+    def s_log(y):            # elementwise
+        return jnp.log10(jnp.maximum(y, 1e-8))
+
+    stages = [s_frame, s_power, s_mel, s_log]
+    shapes = [(n,), (T, fft), (T, m), (T, num_mel), (T, num_mel)]
+    mesh4 = make_mesh(data=2, time=4)
+    run = pipeline_chain_fn(stages, shapes, mesh4, axis="time", n_micro=4)
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((8, n)) * 0.2).astype(np.float32)
+    got = np.asarray(run(x))
+    want = np.asarray(s_log(s_mel(s_power(s_frame(jnp.asarray(x))))))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
