@@ -51,13 +51,14 @@ def _sync(y):
     np.asarray(leaf.ravel()[:1])
 
 
-def _time(fn, *args, reps: int = 3):
+def _time(fn, *args, reps: int = 10):
     """Median-free amortized wall: time ``reps`` dispatches and divide.
 
     The axon tunnel charges one host<->TPU round trip per timed region
-    (~tens of ms) that is an artifact of this setup, not the chip;
-    amortizing over a few dispatches keeps the number comparable to the
-    reference protocol's tight C loop.
+    (~30-40 ms, measured by fitting wall = reps*kernel + RT) that is an
+    artifact of this setup, not the chip; amortizing over enough
+    dispatches keeps the number comparable to the reference protocol's
+    tight C loop on its own machine (steady-state throughput).
     """
     y = fn(*args)
     _sync(y)
