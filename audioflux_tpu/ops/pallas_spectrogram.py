@@ -153,6 +153,7 @@ class FusedMelPlan:
         ok2 = (Q >= 2 and self.n_fft == Q * 128 and FL
                and self.slide % 128 == 0 and off_max < 2 * blk)
         self.fs2_q = Q if ok2 else 0
+        self.fs4_ok = False
         if ok2:
             import ml_dtypes
             self.fs2_fl, self.fs2_fr, self.fs2_blk = FL, fr, blk
@@ -245,6 +246,83 @@ class FusedMelPlan:
                 self.fs3_twi = tw3.imag.astype(np.float32)
             else:
                 self.fs3_taps = None
+
+            # --- fs4: frame-pair packing (two frames per complex DFT) --
+            # z = frame_2j + i*frame_{2j+1}: one complex four-step DFT
+            # serves two real frames.  Stage C is computed SEPARABLY
+            # (Fr = DFT128(Re B), Fi = DFT128(Im B): 4 real dots x bf16x3
+            # = 12 passes per 16 frames vs Karatsuba's 18), because the
+            # real-vector conjugate identity then yields the lane-mirror
+            # Xlm[p,k2] = X[p,(-k2)%128] = conj(Fr)+i*conj(Fi) for free —
+            # and the frame unpack |X_a|^2, |X_b|^2 needs Z[-k].  Rows use
+            # an INTERLEAVED group order [0,1,Q-1,2,Q-2,...,Q/2] so the
+            # row part of the mirror (k1 -> -k1) is a +-1 sublane roll;
+            # the spectral 3-tap window becomes a per-row {+-1,+-2} roll
+            # stencil with two lane-borrow rows (tables below).
+            self.fs4_ok = (self.fs3_taps is not None and Q % 2 == 0
+                           and Q >= 4)
+            if self.fs4_ok:
+                blk4 = 2 * FL * fr
+                self.fs4_blk = blk4
+                self.fs4_fpu = 2 * FL  # frames per unit
+                order = [0]
+                for c in range(1, Q // 2):
+                    order += [c, Q - c]
+                order += [Q // 2]
+                pos = np.zeros(Q, np.int64)
+                for p, k1 in enumerate(order):
+                    pos[k1] = p
+                self.fs4_order = order
+                # stage A: gather + Q-DFT + pair-packing folded into two
+                # real matrices over the 2-block row window
+                wqc = np.exp(-2j * np.pi * np.outer(np.arange(Q),
+                                                    np.arange(Q)) / Q)
+                m4 = np.zeros((FL * Q, 2 * blk4), np.complex128)
+                for j in range(FL):
+                    for p in range(Q):
+                        row = j * Q + p
+                        for qq in range(Q):
+                            m4[row, (2 * j) * fr + qq] += wqc[order[p], qq]
+                            m4[row, (2 * j + 1) * fr + qq] += (
+                                1j * wqc[order[p], qq])
+                for name, full in (("mr", m4.real), ("mi", m4.imag)):
+                    full = full.astype(np.float32)
+                    hi = full.astype(ml_dtypes.bfloat16)
+                    lo = (full - hi.astype(np.float32)).astype(
+                        ml_dtypes.bfloat16)
+                    setattr(self, "fs4_" + name + "_hi", hi)
+                    setattr(self, "fs4_" + name + "_lo", lo)
+                tw4 = np.exp(-2j * np.pi * np.outer(
+                    np.tile(np.asarray(order), FL), n2_idx) / N)
+                self.fs4_twr = tw4.real.astype(np.float32)
+                self.fs4_twi = tw4.imag.astype(np.float32)
+                # +1 lane-borrow phase ramp: X[p,k2+1] =
+                # DFT128(B[p,n2] * exp(-2i*pi*n2/128))[k2]; the -1
+                # borrow uses its conjugate (kernel flips rampi's sign)
+                ramp = np.exp(-2j * np.pi * n2_idx / 128)
+                self.fs4_rampr = ramp.real.astype(np.float32).reshape(1, 128)
+                self.fs4_rampi = ramp.imag.astype(np.float32).reshape(1, 128)
+                # 3-tap read tables: for tensor row position p (k1 =
+                # order[p]), bin k+1 lives at row p+du[p] lane k2+lu[p],
+                # bin k-1 at p+dd[p] lane k2+ld[p]; all reads stay inside
+                # the Q-row block by construction of the interleave.
+                du = np.zeros(Q, np.int64); lu = np.zeros(Q, np.int64)
+                dd = np.zeros(Q, np.int64); ld = np.zeros(Q, np.int64)
+                for p in range(Q):
+                    k1 = order[p]
+                    nk = k1 + 1
+                    if nk == Q:
+                        du[p] = pos[0] - p; lu[p] = 1
+                    else:
+                        du[p] = pos[nk] - p
+                    pk = k1 - 1
+                    if pk < 0:
+                        dd[p] = pos[Q - 1] - p; ld[p] = -1
+                    else:
+                        dd[p] = pos[pk] - p
+                self.fs4_tap_tables = (du, lu, dd, ld)
+                # mel reads group k1 at row position pos[k1]
+                self.fs4_melpos = [int(pos[k1]) for k1 in range(Q // 2 + 1)]
 
         # --- flip factorization (N = Q*128, full-MXU stages) -----------
         # n = q + Q*n2 (q in [0,Q), n2 in [0,128)), k = k1 + 128*k2:
@@ -600,6 +678,170 @@ def _kernel_fs3(main_ref, halo_ref, bdgrh, bdgrl, bdgih, bdgil,
                    precision=precision)
 
 
+def _kernel_fs4(main_ref, halo_ref, mrh, mrl, mih, mil, twr_ref, twi_ref,
+                rampr_ref, rampi_ref,
+                wrh, wrl, wih, wil, fbh, fbl, dct_ref, mel_out, cc_out, *,
+                t8: int, blk4: int, fl: int, q: int, c0: float, c1: float,
+                tap_tables, melpos, log_floor: float, precision):
+    """Frame-pair four-step: two real frames per complex DFT.
+
+    z = frame_2j + i*frame_{2j+1} rides one complex DFT; stage C runs
+    separably (4 real dots, 12 bf16 passes per 16 frames vs Karatsuba's
+    18) so the real-vector conjugate identity gives the lane-mirror
+    Xlm[p,k2] = X[p,(-k2)%128] as VPU sign flips.  The interleaved row
+    order puts each group's mirror partner one sublane away, making the
+    full bin-mirror Z[-k] (needed to unpack |X_a|^2, |X_b|^2) a roll +
+    select; the spectral 3-tap window is a per-row roll stencil from the
+    precomputed tables.  See FusedMelPlan's fs4 section for the algebra.
+    """
+    du, lu, dd, ld = tap_tables
+    x3 = main_ref[0].reshape(t8, blk4, 128)
+    h3 = halo_ref[0].reshape(1, blk4, 128)
+    full = jnp.concatenate([x3, h3], axis=0)
+    w = jnp.concatenate([jax.lax.slice_in_dim(full, 0, t8, axis=0),
+                         jax.lax.slice_in_dim(full, 1, t8 + 1, axis=0)],
+                        axis=1)                        # (t8, 2*blk4, 128)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    cd_b = (((2,), (1,)), ((0,), (0,)))
+
+    def bdot(m, b):
+        return jax.lax.dot_general(
+            jnp.broadcast_to(m[...], (t8,) + m.shape), b, cd_b,
+            preferred_element_type=jnp.float32)
+
+    # fused gather + pair packing + stage A (rows (slot, position))
+    ar = bdot(mrh, wh) + bdot(mrl, wh) + bdot(mrh, wl)
+    ai = bdot(mih, wh) + bdot(mil, wh) + bdot(mih, wl)
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+
+    nrows = br.shape[1]
+    piota = jax.lax.broadcasted_iota(jnp.int32, br.shape, 1) % q
+
+    def rollp(v, dr):
+        """result[.., p, :] = v[.., p+dr, :] (correct within Q-blocks;
+        the tables never read across a block edge)."""
+        return pltpu.roll(v, (-dr) % nrows, 1)
+
+    def rolll(v, dl):
+        """result[.., k2] = v[.., k2+dl] (circular — bin wrap is the
+        correct DFT semantics for the spectral taps)."""
+        return pltpu.roll(v, (-dl) % 128, 2)
+
+    # 3-tap window applied on B (pre-DFT): a k2-lane borrow in X-space is
+    # a phase ramp in n2-space (X[p', k2+l] = DFT(B[p'] * ramp_l)[k2]),
+    # so the whole stencil costs rolls + masked ramp multiplies on TWO
+    # tensors instead of roll/select chains on the four post-DFT ones.
+    rampr = rampr_ref[...][None]
+    rampi = rampi_ref[...][None]
+    cache_r, cache_i = {}, {}
+
+    def tapreadB(drow, dlane):
+        combos = {}
+        for p in range(q):
+            key = (int(drow[p]), int(dlane[p]))
+            combos.setdefault(key, []).append(p)
+        outr = outi = None
+        for (dr, dl), ps in combos.items():
+            rr = cache_r.get(dr)
+            if rr is None:
+                rr = rollp(br, dr)
+                cache_r[dr] = rr
+            ri = cache_i.get(dr)
+            if ri is None:
+                ri = rollp(bi, dr)
+                cache_i[dr] = ri
+            if dl:
+                sr, si = (rampr, rampi) if dl > 0 else (rampr, -rampi)
+                tr = rr * sr - ri * si
+                ti = rr * si + ri * sr
+            else:
+                tr, ti = rr, ri
+            if outr is None:
+                outr, outi = tr, ti
+            else:
+                mask = piota == ps[0]
+                for p in ps[1:]:
+                    mask = mask | (piota == p)
+                outr = jnp.where(mask, tr, outr)
+                outi = jnp.where(mask, ti, outi)
+        return outr, outi
+
+    ur, ui = tapreadB(du, lu)
+    dr_, di_ = tapreadB(dd, ld)
+    brw = c0 * br + c1 * (ur + dr_)
+    biw = c0 * bi + c1 * (ui + di_)
+
+    # stage C, separable: Frw = DFT128(brw), Fiw = DFT128(biw)
+    cd_l = (((2,), (0,)), ((), ()))
+
+    def split(a):
+        h = a.astype(jnp.bfloat16)
+        return h, (a - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d3(h_, l_, m_hi, m_lo):
+        d = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
+                              preferred_element_type=jnp.float32)
+        return d(h_, m_hi[...]) + d(h_, m_lo[...]) + d(l_, m_hi[...])
+
+    brh, brl = split(brw)
+    bih, bil = split(biw)
+    frr = d3(brh, brl, wrh, wrl)
+    fri = d3(brh, brl, wih, wil)
+    fir = d3(bih, bil, wrh, wrl)
+    fii = d3(bih, bil, wih, wil)
+    xwr = frr - fii                                    # tapped X
+    xwi = fri + fir
+    xlwr = frr + fii                                   # tapped lane-mirror
+    xlwi = fir - fri                                   # conj(Fr)+i*conj(Fi)
+
+    # full mirror M[p,k2] = Zw[-k]: pair-row select + lane step
+    odd = (piota % 2) == 1
+    selfp = (piota == 0) | (piota == q - 1)
+    p0 = piota == 0
+
+    def mirror(v):
+        pv = jnp.where(odd, rollp(v, 1), rollp(v, -1))
+        pv = jnp.where(selfp, v, pv)
+        return jnp.where(p0, pv, rolll(pv, 1))
+
+    mwr = mirror(xlwr)
+    mwi = mirror(xlwi)
+
+    # unpack the two frames' power spectra
+    har = (xwr + mwr) * 0.5
+    hai = (xwi - mwi) * 0.5
+    pa = har * har + hai * hai
+    hbr = xwr - mwr
+    hbi = xwi + mwi
+    pb = (hbr * hbr + hbi * hbi) * 0.25
+
+    # mirror-folded mel per frame parity, then interleave (slot, parity)
+    def melfold(power):
+        p4 = power.reshape(t8, fl, q, 128)
+        ph = p4.astype(jnp.bfloat16)
+        plo = (p4 - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        mel = None
+        for k1 in range(fbh.shape[0]):
+            p = melpos[k1]
+            m_k = (d3(ph[:, :, p], plo[:, :, p], fbh[k1], fbl[k1]))
+            mel = m_k if mel is None else mel + m_k
+        return mel                                     # (t8, fl, mel_pad)
+
+    mel_a = melfold(pa)
+    mel_b = melfold(pb)
+    mel = jnp.stack([mel_a, mel_b], axis=2).reshape(t8, 2 * fl, -1)
+    mel_out[0] = mel.reshape(t8 * 2 * fl, -1).T        # (mel_pad, frames)
+    logm = jnp.log10(jnp.maximum(mel, log_floor))
+    cc = jax.lax.dot_general(logm, dct_ref[...], dimension_numbers=cd_l,
+                             precision=precision)
+    cc_out[0] = cc.reshape(t8 * 2 * fl, -1).T
+
+
 def _kernel_flip(x_ref, win_ref, w1rh, w1rl, w1ih, w1il, twr_ref, twi_ref,
                  bdrh, bdrl, bdih, bdil, bdsh, bdsl, fbh, fbl, dct_ref,
                  mel_out, cc_out, *, fl: int, q: int, n_k2: int,
@@ -730,6 +972,69 @@ def _fused_call_fs2(plan: FusedMelPlan, x, n_frames: int, tile: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(rows, rows, *[jnp.asarray(c) for c in consts])
     # outputs are already band-major (in-kernel transpose)
+    return (mel[:, :plan.num_mel, :n_frames],
+            cc[:, :plan.cc_num, :n_frames])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _fused_call_fs4(plan: FusedMelPlan, x, n_frames: int, tile: int,
+                    precision, interpret: bool):
+    b = x.shape[0]
+    Q, FL = plan.fs2_q, plan.fs2_fl
+    blk4, fpu = plan.fs4_blk, plan.fs4_fpu
+    u_needed = -(-n_frames // fpu)
+    if tile >= n_frames and (u_needed * blk4) % 8 == 0:
+        t8 = u_needed
+    else:
+        t8 = max(8, -(-(tile // fpu) // 8) * 8)
+    u_total = -(-u_needed // t8) * t8
+    t_pad = u_total * fpu
+    n_tiles = u_total // t8
+    rows_needed = u_total * blk4 + blk4
+    need = rows_needed * 128
+    if x.shape[1] >= need:
+        x = x[:, :need]
+    else:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    rows = x.reshape(b, rows_needed, 128)
+
+    c0, c1 = plan.fs3_taps
+    tap_tables = tuple(tuple(int(v) for v in t)
+                       for t in plan.fs4_tap_tables)
+    kern = functools.partial(_kernel_fs4, t8=t8, blk4=blk4, fl=FL, q=Q,
+                             c0=c0, c1=c1, tap_tables=tap_tables,
+                             melpos=tuple(plan.fs4_melpos),
+                             log_floor=1e-8, precision=precision)
+    consts = [plan.fs4_mr_hi, plan.fs4_mr_lo,
+              plan.fs4_mi_hi, plan.fs4_mi_lo,
+              plan.fs4_twr, plan.fs4_twi,
+              plan.fs4_rampr, plan.fs4_rampi,
+              plan.fs2_wr_hi, plan.fs2_wr_lo,
+              plan.fs2_wi_hi, plan.fs2_wi_lo,
+              plan.fs2_fb_hi, plan.fs2_fb_lo, plan.dct_t]
+
+    def _const(arr):
+        return pl.BlockSpec(arr.shape, lambda i, t: (0,) * arr.ndim)
+    main_spec = pl.BlockSpec((1, t8 * blk4, 128),
+                             lambda i, t: (i, t, 0))
+    halo_spec = pl.BlockSpec((1, blk4, 128),
+                             lambda i, t: (i, (t + 1) * t8, 0))
+    mel, cc = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[main_spec, halo_spec] + [_const(c) for c in consts],
+        out_specs=[
+            pl.BlockSpec((1, plan.mel_pad, t8 * fpu), lambda i, t: (i, 0, t)),
+            pl.BlockSpec((1, plan.cc_pad, t8 * fpu), lambda i, t: (i, 0, t)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, plan.mel_pad, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, plan.cc_pad, t_pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rows, rows, *[jnp.asarray(c) for c in consts])
     return (mel[:, :plan.num_mel, :n_frames],
             cc[:, :plan.cc_num, :n_frames])
 
@@ -901,9 +1206,9 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
     ``n`` must be at least ``T*slide + (fft - slide)`` with ``T`` divisible
     by ``tile`` (tile a multiple of 8).  Callers with other lengths should
     pad (the generic path has no such restriction).  ``algo`` picks the
-    kernel: "flip" (full-MXU two-stage DFT, bf16x3 — the fastest),
-    "fourstep", "dense", or "auto" (flip when the shape allows, else
-    fourstep, else dense).
+    kernel: "fs4" (frame-pair packing, the fastest), "fs2", "flip",
+    "fourstep", "dense", or "auto" (fs4 when the shape + window allow,
+    else fs2, else flip, else fourstep, else dense).
     """
     x = jnp.asarray(x, jnp.float32)
     if interpret is None:  # Mosaic kernels only compile for TPU
@@ -915,6 +1220,16 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
         squeeze = False
     n = x.shape[-1]
     n_frames = (n - plan.n_fft) // plan.slide + 1
+    use_fs4 = bool(plan.fs4_ok) and algo in ("auto", "fs4")
+    if algo == "fs4" and not use_fs4:
+        raise ValueError("fs4 kernel needs the fs2 shape constraints plus "
+                         "a 3-tap (periodic cosine) window")
+    if use_fs4:
+        mel, cc = _fused_call_fs4(plan, x, n_frames, tile, precision,
+                                  interpret)
+        if squeeze:
+            mel, cc = mel[0], cc[0]
+        return mel, cc
     use_fs2 = bool(plan.fs2_q) and algo in ("auto", "fs2")
     use_flip = (not use_fs2) and bool(plan.flip_q) and (
         algo == "flip"

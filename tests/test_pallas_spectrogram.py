@@ -98,3 +98,37 @@ def test_fused_other_configs():
         2e-5 * np.max(np.abs(mel_ref)))
     assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
         2e-5 * np.max(np.abs(cc_ref)))
+
+
+def test_fused_fs4_matches_exact_path():
+    """Frame-pair kernel (two real frames per complex DFT) vs exact."""
+    plan = MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                          slide_length=512)
+    T = 32
+    n = T * 512 + 2048 - 512
+    x = (np.random.default_rng(3).standard_normal((2, n)) * 0.2
+         ).astype(np.float32)
+    mel_ref, cc_ref = _ref(plan, x)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:13], 512)
+    assert fp.fs4_ok
+    mel, cc = fused_mel_mfcc(fp, x, tile=16, interpret=True, algo="fs4")
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        1e-4 * np.max(np.abs(mel_ref)))
+    assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
+        1e-4 * np.max(np.abs(cc_ref)))
+
+
+def test_fused_fs4_odd_frames_and_single_tile():
+    """fs4 pads odd frame counts (pairs) and supports single-tile mode."""
+    plan = MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                          slide_length=512)
+    T = 23
+    n = T * 512 + 2048 - 512
+    x = (np.random.default_rng(4).standard_normal((1, n)) * 0.2
+         ).astype(np.float32)
+    mel_ref, _ = _ref(plan, x)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:13], 512)
+    mel, _ = fused_mel_mfcc(fp, x, tile=1000, interpret=True, algo="fs4")
+    assert mel.shape == mel_ref.shape
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        1e-4 * np.max(np.abs(mel_ref)))
