@@ -285,13 +285,14 @@ class FusedMelPlan:
                             m4[row, (2 * j) * fr + qq] += wqc[order[p], qq]
                             m4[row, (2 * j + 1) * fr + qq] += (
                                 1j * wqc[order[p], qq])
-                for name, full in (("mr", m4.real), ("mi", m4.imag)):
-                    full = full.astype(np.float32)
-                    hi = full.astype(ml_dtypes.bfloat16)
-                    lo = (full - hi.astype(np.float32)).astype(
-                        ml_dtypes.bfloat16)
-                    setattr(self, "fs4_" + name + "_hi", hi)
-                    setattr(self, "fs4_" + name + "_lo", lo)
+                # real/imag parts row-stacked into ONE matrix so stage A
+                # is a single (2R,C) dot chain instead of two (R,C) ones
+                m_all = np.concatenate([m4.real, m4.imag],
+                                       axis=0).astype(np.float32)
+                hi = m_all.astype(ml_dtypes.bfloat16)
+                lo = (m_all - hi.astype(np.float32)).astype(
+                    ml_dtypes.bfloat16)
+                self.fs4_m_hi, self.fs4_m_lo = hi, lo
                 tw4 = np.exp(-2j * np.pi * np.outer(
                     np.tile(np.asarray(order), FL), n2_idx) / N)
                 self.fs4_twr = tw4.real.astype(np.float32)
@@ -678,7 +679,7 @@ def _kernel_fs3(main_ref, halo_ref, bdgrh, bdgrl, bdgih, bdgil,
                    precision=precision)
 
 
-def _kernel_fs4(main_ref, halo_ref, mrh, mrl, mih, mil, twr_ref, twi_ref,
+def _kernel_fs4(main_ref, halo_ref, mah, mal, twr_ref, twi_ref,
                 rampr_ref, rampi_ref,
                 wrh, wrl, wih, wil, fbh, fbl, dct_ref, mel_out, cc_out, *,
                 t8: int, blk4: int, fl: int, q: int, c0: float, c1: float,
@@ -686,13 +687,16 @@ def _kernel_fs4(main_ref, halo_ref, mrh, mrl, mih, mil, twr_ref, twi_ref,
     """Frame-pair four-step: two real frames per complex DFT.
 
     z = frame_2j + i*frame_{2j+1} rides one complex DFT; stage C runs
-    separably (4 real dots, 12 bf16 passes per 16 frames vs Karatsuba's
-    18) so the real-vector conjugate identity gives the lane-mirror
-    Xlm[p,k2] = X[p,(-k2)%128] as VPU sign flips.  The interleaved row
-    order puts each group's mirror partner one sublane away, making the
-    full bin-mirror Z[-k] (needed to unpack |X_a|^2, |X_b|^2) a roll +
-    select; the spectral 3-tap window is a per-row roll stencil from the
-    precomputed tables.  See FusedMelPlan's fs4 section for the algebra.
+    separably (4 real products, 12 bf16 passes per 16 frames vs
+    Karatsuba's 18) so the real-vector conjugate identity gives the
+    lane-mirror Xlm[p,k2] = X[p,(-k2)%128] as VPU sign flips.  The
+    interleaved row order puts each group's mirror partner one sublane
+    away, making the full bin-mirror Z[-k] (needed to unpack |X_a|^2,
+    |X_b|^2) a roll + select; the spectral 3-tap window is a per-row
+    roll stencil from the precomputed tables.  Real/imag planes ride
+    ROW-STACKED (t8, 2R, 128) tensors throughout: stage A is 3 dots,
+    stage C 6, and the tap/mirror rolls run once over both planes.
+    See FusedMelPlan's fs4 section for the algebra.
     """
     du, lu, dd, ld = tap_tables
     x3 = main_ref[0].reshape(t8, blk4, 128)
@@ -711,9 +715,13 @@ def _kernel_fs4(main_ref, halo_ref, mrh, mrl, mih, mil, twr_ref, twi_ref,
             jnp.broadcast_to(m[...], (t8,) + m.shape), b, cd_b,
             preferred_element_type=jnp.float32)
 
-    # fused gather + pair packing + stage A (rows (slot, position))
-    ar = bdot(mrh, wh) + bdot(mrl, wh) + bdot(mrh, wl)
-    ai = bdot(mih, wh) + bdot(mil, wh) + bdot(mih, wl)
+    # fused gather + pair packing + stage A; rows = [re(slot,pos),
+    # im(slot,pos)] stacked into one dot chain, then sliced (slices at
+    # 0/R are tile-aligned views — no relayout)
+    a_all = bdot(mah, wh) + bdot(mal, wh) + bdot(mah, wl)
+    nr = a_all.shape[1] // 2
+    ar = a_all[:, :nr]
+    ai = a_all[:, nr:]
     twr = twr_ref[...][None]
     twi = twi_ref[...][None]
     br = ar * twr - ai * twi
@@ -820,17 +828,30 @@ def _kernel_fs4(main_ref, halo_ref, mrh, mrl, mih, mil, twr_ref, twi_ref,
     hbi = xwi + mwi
     pb = (hbr * hbr + hbi * hbi) * 0.25
 
-    # mirror-folded mel per frame parity, then interleave (slot, parity)
+    # mirror-folded mel per frame parity, then interleave (slot, parity):
+    # gather the used row groups lane-concatenated so the whole fold is
+    # one wide dot (contraction (Q/2+1)*128) instead of a chain of
+    # 128-contraction dots
+    ngrp = fbh.shape[0]
+    fbh_w = fbh[...].reshape(ngrp * 128, -1)
+    fbl_w = fbl[...].reshape(ngrp * 128, -1)
+    d_w = functools.partial(jax.lax.dot_general, dimension_numbers=cd_l,
+                            preferred_element_type=jnp.float32)
+
     def melfold(power):
-        p4 = power.reshape(t8, fl, q, 128)
-        ph = p4.astype(jnp.bfloat16)
-        plo = (p4 - ph.astype(jnp.float32)).astype(jnp.bfloat16)
-        mel = None
-        for k1 in range(fbh.shape[0]):
+        # roll-align each used row group to sublane offset 0 before the
+        # lane concat (Mosaic requires equal sublane offsets on concat
+        # operands); reads only hit rows = 0 mod q after the shift
+        parts = []
+        for k1 in range(ngrp):
             p = melpos[k1]
-            m_k = (d3(ph[:, :, p], plo[:, :, p], fbh[k1], fbl[k1]))
-            mel = m_k if mel is None else mel + m_k
-        return mel                                     # (t8, fl, mel_pad)
+            r = pltpu.roll(power, (-p) % (fl * q), 1) if p else power
+            parts.append(r.reshape(t8, fl, q, 128)[:, :, 0])
+        gath = jnp.concatenate(parts, axis=-1)        # (t8, fl, ngrp*128)
+        gh = gath.astype(jnp.bfloat16)
+        gl = (gath - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (d_w(gh, fbh_w) + d_w(gh, fbl_w)
+                + d_w(gl, fbh_w))                      # (t8, fl, mel_pad)
 
     mel_a = melfold(pa)
     mel_b = melfold(pb)
@@ -1005,8 +1026,7 @@ def _fused_call_fs4(plan: FusedMelPlan, x, n_frames: int, tile: int,
                              c0=c0, c1=c1, tap_tables=tap_tables,
                              melpos=tuple(plan.fs4_melpos),
                              log_floor=1e-8, precision=precision)
-    consts = [plan.fs4_mr_hi, plan.fs4_mr_lo,
-              plan.fs4_mi_hi, plan.fs4_mi_lo,
+    consts = [plan.fs4_m_hi, plan.fs4_m_lo,
               plan.fs4_twr, plan.fs4_twi,
               plan.fs4_rampr, plan.fs4_rampi,
               plan.fs2_wr_hi, plan.fs2_wr_lo,

@@ -34,7 +34,7 @@ R2E = 11  # fft 2048
 SLIDE = 512
 TIME_STEP = 1000
 N_SAMPLES = 1000
-TILE = 400  # frames per Pallas grid step (32 fs4 units of 16 frames)
+TILE = 1000  # frames per Pallas grid step (T=1000 fits one fs4 tile)
 
 # audioFlux C on AMD TR 3970X (BASELINE.md)
 BASELINE_MEL_S = {1: 0.04294, 100: 0.67030, 1000: 1.43854, 3000: 4.90343}
