@@ -135,6 +135,26 @@ def hz_to_note(frequencies) -> str:
     return midi_to_note(hz_to_midi(frequencies))
 
 
+def temproal_db(X, base: float = 18.0):
+    """Time-domain dB stats of a clip -> (max_db, avg_db, percent).
+
+    Port of ``util_temproal`` (reference ``src/util/flux_util.c:652-684``;
+    the reference wrapper spells it 'temproal' and so do we): per-sample
+    20*log10(|x|+1e-8) floored at -36 dB; ``percent`` is the fraction of
+    samples quieter than ``-base`` dB.
+    """
+    X = np.asarray(X, np.float32)
+    if X.ndim != 1:
+        raise ValueError(f"X[ndim={X.ndim}] must be a 1D array")
+    if X.size == 0:
+        return 0.0, 0.0, 0.0
+    v = 20.0 * np.log10(np.abs(X) + np.float32(1e-8))
+    v = np.maximum(v, -36.0)
+    count = int(np.sum(v > -base))
+    return (float(np.max(v)), float(np.sum(v) / len(v)),
+            float((len(v) - count) / len(v)))
+
+
 def sample_path(name: str = "220") -> str:
     """Path to a bundled sample WAV (generated synthetically on first use)."""
     import os

@@ -5,9 +5,13 @@ Reference ``python/audioflux/utils/util.py`` + ``src/util/flux_util.c``.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
-__all__ = ["check_audio", "format_channel", "revoke_channel", "synth_f0"]
+__all__ = ["check_audio", "check_audio_length", "format_channel",
+           "revoke_channel", "synth_f0", "ascontiguous_T",
+           "ascontiguous_swapaxex"]
 
 
 def check_audio(x, is_mono: bool = True) -> bool:
@@ -17,6 +21,42 @@ def check_audio(x, is_mono: bool = True) -> bool:
     if is_mono and x.ndim != 1:
         raise ValueError("audio must be mono (1-D)")
     return True
+
+
+def check_audio_length(X, radix2_exp: int):
+    """Pad with zeros (or truncate) the last axis to ``2**radix2_exp``,
+    warning either way (reference ``utils/util.py`` check_audio_length)."""
+    X = np.asarray(X)
+    data_len = X.shape[-1]
+    fft_length = 1 << radix2_exp
+    if data_len < fft_length:
+        pad_len = fft_length - data_len
+        warnings.warn(
+            f"The audio length={data_len} is not enough for "
+            f"fft_length={fft_length}(2**radix2_exp), and {pad_len} zeros "
+            f"are automatically filled after the audio")
+        X = np.pad(X, (*[(0, 0)] * (X.ndim - 1), (0, pad_len)))
+    elif data_len > fft_length:
+        warnings.warn(
+            f"fft_length={fft_length}(2**radix2_exp) is too small for "
+            f"data_arr length={data_len}, only the first "
+            f"fft_length={fft_length} data are valid")
+        X = X[..., :fft_length].copy()
+    return X
+
+
+def ascontiguous_T(X, dtype=None, *args, **kwargs):
+    """Transposed array, C-contiguous (reference utils helper)."""
+    return np.ascontiguousarray(np.asarray(X).T, dtype=dtype,
+                                *args, **kwargs)
+
+
+def ascontiguous_swapaxex(X, axis1: int, axis2: int, dtype=None,
+                          *args, **kwargs):
+    """Swap two axes, C-contiguous (reference utils helper; the
+    reference spells it 'swapaxex' and so do we, for drop-in parity)."""
+    return np.ascontiguousarray(np.swapaxes(np.asarray(X), axis1, axis2),
+                                dtype=dtype, *args, **kwargs)
 
 
 def format_channel(x: np.ndarray, last_dims: int):
