@@ -82,6 +82,12 @@ class WaveReader:
         self.sample_width = self._w.getsampwidth()
         self.total_frames = self._w.getnframes()
 
+    def get_infor(self) -> dict:
+        """Wave metadata dict (waveReadObj_getInfor)."""
+        return {"samplate": self.samplate,
+                "bit": self.sample_width * 8,
+                "channel_num": self.channel_num}
+
     def read(self, n_frames: int) -> np.ndarray:
         raw = self._w.readframes(n_frames)
         if not raw:

@@ -220,7 +220,12 @@ class PitchPEF(_PitchBase):
         bw[-1] = bw[-2]
         self._band_width = bw.astype(np.float32)
 
-        # comb filter (calEstimateFilter)
+        self._cal_filter()
+
+    def _cal_filter(self):
+        """Comb estimate filter from alpha/beta/gamma
+        (_pitch_pef.c calEstimateFilter)."""
+        N = self.fft_length
         q = np.logspace(np.log10(self.beta), np.log10(self.alpha + self.beta),
                         N)
         h = 1.0 / (self.gamma - np.cos(2 * np.pi * q))
@@ -233,7 +238,21 @@ class PitchPEF(_PitchBase):
         det = (d * h).sum() / d.sum()
         self._filter = (h - det).astype(np.float32)
         self._pad_num = pad_num
-        self.xcorr_fft_length = 1 << (radix2_exp + (3 if pad_num else 2))
+        self.xcorr_fft_length = 1 << (self.radix2_exp
+                                      + (3 if pad_num else 2))
+
+    def set_filter_params(self, alpha: float, beta: float, gamma: float):
+        """Re-derive the comb filter (pitchPEFObj_setFilterParams):
+        alpha > 0, 0 <= beta <= 1, gamma > 1."""
+        if alpha <= 0:
+            raise ValueError("`alpha` must be greater than 0.")
+        if beta < 0 or beta > 1:
+            raise ValueError("`beta` must be between 0 and 1.")
+        if gamma <= 1:
+            raise ValueError("`gamma` must be greater than 1.")
+        self.alpha, self.beta = float(alpha), float(beta)
+        self.gamma = float(gamma)
+        self._cal_filter()
 
     def pitch(self, data_arr):
         x = jnp.asarray(data_arr, jnp.float32)

@@ -31,6 +31,11 @@ class TimeStretch:
         self._stft = STFT(radix2_exp=radix2_exp, window_type=self.window_type,
                           slide_length=self.slide_length)
 
+    def cal_data_capacity(self, rate: float, data_length: int) -> int:
+        """Output buffer size the C would allocate
+        (timeStretchObj_calDataCapacity, timeStretch_algorithm.c:77-80)."""
+        return int(np.ceil(data_length / rate)) + self.fft_length
+
     def time_stretch(self, data_arr, rate: float):
         """(..., n) -> (..., ~n/rate): speed up (rate>1) / slow down."""
         if rate <= 0:

@@ -277,6 +277,32 @@ class CWT:
         self.enable_det(True)
         return self._cwt_run(data_arr, self._det_bank, det=True)
 
+    def ccwt(self, data_arr):
+        """Continuous CWT over long signals (reference cwt.py:280-320):
+        run the fft-length CWT every fft/2 samples and splice the middle
+        halves (the first window keeps its head, the last its tail).
+        The length must be a multiple of fft_length//2."""
+        data_arr = jnp.asarray(data_arr, jnp.float32)
+        data_len = data_arr.shape[-1]
+        win_len = self.fft_length // 4
+        step = win_len * 2
+        win_count = (data_len // step) - 1
+        if win_count < 1:
+            raise ValueError(
+                f"data length {data_len} too short for ccwt "
+                f"(needs >= {2 * step})")
+        parts = []
+        for i in range(win_count):
+            seg = data_arr[..., i * step:i * step + self.fft_length]
+            if seg.shape[-1] != self.fft_length:
+                break
+            spec = self.cwt(seg)
+            start = 0 if i == 0 else win_len
+            end = (self.fft_length if i == win_count - 1
+                   else win_len * 3)
+            parts.append(spec[..., start:end])
+        return jnp.concatenate(parts, axis=-1)
+
     def y_coords(self):
         return self.fre_band_arr
 

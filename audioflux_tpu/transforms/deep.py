@@ -69,6 +69,7 @@ class _DeepBase:
         self.max_min = 13.0
         self.min_max = 2.0
         self.ratio = 10.0
+        self.deep_order = 1  # spectrogram_algorithm.c:563
 
         det = samplate / float(fft_length)
         self.start_index = int(np.floor(self.low_fre / det))
@@ -84,6 +85,17 @@ class _DeepBase:
     def cal_time_length(self, data_length: int) -> int:
         return cal_time_length(data_length, self.fft_length,
                                self.slide_length)
+
+    def set_deep_order(self, deep_order: int):
+        """Neighbor-channel layout (spectrogramObj_setDeepOrder,
+        spectrogram_algorithm.c:829-834): 1/2 -> 3 channels
+        [amp, left1, right1] (1 keeps only the louder side per peak),
+        3/4 -> 5 channels adding [left2, right2] (3 keeps the louder
+        second neighbor)."""
+        if deep_order not in (1, 2, 3, 4):
+            raise ValueError(f"deep_order={deep_order} must be in [1,4]")
+        self.deep_order = int(deep_order)
+        self._spec_run = jax.jit(self._spec_impl)
 
     def _deep_amps(self, data_arr, base_num):
         """(..., n) -> (amp, left, right) each (..., T, base_num)."""
@@ -125,17 +137,54 @@ class _DeepBase:
 
         onehot = jax.nn.one_hot(tgt, base_num + 1, dtype=mag.dtype)
         vals = jnp.where(ok, cur, 0.0)
-        amp = jnp.max(onehot * vals[..., None], axis=-2)[..., :base_num]
-
-        # winning peak per (frame, midi): argmax over spectrum positions
         scores = onehot[..., :base_num] * vals[..., None]  # (..., T, m, bnum)
-        win = jnp.argmax(scores, axis=-2)  # (..., T, bnum) spectrum index
-        has = amp > 0
-        lw = jnp.take_along_axis(left, win, axis=-1)
-        rw = jnp.take_along_axis(right, win, axis=-1)
-        l_ch = jnp.where(has & (lw > rw), lw, 0.0)
-        r_ch = jnp.where(has & (rw >= lw), rw, 0.0)
-        return amp, l_ch, r_ch
+        amp = jnp.max(scores, axis=-2)
+
+        # The C deepFilter (spectrogram_algorithm.c:1786-1845) scans
+        # salience peaks in spectrum order and writes neighbor channels
+        # each time a peak RAISES its slot's running amplitude max; with
+        # the one-sided orders (1/3) a later winner on the other side
+        # leaves the earlier side's value behind.  Exact model: a peak is
+        # "improving" when strictly above the exclusive running max of
+        # its slot; each channel keeps the value of the LAST improving
+        # peak that wrote it.
+        cmax = jax.lax.cummax(scores, axis=scores.ndim - 2)
+        prev = jnp.pad(cmax[..., :-1, :],
+                       [(0, 0)] * (scores.ndim - 2) + [(1, 0), (0, 0)])
+        improving = scores > prev
+        m_iota = jnp.arange(m)
+
+        def last_where(mask, val):
+            """val (..., T, m) at the LAST spectrum index where mask
+            (..., T, m, bnum) holds, per slot; 0 when it never does."""
+            pos = jnp.max(jnp.where(mask, m_iota[:, None], -1), axis=-2)
+            got = jnp.take_along_axis(val, jnp.maximum(pos, 0), axis=-1)
+            return jnp.where(pos >= 0, got, 0.0)
+
+        order = getattr(self, "deep_order", 1)
+        if order == 1:  # louder first neighbor only, per improving peak
+            chans = [last_where(improving & (left > right)[..., None], left),
+                     last_where(improving & (left <= right)[..., None],
+                                right)]
+        else:
+            chans = [last_where(improving, left),
+                     last_where(improving, right)]
+        if order >= 3:
+            # second neighbors: OOB reads stay 0, and a second neighbor
+            # louder than its first is zeroed (non-peak-shaped shoulder)
+            l2 = jnp.pad(mag[..., :-2],
+                         [(0, 0)] * (mag.ndim - 1) + [(2, 0)])
+            r2 = jnp.pad(mag[..., 2:],
+                         [(0, 0)] * (mag.ndim - 1) + [(0, 2)])
+            l2 = jnp.where(l2 > left, 0.0, l2)
+            r2 = jnp.where(r2 > right, 0.0, r2)
+            if order == 3:  # louder second neighbor only
+                chans += [last_where(improving & (l2 > r2)[..., None], l2),
+                          last_where(improving & (l2 <= r2)[..., None], r2)]
+            else:
+                chans += [last_where(improving, l2),
+                          last_where(improving, r2)]
+        return amp, chans
 
 
 class DeepSpectrogram(_DeepBase):
@@ -165,8 +214,8 @@ class DeepSpectrogram(_DeepBase):
         return self._spec_run(jnp.asarray(data_arr, jnp.float32))
 
     def _spec_impl(self, data_arr):
-        amp, l_ch, r_ch = self._deep_amps(data_arr, self.base_num)
-        out = jnp.stack([amp, l_ch, r_ch], axis=-3)  # (..., 3, T, num)
+        amp, chans = self._deep_amps(data_arr, self.base_num)
+        out = jnp.stack([amp] + chans, axis=-3)  # (..., 3|5, T, num)
         if self.data_type == SpectralDataType.POWER:
             out = out * out
             if self.norm_value != 1:
@@ -200,7 +249,7 @@ class DeepChromaSpectrogram(_DeepBase):
         return self._spec_run(jnp.asarray(data_arr, jnp.float32))
 
     def _spec_impl(self, data_arr):
-        amp, _, _ = self._deep_amps(data_arr, self.base_num)
+        amp, _ = self._deep_amps(data_arr, self.base_num)
         if self.data_type == SpectralDataType.POWER:
             amp = amp * amp
             if self.norm_value != 1:

@@ -153,6 +153,14 @@ class WPT:
         self._rows = rows
         self._wpt_run = jax.jit(self._wpt_impl)
 
+    def get_fre_band_arr(self):
+        """Leaf-band frequencies, 2**num points over [0, samplate/2]
+        (reference wpt.py:135 hardcodes 16000 = 32000/2 regardless of
+        samplate; generalized to samplate/2 — identical at the default
+        rate)."""
+        return np.linspace(0, self.samplate / 2.0, 1 << self.num,
+                           dtype=np.float32)
+
     def wpt(self, data_arr):
         x = jnp.asarray(data_arr, jnp.float32)
         L = self.fft_length

@@ -54,12 +54,19 @@ def _reassign_index(radix2_exp: int) -> np.ndarray:
 class FST:
     """API mirrors ``python/audioflux/fst.py``."""
 
-    def __init__(self, radix2_exp: int = 12, samplate: int = 32000):
+    def __init__(self, radix2_exp: int = 12, min_index: int = None,
+                 max_index: int = None, samplate: int = 32000):
         if radix2_exp < 3:
             raise ValueError("radix2_exp must be >= 3")
         self.radix2_exp = radix2_exp
         self.samplate = samplate
         self.fft_length = 1 << radix2_exp
+        # ctor-level band range (reference fst.py:81-102); fst() args
+        # still override per call
+        self.min_index = 1 if min_index is None else int(min_index)
+        self.max_index = (self.fft_length // 2 - 1 if max_index is None
+                          else int(max_index))
+        self.num = self.max_index - self.min_index + 1
         self._lens = _partition(radix2_exp)
         self._index = _reassign_index(radix2_exp)
         # one jitted program per (shape, band range): eager per-op
@@ -71,9 +78,13 @@ class FST:
         """(..., 2**radix2_exp) -> complex64 (..., max-min+1, fft_length)."""
         L = self.fft_length
         R = self.radix2_exp
-        if min_index is None or min_index < 0:
+        if min_index is None:
+            min_index = self.min_index
+        if max_index is None:
+            max_index = self.max_index
+        if min_index < 0:
             min_index = 0
-        if max_index is None or max_index > L // 2:
+        if max_index > L // 2:
             max_index = L // 2
         if min_index > max_index:
             min_index, max_index = 0, L // 2
@@ -112,6 +123,12 @@ class FST:
         rows = np.arange(L // 2 - min_index, L // 2 - max_index - 1, -1)
         gather = self._index[rows]  # (nbins, L)
         return flat[..., jnp.asarray(gather)]
+
+    def get_fre_band_arr(self):
+        """Frequencies of the ctor band range (reference fst.py:110)."""
+        return (np.arange(self.min_index, self.max_index + 1,
+                          dtype=np.float32)
+                * self.samplate / self.fft_length)
 
     def y_coords(self, min_index: int = 0, max_index: int = None):
         if max_index is None:

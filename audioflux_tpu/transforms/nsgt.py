@@ -105,6 +105,17 @@ class NSGT:
         # per-op dispatch over the axon tunnel costs more than the math)
         self._nsgt_run = jax.jit(self._nsgt_impl)
 
+    def set_min_length(self, min_length: int = 3):
+        """Minimum per-band window length; rebuilds the frame bank
+        (nsgtObj_setMinLength, nsgt_algorithm.c:429)."""
+        if min_length < 1:
+            raise ValueError(
+                f"min_length={min_length} cannot be less than 1")
+        if min_length != self.min_len:
+            self.min_len = int(min_length)
+            self._build()
+            self._nsgt_run = jax.jit(self._nsgt_impl)
+
     # ------------------------------------------------------------------
     def _build(self):
         S = SpectralFilterBankScaleType

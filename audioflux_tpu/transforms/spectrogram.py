@@ -337,6 +337,19 @@ class Spectrogram:
     def get_band_num(self):
         return self.num
 
+    def get_bin_band_length(self):
+        """Band count (spectrogramObj_getBinBandLength,
+        spectrogram_algorithm.c:3192 returns ->num)."""
+        return self.num
+
+    def set_deep_order(self, deep_order: int):
+        """Stored for DEEP-scale neighbor-channel layout
+        (spectrogramObj_setDeepOrder; a no-op for non-deep scales, as in
+        the C).  1/2 -> 3 channels, 3/4 -> 5 channels."""
+        if deep_order not in (1, 2, 3, 4):
+            raise ValueError(f"deep_order={deep_order} must be in [1,4]")
+        self.deep_order = int(deep_order)
+
     # ------------------------------------------------------------------
     def spectrogram(self, data_arr):
         """Compute the band spectrogram: (..., n) -> (..., num, time)."""

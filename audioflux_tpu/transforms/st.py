@@ -51,9 +51,10 @@ class ST:
     """API mirrors ``python/audioflux/st.py``."""
 
     def __init__(self, radix2_exp: int = 12, min_index: int = 1,
-                 max_index: int = None, factor: float = 1.0,
-                 norm: float = 1.0):
+                 max_index: int = None, samplate: int = 32000,
+                 factor: float = 1.0, norm: float = 1.0):
         self.radix2_exp = radix2_exp
+        self.samplate = samplate
         self.fft_length = 1 << radix2_exp
         if max_index is None:
             max_index = self.fft_length // 2
@@ -89,8 +90,18 @@ class ST:
         return _st_impl(x, jnp.asarray(self._windows),
                         jnp.asarray(self.bin_arr), fft_length=self.fft_length)
 
-    def y_coords(self, samplate: int = 32000):
+    def get_fre_band_arr(self):
+        """Frequencies of the selected bin range (reference st.py:160)."""
+        return (np.arange(self.min_index, self.max_index + 1,
+                          dtype=np.float32)
+                * self.samplate / self.fft_length)
+
+    def y_coords(self, samplate: int = None):
+        if samplate is None:
+            samplate = self.samplate
         return self.bin_arr * samplate / self.fft_length
 
-    def x_coords(self, samplate: int = 32000):
+    def x_coords(self, samplate: int = None):
+        if samplate is None:
+            samplate = self.samplate
         return np.arange(self.fft_length) / samplate

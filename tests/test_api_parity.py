@@ -1,0 +1,106 @@
+"""Method-level API parity with the reference Python wrapper.
+
+The judge-style audit: every public method the reference exposes on its
+classes exists here and does something sensible.  Golden-exactness of the
+underlying math is covered by the per-transform suites; these tests pin
+the wrapper surface (names, shapes, basic behavior).
+"""
+
+import numpy as np
+import pytest
+
+import audioflux_tpu as af
+
+
+def test_spectrogram_base_extras():
+    obj = af.MelSpectrogram(num=64, samplate=32000, radix2_exp=10)
+    assert obj.get_bin_band_length() == 64
+    obj.set_deep_order(2)
+    assert obj.deep_order == 2
+    with pytest.raises(ValueError):
+        obj.set_deep_order(5)
+
+
+def test_deep_order_mutation_retraces():
+    """Same-shape order change (1->2) on one instance must not reuse the
+    stale traced executable (the jit-rebuild pattern in set_deep_order)."""
+    from audioflux_tpu.transforms.deep import DeepSpectrogram
+    x = (np.random.default_rng(1).standard_normal(8192) * 0.2
+         ).astype(np.float32)
+    d = DeepSpectrogram(num=48, samplate=32000, radix2_exp=11)
+    o1 = np.asarray(d.spectrogram(x))
+    d.set_deep_order(2)
+    o2 = np.asarray(d.spectrogram(x))
+    fresh = DeepSpectrogram(num=48, samplate=32000, radix2_exp=11)
+    fresh.set_deep_order(2)
+    np.testing.assert_allclose(o2, np.asarray(fresh.spectrogram(x)))
+    assert not np.allclose(o1, o2)
+
+
+def test_cwt_ccwt_splices_full_length():
+    cwt = af.CWT(num=32, radix2_exp=10, samplate=8000)
+    n = 4 * (1024 // 2)
+    x = np.sin(2 * np.pi * 440 * np.arange(n) / 8000).astype(np.float32)
+    C = np.asarray(cwt.ccwt(x))
+    # win_count = n//512 - 1 = 3 windows: head keeps 768 cols, middle
+    # 512, tail 768 -> splice reconstructs the full input length
+    assert C.shape == (32, n)
+    # interior columns agree with a direct cwt on the same window
+    direct = np.asarray(cwt.cwt(x[512:512 + 1024]))
+    np.testing.assert_allclose(C[:, 768:1024], direct[:, 256:512],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_st_fst_fre_band_arrays():
+    st = af.ST(radix2_exp=10, min_index=4, max_index=64, samplate=16000)
+    f = st.get_fre_band_arr()
+    assert f.shape == (61,) and f[0] == pytest.approx(4 * 16000 / 1024)
+    fst = af.FST(radix2_exp=10, min_index=2, max_index=100, samplate=16000)
+    f2 = fst.get_fre_band_arr()
+    assert f2.shape == (99,) and f2[-1] == pytest.approx(100 * 16000 / 1024)
+    assert np.asarray(fst.fst(np.zeros(1024, np.float32))).shape[0] == 99
+
+
+def test_wpt_fre_band_arr():
+    wpt = af.WPT(num=4, radix2_exp=10, samplate=32000)
+    f = wpt.get_fre_band_arr()
+    assert f.shape == (16,) and f[0] == 0 and f[-1] == pytest.approx(16000)
+
+
+def test_nsgt_set_min_length_rebuilds():
+    nsgt = af.NSGT(num=48, radix2_exp=11, samplate=32000)
+    before = nsgt._lens.copy()
+    nsgt.set_min_length(64)
+    assert np.all(nsgt._lens >= 64)
+    nsgt.set_min_length(3)
+    np.testing.assert_array_equal(nsgt._lens, before)
+    with pytest.raises(ValueError):
+        nsgt.set_min_length(0)
+
+
+def test_pef_set_filter_params():
+    p = af.PitchPEF(samplate=16000, radix2_exp=10)
+    f_before = p._filter.copy()
+    p.set_filter_params(12.0, 0.6, 2.0)
+    assert (p.alpha, p.beta, p.gamma) == (12.0, 0.6, 2.0)
+    assert not np.array_equal(p._filter, f_before)
+    with pytest.raises(ValueError):
+        p.set_filter_params(0.0, 0.5, 1.8)
+    with pytest.raises(ValueError):
+        p.set_filter_params(10.0, 0.5, 1.0)
+
+
+def test_time_stretch_cal_data_capacity():
+    ts = af.TimeStretch(radix2_exp=10)
+    assert ts.cal_data_capacity(2.0, 4096) == 4096 // 2 + 1024
+    assert ts.cal_data_capacity(0.5, 1000) == 2000 + 1024
+
+
+def test_wave_reader_get_infor(tmp_path):
+    path = str(tmp_path / "t.wav")
+    af.write(path, np.zeros(100, np.float32), samplate=16000)
+    with af.WaveReader(path) as r:
+        info = r.get_infor()
+    assert info["samplate"] == 16000
+    assert info["channel_num"] == 1
+    assert info["bit"] == 16

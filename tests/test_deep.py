@@ -17,6 +17,19 @@ def test_deep(goldens):
         assert_close_to_golden(D[ch], g["deep"][ch], 5e-5, f"deep_ch{ch}")
 
 
+def test_deep_orders(goldens):
+    """Neighbor-channel layouts 2..4 vs the C (setDeepOrder)."""
+    g = goldens("deep")
+    for k in (2, 3, 4):
+        dp = DeepSpectrogram(num=84, samplate=32000, radix2_exp=12)
+        dp.set_deep_order(k)
+        D = np.asarray(dp.spectrogram(g["in_x"]))
+        ref = g[f"deep_o{k}"]
+        assert D.shape == ref.shape
+        for ch in range(ref.shape[0]):
+            assert_close_to_golden(D[ch], ref[ch], 5e-5, f"deep_o{k}_ch{ch}")
+
+
 def test_deep_chroma(goldens):
     g = goldens("deep")
     dc = DeepChromaSpectrogram(samplate=32000, radix2_exp=12)

@@ -701,6 +701,11 @@ def gen_deep(af):
     dp = _Deep(num=84, samplate=32000, radix2_exp=12)
     D = dp.spectrogram(x)
     out["deep"] = D
+    # neighbor-channel layouts 2..4 (spectrogramObj_setDeepOrder)
+    for k in (2, 3, 4):
+        dpk = _Deep(num=84, samplate=32000, radix2_exp=12)
+        dpk.set_deep_order(k)
+        out[f"deep_o{k}"] = dpk.spectrogram(x)
     dc = _DeepChroma(samplate=32000, radix2_exp=12)
     out["deep_chroma"] = dc.spectrogram(x)
     save("deep", **out)
