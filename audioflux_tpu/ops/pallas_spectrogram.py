@@ -154,6 +154,8 @@ class FusedMelPlan:
                and self.slide % 128 == 0 and off_max < 2 * blk)
         self.fs2_q = Q if ok2 else 0
         self.fs4_ok = False
+        self.fsk_taps = None
+        self.fs3_taps = None
         if ok2:
             import ml_dtypes
             self.fs2_fl, self.fs2_fr, self.fs2_blk = FL, fr, blk
@@ -204,18 +206,36 @@ class FusedMelPlan:
             lo = (fbs - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
             self.fs2_fb_hi, self.fs2_fb_lo = hi, lo
 
-            # spectral 3-tap windows (periodic cosine family):
-            # win[n] = c0 + 2*c1*cos(2 pi n / N)  <=>  DFT-domain taps
-            # (c0, c1, c1) — lets the kernel skip time-domain windowing
-            # entirely, which in turn lets the frame gather fold into the
-            # stage-A matrix (BD @ G, one combined matmul)
+            # spectral cosine-sum windows:
+            # win[n] = c0 + sum_m 2*c_m*cos(2 pi m n / N)  <=>  DFT-domain
+            # taps (c_M .. c_1, c0, c1 .. c_M) — lets the kernel skip
+            # time-domain windowing entirely, which in turn lets the frame
+            # gather fold into the stage-A matrix (BD @ G, one combined
+            # matmul).  M <= 1 covers rect/hann/hamm (fs2/fs3 kernels);
+            # fs4 additionally takes blackman (M=2), blackman-harris /
+            # blackman-nuttall (M=3) and flattop (M=4) — any m < Q is
+            # still at most a +-1 lane borrow, so the same roll + phase
+            # ramp stencil applies per tap pair.
             nn = np.arange(N)
-            cosn = np.cos(2 * np.pi * nn / N)
             c0 = float(np.mean(window))
-            c1 = float(np.mean(window * cosn))  # = (2*c1')/2
-            fit = c0 + 2 * c1 * cosn
+            m_max = min(4, Q - 1)
+            cos_m = [np.cos(2 * np.pi * m * nn / N)
+                     for m in range(1, m_max + 1)]
+            cms = [float(np.mean(window * c)) for c in cos_m]
+            fit = c0 + sum(2 * cm * c for cm, c in zip(cms, cos_m))
+            self.fsk_taps = None
             if np.max(np.abs(fit - window)) < 1e-6 * max(
                     1.0, np.max(np.abs(window))):
+                # trim cosine orders whose coefficient is numerical
+                # residue of the float32 window (each contributes less
+                # than the 1e-6 fit criterion itself)
+                m_used = m_max
+                tap_floor = 1e-7 * max(1.0, float(np.max(np.abs(window))))
+                while m_used and abs(cms[m_used - 1]) < tap_floor:
+                    m_used -= 1
+                self.fsk_taps = (c0,) + tuple(cms[:m_used])
+            if self.fsk_taps is not None and len(self.fsk_taps) <= 2:
+                c1 = cms[0] if cms else 0.0
                 self.fs3_taps = (c0, c1)
                 # all Q row groups, ROTATED one position (k1(p) = p-1 mod
                 # Q): every mel-read group (k1 <= Q/2, at p = k1+1) then
@@ -257,9 +277,9 @@ class FusedMelPlan:
             # and the frame unpack |X_a|^2, |X_b|^2 needs Z[-k].  Rows use
             # an INTERLEAVED group order [0,1,Q-1,2,Q-2,...,Q/2] so the
             # row part of the mirror (k1 -> -k1) is a +-1 sublane roll;
-            # the spectral 3-tap window becomes a per-row {+-1,+-2} roll
-            # stencil with two lane-borrow rows (tables below).
-            self.fs4_ok = (self.fs3_taps is not None and Q % 2 == 0
+            # each cosine order m of the spectral window becomes a
+            # per-row roll stencil with lane-borrow rows (tables below).
+            self.fs4_ok = (self.fsk_taps is not None and Q % 2 == 0
                            and Q >= 4)
             if self.fs4_ok:
                 blk4 = 2 * FL * fr
@@ -303,25 +323,31 @@ class FusedMelPlan:
                 ramp = np.exp(-2j * np.pi * n2_idx / 128)
                 self.fs4_rampr = ramp.real.astype(np.float32).reshape(1, 128)
                 self.fs4_rampi = ramp.imag.astype(np.float32).reshape(1, 128)
-                # 3-tap read tables: for tensor row position p (k1 =
-                # order[p]), bin k+1 lives at row p+du[p] lane k2+lu[p],
-                # bin k-1 at p+dd[p] lane k2+ld[p]; all reads stay inside
-                # the Q-row block by construction of the interleave.
-                du = np.zeros(Q, np.int64); lu = np.zeros(Q, np.int64)
-                dd = np.zeros(Q, np.int64); ld = np.zeros(Q, np.int64)
-                for p in range(Q):
-                    k1 = order[p]
-                    nk = k1 + 1
-                    if nk == Q:
-                        du[p] = pos[0] - p; lu[p] = 1
-                    else:
-                        du[p] = pos[nk] - p
-                    pk = k1 - 1
-                    if pk < 0:
-                        dd[p] = pos[Q - 1] - p; ld[p] = -1
-                    else:
-                        dd[p] = pos[pk] - p
-                self.fs4_tap_tables = (du, lu, dd, ld)
+                # tap read tables, one (du, lu, dd, ld) quad per cosine
+                # order m: for tensor row position p (k1 = order[p]), bin
+                # k+m lives at row p+du[p] lane k2+lu[p], bin k-m at
+                # p+dd[p] lane k2+ld[p].  Since m < Q the k1 wrap carries
+                # at most one k2 lane, and both positions of any roll live
+                # inside the same Q-row block by construction of the
+                # interleave.
+                tabs = []
+                for m in range(1, len(self.fsk_taps)):
+                    du = np.zeros(Q, np.int64); lu = np.zeros(Q, np.int64)
+                    dd = np.zeros(Q, np.int64); ld = np.zeros(Q, np.int64)
+                    for p in range(Q):
+                        k1 = order[p]
+                        nk = k1 + m
+                        if nk >= Q:
+                            du[p] = pos[nk - Q] - p; lu[p] = 1
+                        else:
+                            du[p] = pos[nk] - p
+                        pk = k1 - m
+                        if pk < 0:
+                            dd[p] = pos[pk + Q] - p; ld[p] = -1
+                        else:
+                            dd[p] = pos[pk] - p
+                    tabs.append((du, lu, dd, ld))
+                self.fs4_tap_tables = tuple(tabs)
                 # mel reads group k1 at row position pos[k1]
                 self.fs4_melpos = [int(pos[k1]) for k1 in range(Q // 2 + 1)]
 
@@ -682,7 +708,7 @@ def _kernel_fs3(main_ref, halo_ref, bdgrh, bdgrl, bdgih, bdgil,
 def _kernel_fs4(main_ref, halo_ref, mah, mal, twr_ref, twi_ref,
                 rampr_ref, rampi_ref,
                 wrh, wrl, wih, wil, fbh, fbl, dct_ref, mel_out, cc_out, *,
-                t8: int, blk4: int, fl: int, q: int, c0: float, c1: float,
+                t8: int, blk4: int, fl: int, q: int, coefs,
                 tap_tables, melpos, log_floor: float, precision):
     """Frame-pair four-step: two real frames per complex DFT.
 
@@ -692,13 +718,14 @@ def _kernel_fs4(main_ref, halo_ref, mah, mal, twr_ref, twi_ref,
     lane-mirror Xlm[p,k2] = X[p,(-k2)%128] as VPU sign flips.  The
     interleaved row order puts each group's mirror partner one sublane
     away, making the full bin-mirror Z[-k] (needed to unpack |X_a|^2,
-    |X_b|^2) a roll + select; the spectral 3-tap window is a per-row
-    roll stencil from the precomputed tables.  Real/imag planes ride
-    ROW-STACKED (t8, 2R, 128) tensors throughout: stage A is 3 dots,
-    stage C 6, and the tap/mirror rolls run once over both planes.
+    |X_b|^2) a roll + select; the spectral cosine-sum window (one tap
+    pair per cosine order — hann/hamm M=1 through flattop M=4) is a
+    per-row roll stencil from the precomputed tables, with roll results
+    cached across tap orders.  Real/imag planes ride ROW-STACKED
+    (t8, 2R, 128) tensors throughout: stage A is 3 dots, stage C 6, and
+    the tap/mirror rolls run once over both planes.
     See FusedMelPlan's fs4 section for the algebra.
     """
-    du, lu, dd, ld = tap_tables
     x3 = main_ref[0].reshape(t8, blk4, 128)
     h3 = halo_ref[0].reshape(1, blk4, 128)
     full = jnp.concatenate([x3, h3], axis=0)
@@ -779,10 +806,13 @@ def _kernel_fs4(main_ref, halo_ref, mah, mal, twr_ref, twi_ref,
                 outi = jnp.where(mask, ti, outi)
         return outr, outi
 
-    ur, ui = tapreadB(du, lu)
-    dr_, di_ = tapreadB(dd, ld)
-    brw = c0 * br + c1 * (ur + dr_)
-    biw = c0 * bi + c1 * (ui + di_)
+    brw = coefs[0] * br
+    biw = coefs[0] * bi
+    for cm, (du, lu, dd, ld) in zip(coefs[1:], tap_tables):
+        ur, ui = tapreadB(du, lu)
+        dr_, di_ = tapreadB(dd, ld)
+        brw = brw + cm * (ur + dr_)
+        biw = biw + cm * (ui + di_)
 
     # stage C, separable: Frw = DFT128(brw), Fiw = DFT128(biw)
     cd_l = (((2,), (0,)), ((), ()))
@@ -1019,11 +1049,11 @@ def _fused_call_fs4(plan: FusedMelPlan, x, n_frames: int, tile: int,
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
     rows = x.reshape(b, rows_needed, 128)
 
-    c0, c1 = plan.fs3_taps
-    tap_tables = tuple(tuple(int(v) for v in t)
-                       for t in plan.fs4_tap_tables)
+    coefs = tuple(float(c) for c in plan.fsk_taps)
+    tap_tables = tuple(tuple(tuple(int(v) for v in t) for t in tab)
+                       for tab in plan.fs4_tap_tables)
     kern = functools.partial(_kernel_fs4, t8=t8, blk4=blk4, fl=FL, q=Q,
-                             c0=c0, c1=c1, tap_tables=tap_tables,
+                             coefs=coefs, tap_tables=tap_tables,
                              melpos=tuple(plan.fs4_melpos),
                              log_floor=1e-8, precision=precision)
     consts = [plan.fs4_m_hi, plan.fs4_m_lo,
@@ -1243,7 +1273,9 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
     use_fs4 = bool(plan.fs4_ok) and algo in ("auto", "fs4")
     if algo == "fs4" and not use_fs4:
         raise ValueError("fs4 kernel needs the fs2 shape constraints plus "
-                         "a 3-tap (periodic cosine) window")
+                         "a cosine-sum window (rect/hann/hamm/blackman/"
+                         "blackman-harris/blackman-nuttall/flattop, "
+                         "periodic form)")
     if use_fs4:
         mel, cc = _fused_call_fs4(plan, x, n_frames, tile, precision,
                                   interpret)

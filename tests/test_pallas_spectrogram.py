@@ -132,3 +132,44 @@ def test_fused_fs4_odd_frames_and_single_tile():
     assert mel.shape == mel_ref.shape
     assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
         1e-4 * np.max(np.abs(mel_ref)))
+
+
+@pytest.mark.parametrize("wt,m_taps", [
+    ("RECT", 0), ("BLACKMAN", 2), ("BLACKMAN_HARRIS", 3),
+    ("BLACKMAN_NUTTALL", 3), ("FLATTOP", 4)])
+def test_fused_fs4_cosine_sum_windows(wt, m_taps):
+    """fs4's spectral window stencil covers the whole cosine-sum family,
+    one tap pair per cosine order (blackman M=2 ... flattop M=4)."""
+    from audioflux_tpu.types import WindowType
+    plan = MelSpectrogram(num=64, samplate=32000, radix2_exp=11,
+                          slide_length=512, window_type=WindowType[wt])
+    T = 16
+    n = T * 512 + 2048 - 512
+    x = (np.random.default_rng(7).standard_normal((2, n)) * 0.2
+         ).astype(np.float32)
+    mel_ref, cc_ref = _ref(plan, x, cc_num=5)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:5], 512)
+    assert fp.fs4_ok and len(fp.fsk_taps) == m_taps + 1
+    mel, cc = fused_mel_mfcc(fp, x, tile=8, interpret=True, algo="fs4")
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        1e-4 * np.max(np.abs(mel_ref)))
+    assert np.max(np.abs(np.asarray(cc) - cc_ref)) <= (
+        1e-4 * np.max(np.abs(cc_ref)))
+
+
+def test_fused_fs4_cosine_sum_small_fft():
+    """blackman at fft=1024 (Q=8): taps wrap k1 across the block edge."""
+    from audioflux_tpu.types import WindowType
+    plan = MelSpectrogram(num=64, samplate=32000, radix2_exp=10,
+                          slide_length=128,
+                          window_type=WindowType.BLACKMAN)
+    T = 32
+    n = T * 128 + 1024 - 128
+    x = (np.random.default_rng(8).standard_normal(n) * 0.2
+         ).astype(np.float32)
+    mel_ref, _ = _ref(plan, x, cc_num=5)
+    fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:5], 128)
+    assert fp.fs4_ok and len(fp.fsk_taps) == 3
+    mel, _ = fused_mel_mfcc(fp, x, tile=32, interpret=True, algo="fs4")
+    assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+        1e-4 * np.max(np.abs(mel_ref)))
