@@ -210,3 +210,18 @@ def fill_wave(data, samplate=32000, axes=None, times=None, title=None):
     if title:
         ax.set_title(title)
     return ax
+
+
+def __getattr__(name):
+    # public formatter classes (reference display.py:80-135) built lazily
+    # so importing the package never requires matplotlib; memoized into
+    # module globals so repeated access returns the same class object
+    if name == "TimeFormatter":
+        cls = _time_formatter()
+        globals()[name] = cls
+        return cls
+    if name == "ChromaFormatter":
+        cls = _chroma_formatter()
+        globals()[name] = cls
+        return cls
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

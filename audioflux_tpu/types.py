@@ -176,3 +176,40 @@ class ResampleQualityType(IntEnum):
     BEST = 0
     MID = 1
     FAST = 2
+
+
+def get_wavelet_default_gamma_beta(wavelet_type):
+    """Default (gamma, beta) for each continuous wavelet.
+
+    Mirrors the reference helper (``python/audioflux/type/basic.py:395-445``):
+    morse (3, 20), morlet (6, 2), bump (5, 0.6), paul (4, 0), dog (2, 2),
+    mexican (0, 2), hermit (5, 2), ricker (4, 0).
+    """
+    W = WaveletContinueType
+    table = {W.MORSE: (3, 20), W.MORLET: (6, 2), W.BUMP: (5, 0.6),
+             W.PAUL: (4, 0), W.DOG: (2, 2), W.MEXICAN: (0, 2),
+             W.HERMIT: (5, 2), W.RICKER: (4, 0)}
+    return table.get(W(wavelet_type), (0, 0))
+
+
+class FilterBandType(IntEnum):
+    """Declared by the reference (``type/basic.py:98``) but consumed by no
+    wrapper API (the C IIR design behind it is empty); kept for import
+    parity."""
+    LOW_PASS = 0
+    HIGH_PASS = 1
+    BAND_PASS = 2
+    BAND_STOP = 3
+
+
+class ReduceType(IntEnum):
+    """Onset flux reduction (``type/onset.py:9``)."""
+    MEAN = 0
+    SUM = 1
+    LOG = 2
+
+
+class ResampleAlgType(IntEnum):
+    """Resampler algorithm family (``type/resample.py:9``)."""
+    POLYPHASE = 0
+    BANDLIMITED = 1

@@ -104,3 +104,79 @@ def test_wave_reader_get_infor(tmp_path):
     assert info["samplate"] == 16000
     assert info["channel_num"] == 1
     assert info["bit"] == 16
+
+
+def test_legacy_spectrogram_presets():
+    """audioflux.spectrogram's v1 preset classes exist and match the
+    modern plans they are presets of (spectrogram.py:2272-2809)."""
+    from audioflux_tpu.spectrogram import (Linear, Mel, Bark, Erb, Chroma,
+                                           Deep, DeepChroma)
+    x = (np.random.default_rng(5).standard_normal(16384) * 0.2
+         ).astype(np.float32)
+    mel = Mel(num=64, samplate=32000, radix2_exp=11)
+    modern = af.MelSpectrogram(num=64, samplate=32000, radix2_exp=11)
+    np.testing.assert_allclose(np.asarray(mel.spectrogram(x)),
+                               np.asarray(modern.spectrogram(x)))
+    lin = Linear(samplate=32000, radix2_exp=10)
+    assert lin.num == 513 and lin.slide_length == 256
+    assert np.asarray(lin.spectrogram(x)).shape[0] == 513
+    for cls, kw in ((Bark, {"num": 32}), (Erb, {"num": 32}), (Chroma, {}),
+                    (DeepChroma, {})):
+        obj = cls(samplate=32000, radix2_exp=11, **kw)
+        out = np.asarray(obj.spectrogram(x))
+        assert out.shape[-2] == obj.num
+    d = Deep(48, samplate=32000, radix2_exp=11)
+    assert np.asarray(d.spectrogram(x)).shape[-2] == 48
+
+
+def test_display_formatters_public():
+    import matplotlib
+    matplotlib.use("Agg")
+    from audioflux_tpu.display import TimeFormatter, ChromaFormatter
+    import audioflux_tpu.display as disp
+    assert disp.TimeFormatter is TimeFormatter  # memoized class identity
+    cf = ChromaFormatter(bin_per_tone=1)
+    assert cf(0) == "C" and cf(9) == "A"
+    tf = TimeFormatter(unit="ms")
+    with pytest.raises(ValueError):
+        TimeFormatter(unit="h")
+
+
+def test_plot_grid_surface():
+    import matplotlib
+    matplotlib.use("Agg")
+    from audioflux_tpu.display import Plot
+    pt = Plot(nrows=2, ncols=2)
+    assert pt.get_axes(1, 1) is pt.axes.reshape(2, 2)[1, 1]
+    y = np.sin(np.linspace(0, 6.3, 100)).astype(np.float32)
+    ax = pt.add_plot(np.arange(100), y, label="s", row_idx=1, col_idx=0)
+    assert ax is pt.get_axes(1, 0)
+    spec = np.abs(np.random.default_rng(0).standard_normal((8, 10)))
+    ax2 = pt.add_spec_data(spec, row_idx=0, col_idx=1, title="t",
+                           show_colorbar=True)
+    assert ax2 is pt.get_axes(0, 1)
+    pt.add_wave_data(y, samplate=100, row_idx=0, col_idx=0)
+    pt.close()
+
+
+def test_wavelet_default_gamma_beta():
+    from audioflux_tpu.types import (get_wavelet_default_gamma_beta,
+                                     WaveletContinueType as W)
+    assert get_wavelet_default_gamma_beta(W.MORSE) == (3, 20)
+    assert get_wavelet_default_gamma_beta(W.MORLET) == (6, 2)
+    assert get_wavelet_default_gamma_beta(W.BUMP) == (5, 0.6)
+    assert get_wavelet_default_gamma_beta(W.MEXICAN) == (0, 2)
+    from audioflux_tpu.type import get_wavelet_default_gamma_beta as alias
+    assert alias is get_wavelet_default_gamma_beta
+
+
+def test_declared_enums_and_fftlib_compat():
+    from audioflux_tpu.types import (FilterBandType, ReduceType,
+                                     ResampleAlgType)
+    assert FilterBandType.BAND_STOP == 3 and ReduceType.LOG == 2
+    assert ResampleAlgType.BANDLIMITED == 1
+    from audioflux_tpu import fftlib
+    assert fftlib.get_fft_lib_name() in ("cpu", "tpu", "axon")
+    assert hasattr(fftlib.get_fft_lib(), "rfft")
+    assert len(fftlib.get_lib_md5()) == 32
+    fftlib.set_fft_lib("/ignored")  # no-op by design
