@@ -173,3 +173,35 @@ def test_fused_fs4_cosine_sum_small_fft():
     mel, _ = fused_mel_mfcc(fp, x, tile=32, interpret=True, algo="fs4")
     assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
         1e-4 * np.max(np.abs(mel_ref)))
+
+
+def test_fused_auto_config_fuzz():
+    """Property check: the auto-dispatched fused kernel matches the exact
+    XLA path across a grid of (fft, slide, window, num, cc, batch) configs
+    — whichever kernel variant 'auto' picks for each."""
+    from audioflux_tpu.types import WindowType
+    rng = np.random.default_rng(11)
+    cases = [
+        (9, 128, "HANN", 32, 5, 1),
+        (10, 256, "HAMM", 64, 13, 2),
+        (10, 512, "BLACKMAN", 48, 7, 1),
+        (11, 1024, "HANN", 128, 13, 1),
+        (12, 1024, "BLACKMAN_HARRIS", 96, 13, 1),
+        (11, 2048, "RECT", 64, 5, 2),
+    ]
+    for r2e, slide, wt, num, cc, b in cases:
+        plan = MelSpectrogram(num=num, samplate=32000, radix2_exp=r2e,
+                              slide_length=slide,
+                              window_type=WindowType[wt])
+        T = 16
+        n = T * slide + (1 << r2e) - slide
+        x = (rng.standard_normal((b, n)) * 0.2).astype(np.float32)
+        mel_ref, cc_ref = _ref(plan, x, cc_num=cc)
+        fp = FusedMelPlan(plan.window, plan.filter_bank, plan._dct[:cc],
+                          slide)
+        mel, ccs = fused_mel_mfcc(fp, x, tile=8, interpret=True)
+        lbl = f"{r2e}/{slide}/{wt}"
+        assert np.max(np.abs(np.asarray(mel) - mel_ref)) <= (
+            2e-4 * np.max(np.abs(mel_ref))), lbl
+        assert np.max(np.abs(np.asarray(ccs) - cc_ref)) <= (
+            2e-4 * np.max(np.abs(cc_ref))), lbl
