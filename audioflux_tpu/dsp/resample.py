@@ -131,10 +131,11 @@ class WindowResample:
     (``python/audioflux/dsp/resample.py:160`` / resampleObj_newWithWindow)."""
 
     def __init__(self, zero_num: int = 64, nbit: int = 9,
-                 window_type: WindowType = WindowType.HANN,
+                 win_type: WindowType = WindowType.HANN,
                  value: float = None, roll_off: float = 0.945,
                  is_scale: bool = False, is_continue: bool = False,
                  tail_carry: bool = False):
+        window_type = win_type
         if value is None or value < 0:
             value = {WindowType.KAISER: 5.0,
                      WindowType.GAUSS: 2.5}.get(WindowType(window_type), 0.0)
@@ -227,7 +228,7 @@ class Resample(WindowResample):
                  tail_carry: bool = False):
         zero_num, nbit, beta, roll_off = _QUALITY[ResampleQualityType(qual_type)]
         super().__init__(zero_num=zero_num, nbit=nbit,
-                         window_type=WindowType.KAISER, value=beta,
+                         win_type=WindowType.KAISER, value=beta,
                          roll_off=roll_off, is_scale=is_scale,
                          is_continue=is_continue, tail_carry=tail_carry)
 

@@ -51,8 +51,9 @@ def xcorr(v1, v2=None, norm_type: XcorrNormalType = XcorrNormalType.COEFF):
 
 
 class Xcorr:
-    """API mirrors ``python/audioflux/dsp/xcorr.py``."""
+    """API mirrors ``python/audioflux/dsp/xcorr.py`` (default NONE like
+    the reference's ``xcorr`` method)."""
 
-    def xcorr(self, v1, v2=None,
-              norm_type: XcorrNormalType = XcorrNormalType.COEFF):
-        return xcorr(v1, v2, norm_type)
+    def xcorr(self, data_arr1, data_arr2=None,
+              xcorr_normal_type: XcorrNormalType = XcorrNormalType.NONE):
+        return xcorr(data_arr1, data_arr2, xcorr_normal_type)

@@ -264,14 +264,14 @@ class Spectral:
         pad = [(0, 0)] * (v.ndim - 1) + [(2, 0)]
         return jnp.pad(v, pad)
 
-    def pd(self, m_spec_arr, m_phase_arr):
-        return self._pd(m_spec_arr, m_phase_arr, False, False)
+    def pd(self, m_data_arr, m_phase_arr):
+        return self._pd(m_data_arr, m_phase_arr, False, False)
 
-    def wpd(self, m_spec_arr, m_phase_arr):
-        return self._pd(m_spec_arr, m_phase_arr, True, False)
+    def wpd(self, m_data_arr, m_phase_arr):
+        return self._pd(m_data_arr, m_phase_arr, True, False)
 
-    def nwpd(self, m_spec_arr, m_phase_arr):
-        return self._pd(m_spec_arr, m_phase_arr, False, True)
+    def nwpd(self, m_data_arr, m_phase_arr):
+        return self._pd(m_data_arr, m_phase_arr, False, True)
 
     def _cd(self, m_spec_arr, m_phase_arr, is_rectify):
         """Complex-domain deviation |S_t e^{i phi_t} - S_{t-1} e^{i(2phi_{t-1}
@@ -294,11 +294,11 @@ class Spectral:
         pad = [(0, 0)] * (v.ndim - 1) + [(1, 0)]
         return jnp.pad(v, pad)
 
-    def cd(self, m_spec_arr, m_phase_arr):
-        return self._cd(m_spec_arr, m_phase_arr, False)
+    def cd(self, m_data_arr, m_phase_arr):
+        return self._cd(m_data_arr, m_phase_arr, False)
 
-    def rcd(self, m_spec_arr, m_phase_arr):
-        return self._cd(m_spec_arr, m_phase_arr, True)
+    def rcd(self, m_data_arr, m_phase_arr):
+        return self._cd(m_data_arr, m_phase_arr, True)
 
     def broadband(self, m_data_arr, threshold: float = 0):
         """count of bands with 10*log10(x_t/x_{t-1}) > threshold; frame 0 is 0

@@ -75,8 +75,8 @@ def write(path, data, samplate: int = 32000, subtype: str = "PCM_16"):
 class WaveReader:
     """Streaming WAV reader (chunked), mirroring waveReadObj_* semantics."""
 
-    def __init__(self, path):
-        self._w = _wave.open(str(path), "rb")
+    def __init__(self, file_path):
+        self._w = _wave.open(str(file_path), "rb")
         self.samplate = self._w.getframerate()
         self.channel_num = self._w.getnchannels()
         self.sample_width = self._w.getsampwidth()
@@ -88,8 +88,8 @@ class WaveReader:
                 "bit": self.sample_width * 8,
                 "channel_num": self.channel_num}
 
-    def read(self, n_frames: int) -> np.ndarray:
-        raw = self._w.readframes(n_frames)
+    def read(self, n: int) -> np.ndarray:
+        raw = self._w.readframes(n)
         if not raw:
             return np.zeros((0,), dtype=np.float32)
         data = _decode(raw, self.sample_width, self.channel_num)
@@ -108,16 +108,18 @@ class WaveReader:
 class WaveWriter:
     """Streaming WAV writer, mirroring waveWriteObj_* semantics."""
 
-    def __init__(self, path, samplate: int = 32000, channel_num: int = 1,
-                 sample_width: int = 2):
-        self._w = _wave.open(str(path), "wb")
+    def __init__(self, file_path, samplate: int = 32000, bit: int = 16,
+                 channel_num: int = 1):
+        if bit not in (16, 32):
+            raise ValueError("bit must be 16 or 32")
+        self._w = _wave.open(str(file_path), "wb")
         self._w.setnchannels(channel_num)
-        self._w.setsampwidth(sample_width)
+        self._w.setsampwidth(bit // 8)
         self._w.setframerate(samplate)
-        self._width = sample_width
+        self._width = bit // 8
 
-    def write(self, data: np.ndarray):
-        data = np.asarray(data, dtype=np.float32)
+    def write(self, data_arr: np.ndarray):
+        data = np.asarray(data_arr, dtype=np.float32)
         if data.ndim == 2:
             data = data.T.reshape(-1)
         pcm = np.clip(data, -1.0, 1.0)

@@ -1134,18 +1134,23 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             and isinstance(h, list) and isinstance(index_arr, list)
             and len(f) >= n and len(d) >= n and len(h) >= n
             and len(index_arr) >= n)
-    if _mut:
-        cf, cd, ch, ci = f, d, h, index_arr
-    else:
-        cf = [_g(f, j) for j in range(n)]
-        cd = [_g(d, j) for j in range(n)]
-        ch = [_g(h, j) for j in range(n)]
-        ci = [index_arr[j] if j < len(index_arr) else 0 for j in range(n)]
+    # The C's buffers are calloc'd wider than the logical length, and the
+    # two fixed-count sorts below ("fre asc 2"/"fre asc 3") run UNclamped:
+    # at length<3 they drag a zero from past the end into the logical view
+    # and push a real value out past it (where later reads still see it).
+    # Model that with a working region of max(n, 3) slots; only the first
+    # n are mirrored back to the caller (the C caller's visible row).
+    ext = max(n, 3)
+    cf = [_g(f, j) for j in range(ext)]
+    cd = [_g(d, j) for j in range(ext)]
+    ch = [_g(h, j) for j in range(ext)]
+    ci = [index_arr[j] if j < len(index_arr) else 0 for j in range(ext)]
 
     def _sort_view(key_arr, count, asc):
         # __vcorrsort1: selection sort over the first `count` entries of
-        # key_arr carrying all four arrays (only the first n entries move)
-        idx = list(range(n))
+        # key_arr carrying all four arrays; entries past `count` hold
+        # their (possibly displaced) values
+        idx = list(range(max(n, count)))
         for a in range(count):
             for b in range(a + 1, count):
                 if ((key_arr[idx[a]] > key_arr[idx[b]]) if asc
@@ -1153,10 +1158,15 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                     idx[a], idx[b] = idx[b], idx[a]
         for arrs in (cf, cd, ch, ci):
             tmp = [arrs[j] for j in idx]
-            arrs[:n] = tmp
+            arrs[:len(tmp)] = tmp
+        if _mut:
+            f[:n] = cf[:n]
+            d[:n] = cd[:n]
+            h[:n] = ch[:n]
+            index_arr[:n] = ci[:n]
 
     _sort_view(cd, n, asc=False)
-    _sort_view(cf, min(2, n), asc=True)
+    _sort_view(cf, 2, asc=True)
     _fre, k1, k2 = queue_fre2(_g(cf, 0), _g(cf, 1))
     if (k1 == 2 and k2 == 3
             and abs(_g(cf, 0) / 2 * 3 - _g(cf, 1)) < 4):
@@ -1182,7 +1192,7 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
             return _g(cf, 0)
 
     _sort_view(cd, n, asc=False)
-    _sort_view(cf, min(3, n), asc=True)
+    _sort_view(cf, 3, asc=True)
     _fre, us1, us2, uk1, uk2, uk3 = queue_fre3(
         _g(cf, 0), _g(cf, 1), _g(cf, 2))
 

@@ -618,7 +618,9 @@ def queue_fast(fre_arr, db_arr, height_arr, index_arr, length,
     if not fre:
         index1 = _max_index(db_arr, length)
         if not index1 and 190 < fre_arr[index1] < 204:
-            if db_arr[0] - db_arr[1] > 18:
+            # the C reads dbArr[1] even at length 1 (calloc'd zero past
+            # the logical end, _queue.c:5503)
+            if db_arr[0] - g2(db_arr, 1) > 18:
                 return fre_arr[0]
     return fre
 

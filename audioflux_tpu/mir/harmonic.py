@@ -249,8 +249,9 @@ class Harmonic:
         return f3
 
     # ------------------------------------------------------------------
-    def harmonic_count(self, low: float, high: float):
-        """Per-frame count of surviving peaks with low < fre < high."""
+    def count_range(self, low: float, high: float):
+        """Per-frame count of surviving peaks with low < fre < high
+        (reads the cache from the last :meth:`exec`)."""
         if self._peaks is None:
             raise RuntimeError("call exec() first")
         counts = np.zeros(len(self._peaks), np.int64)
@@ -261,3 +262,16 @@ class Harmonic:
                 if low < fre < high:
                     counts[i] += 1
         return counts
+
+    def harmonic_count(self, data_arr, low_fre: float, high_fre: float):
+        """Per-frame harmonic peak count of ``data_arr`` in
+        [low_fre, high_fre] (mir/harmonic.py:134 signature + range
+        validation against the constructor band)."""
+        if self.low_fre > low_fre:
+            raise ValueError(f"low_fre must be >= {self.low_fre}")
+        if self.high_fre < high_fre:
+            raise ValueError(f"high_fre must be <= {self.high_fre}")
+        if low_fre > high_fre:
+            raise ValueError("low_fre must be <= high_fre")
+        self.exec(data_arr)
+        return self.count_range(low_fre, high_fre)

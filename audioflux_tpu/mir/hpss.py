@@ -162,8 +162,14 @@ class HPSS:
     def cal_time_length(self, data_length: int) -> int:
         return cal_time_length(data_length, self.fft_length, self.slide_length)
 
-    def cal_data_length(self, time_length: int) -> int:
-        return (time_length - 1) * self.slide_length + self.fft_length
+    def cal_data_length(self, data_length: int) -> int:
+        """Output length for ``data_length`` input samples
+        (hpssObj_calDataLength, hpss_algorithm.c:96-111: frames the input
+        then (T-1)*slide + fft)."""
+        if data_length < self.fft_length:
+            return 0
+        t = (data_length - self.fft_length) // self.slide_length + 1
+        return (t - 1) * self.slide_length + self.fft_length
 
     def hpss(self, data_arr):
         """(..., n) -> (harmonic, percussive), each (..., out_n)."""

@@ -46,11 +46,57 @@ class PitchFFP:
     def cal_time_length(self, data_length: int) -> int:
         return self._chain.cal_time_length(data_length)
 
-    def pitch(self, data_arr):
+    def _pack_rows(self, rows, width):
+        """Pack per-frame candidate rows the way the C getters lay them
+        out (pitch_ffp.py:215-278): (width, time) fre/db/height planes
+        after the wrapper's transpose, plus a (time,) length vector."""
+        T = len(rows)
+        corr = np.zeros((T, width), np.float32)
+        db = np.zeros((T, width), np.float32)
+        hei = np.zeros((T, width), np.float32)
+        ln = np.zeros(T, np.int32)
+        for i, r in enumerate(rows):
+            k = min(len(r), width)
+            corr[i, :k] = np.float32(r.fre[:k])
+            db[i, :k] = np.float32(r.db[:k])
+            hei[i, :k] = np.float32(r.h[:k])
+            ln[i] = len(r)
+        return (np.ascontiguousarray(corr.T), np.ascontiguousarray(db.T),
+                np.ascontiguousarray(hei.T), ln)
+
+    def pitch(self, data_arr, has_corr_data=False, has_cut_data=False,
+              has_flag_data=False, has_light_data=False,
+              has_temporal_data=False):
         """(n,) -> (fre_arr, db_arr) per frame, matching the C
-        ``pitchFFPObj_pitch`` frame-exact."""
+        ``pitchFFPObj_pitch`` frame-exact.
+
+        With any ``has_*_data`` flag set, additionally returns the
+        reference's ``extra_data_dic`` (pitch_ffp.py:369-586): tuples of
+        candidate/flag/light/temporal arrays keyed ``corr_data``
+        (fre/db/height planes + per-frame lengths), ``cut_data`` (first 4
+        columns of the same), ``flag_data`` (the trist3 success types),
+        ``light_data`` and ``temporal_data`` (avg/max/percent).
+        """
         x = np.asarray(data_arr, np.float32)
-        return self._chain.pitch(x)
+        fre_arr, db_arr = self._chain.pitch(x)
+        if not (has_corr_data or has_cut_data or has_flag_data
+                or has_light_data or has_temporal_data):
+            return fre_arr, db_arr
+        extra = {}
+        if has_corr_data:
+            extra["corr_data"] = self._pack_rows(
+                self._chain.filter3, self._chain.peak_length)
+        if has_cut_data:
+            extra["cut_data"] = self._pack_rows(self._chain.fast4, 4)
+        if has_flag_data:
+            extra["flag_data"] = (np.asarray(self._chain.success_flags,
+                                             np.int32),)
+        if has_light_data:
+            extra["light_data"] = (np.asarray(self._chain.light,
+                                              np.float32),)
+        if has_temporal_data:
+            extra["temporal_data"] = self.get_temporal_data()
+        return fre_arr, db_arr, extra
 
     # -- introspection mirroring the C getters --------------------------
     def get_corr_data(self):

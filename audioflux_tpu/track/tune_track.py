@@ -300,7 +300,7 @@ class TuneTrack:
         light = np.asarray(self._ffp.get_light_data())
         hr = np.asarray(self._hr.harmonic_ratio(x))
         self._hm.exec(x)
-        counts = self._hm.harmonic_count(80, 16000)
+        counts = self._hm.count_range(80, 16000)
         spec = self._spec.spectrogram(x)
         ness = np.asarray(self._spec.flatness(self._spec.preprocess(spec)))
         spec2 = np.asarray(self._spec2.spectrogram(x))  # (band, T)

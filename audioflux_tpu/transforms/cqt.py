@@ -320,15 +320,17 @@ class CQTBase:
 
 class CQT(CQTBase):
     def __init__(self, num=84, samplate=32000, low_fre=None,
-                 bin_per_octave=12, factor=1.0, thresh=0.01,
+                 bin_per_octave=12, factor=1.0, beta=0.0, thresh=0.01,
                  window_type=WindowType.HANN, slide_length=None,
                  normal_type=SpectralFilterBankNormalType.AREA,
                  is_scale=True):
+        # the reference CQT ctor (cqt.py:21-24) exposes beta too; beta>0
+        # gives the variable-Q bank exactly like VQT
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          bin_per_octave=bin_per_octave, factor=factor,
-                         beta=0.0, thresh=thresh, window_type=window_type,
+                         beta=beta, thresh=thresh, window_type=window_type,
                          slide_length=slide_length, normal_type=normal_type,
-                         is_scale=is_scale, _v_flag=False)
+                         is_scale=is_scale, _v_flag=beta > 0)
 
 
 class VQT(CQTBase):

@@ -249,6 +249,11 @@ class NSGT:
     def y_coords(self):
         return self.fre_band_arr
 
-    def x_coords(self):
+    def x_coords(self, data_length: int = None):
+        """Time-axis coordinates (nsgt.py:345: ``data_length`` spread over
+        max_time_length+1 points; without it, the legacy per-bin grid)."""
+        if data_length is not None:
+            return np.linspace(0, data_length / self.samplate,
+                               self.max_time_length + 1)
         return (np.arange(self.max_time_length) * self.fft_length
                 / self.max_time_length / self.samplate)

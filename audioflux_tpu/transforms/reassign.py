@@ -160,8 +160,9 @@ class Reassign:
             get_fft_window(self.window_type, self.fft_length))
         self._wins = np.stack([h, dh, th])
 
-    def set_result_type(self, t: int):
-        self.result_type = int(t)
+    def set_result_type(self, result_type: int):
+        """0: complex matrix, 1: real (reassign.py:148)."""
+        self.result_type = int(result_type)
 
     def set_order(self, order: int):
         if order >= 1:
@@ -173,14 +174,19 @@ class Reassign:
             n += self.fft_length  # center pad fft/2 each side
         return cal_time_length(n, self.fft_length, self.slide_length)
 
-    def reassign(self, data_arr, with_stft: bool = False):
+    def reassign(self, data_arr, result_type: int = None,
+                 with_stft: bool = False):
+        """Reassigned matrix; ``result_type`` overrides the instance's
+        (0 complex / 1 real, reassign.py:177); ``with_stft`` additionally
+        returns the plain STFT (an extension)."""
+        rt = self.result_type if result_type is None else int(result_type)
         out, stft = _reassign_impl(
             jnp.asarray(data_arr, jnp.float32), jnp.asarray(self._wins),
             fft_length=self.fft_length, slide_length=self.slide_length,
             samplate=self.samplate, thresh=self.thresh,
             re_type=int(self.re_type), order=self.order,
-            result_type=self.result_type, is_padding=self.is_padding)
-        if self.result_type == 1:
+            result_type=rt, is_padding=self.is_padding)
+        if rt == 1:
             out = jnp.real(out)
         return (out, stft) if with_stft else out
 

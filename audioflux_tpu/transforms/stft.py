@@ -142,10 +142,10 @@ class STFT:
         if value2 is not None:
             self.value2 = float(value2)
 
-    def use_window_data_arr(self, win: np.ndarray):
-        if win.shape[-1] != self.fft_length:
+    def use_window_data_arr(self, data_arr: np.ndarray):
+        if data_arr.shape[-1] != self.fft_length:
             raise ValueError(f"window length must be {self.fft_length}")
-        self.window = np.asarray(win, dtype=np.float32)
+        self.window = np.asarray(data_arr, dtype=np.float32)
 
     def get_window_data_arr(self) -> np.ndarray:
         return self.window

@@ -40,13 +40,33 @@ class Temporal:
             return 0
         return (data_length - self.frame_length) // self.slide_length + 1
 
-    def temporal(self, data_arr):
-        """Compute and cache (energy, rms, zcr) for (..., n) audio."""
+    def temporal(self, data_arr, has_energy: bool = False,
+                 has_rms: bool = False, has_zcr: bool = False,
+                 has_m: bool = False):
+        """Energy/rms/zero-cross features of (..., n) audio.
+
+        With any ``has_*`` flag set, returns the reference's feature dict
+        (``temporal.py:94``: keys ``energy_arr``/``rms_arr``/``zcr_arr``/
+        ``m_arr``).  With no flags, returns the (energy, rms, zcr) tuple
+        (an extension — the reference raises); results are also cached for
+        :meth:`get_data`/:meth:`ezr` etc.
+        """
         x = jnp.asarray(data_arr, jnp.float32)
         energy, rms, zcr, fw = self._temporal_run(x)
         self._frames = fw
         self._energy, self._rms, self._zcr = energy, rms, zcr
-        return energy, rms, zcr
+        if not (has_energy or has_rms or has_zcr or has_m):
+            return energy, rms, zcr
+        dic = {}
+        if has_energy:
+            dic["energy_arr"] = energy
+        if has_rms:
+            dic["rms_arr"] = rms
+        if has_zcr:
+            dic["zcr_arr"] = zcr
+        if has_m:
+            dic["m_arr"] = fw
+        return dic
 
     def _temporal_impl(self, x):
         frames = frame_signal(x, self.frame_length, self.slide_length)
@@ -58,8 +78,15 @@ class Temporal:
         zcr = jnp.sum(sign_change, axis=-1) / self.frame_length
         return energy, rms, zcr, fw
 
-    def get_data(self):
-        """(energy, rms, zcr, windowed frame matrix (..., T, frame_length))."""
+    def get_data(self, data_arr=None):
+        """(energy, rms, zcr, windowed frame matrix (..., T, frame_length)).
+
+        Deprecated in the reference in favour of :meth:`temporal`
+        (``temporal.py:182``); accepts ``data_arr`` to compute in place,
+        or reads the cache from the last :meth:`temporal` call.
+        """
+        if data_arr is not None:
+            self.temporal(data_arr)
         if self._frames is None:
             raise RuntimeError("call temporal() first")
         return self._energy, self._rms, self._zcr, self._frames

@@ -11,14 +11,14 @@ from audioflux_tpu.dsp.xcorr import Xcorr, XcorrNormalType
 
 def test_xcorr(goldens):
     g = goldens("dsp")
-    out, idx, val = Xcorr().xcorr(g["x"], g["y"])
+    out, idx, val = Xcorr().xcorr(g["x"], g["y"], XcorrNormalType.COEFF)
     np.testing.assert_allclose(np.asarray(out), g["xcorr"], atol=1e-5)
     assert int(idx) == int(g["xcorr_idx"])
 
 
 def test_autocorr(goldens):
     g = goldens("dsp")
-    out, idx, val = Xcorr().xcorr(g["x"])
+    out, idx, val = Xcorr().xcorr(g["x"], xcorr_normal_type=XcorrNormalType.COEFF)
     np.testing.assert_allclose(np.asarray(out), g["autocorr"], atol=1e-5)
     assert int(idx) == 255  # zero lag for autocorrelation
 

@@ -8,6 +8,5 @@ from audioflux_tpu.mir.harmonic import Harmonic
 def test_harmonic_count(goldens):
     g = goldens("harmonic")
     h = Harmonic(samplate=32000, radix2_exp=12)
-    h.exec(g["x"])
-    counts = h.harmonic_count(100.0, 2000.0)
+    counts = h.harmonic_count(g["x"], 100.0, 2000.0)
     np.testing.assert_array_equal(counts, g["counts"])

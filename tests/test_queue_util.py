@@ -509,3 +509,121 @@ def test_queue_cut_fuzz_vs_c():
             ctypes.byref(v), ctypes.byref(fmt),
             *[a.ctypes.data_as(FP) for a in zp])
         assert pp == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1))
+
+
+@pytest.mark.skipif(not os.path.exists(_REF),
+                    reason="reference oracle not built")
+def test_trist3_short_length_fuzz_vs_c():
+    """Exact-length lists at lengths 1-3: the production call shape.
+
+    The earlier per-strategy rigs pass PAD-zero-extended Python lists, so
+    they can never catch reads past the logical end (the C reads calloc'd
+    zeros there; a faithful port must model them, not crash).  This rig
+    drives the full trist3 cascade with exact-length lists, the shape
+    ``_ffp_chain`` uses, over the short lengths the other rigs skip.
+    """
+    from audioflux_tpu.mir._queue_util import trist3_resolve
+    lib = ctypes.CDLL(_REF)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int)
+    lib.trist3.restype = ctypes.c_int
+    lib.trist3.argtypes = ([FP, FP, FP, ctypes.c_int] * 3
+                           + [ctypes.c_float, FP, IP] + [FP] * 6)
+    rng = np.random.default_rng(1234)
+    PAD = 24
+    cases = 0
+    for _ in range(2500):
+        n1 = int(rng.integers(1, 8))
+        n2 = int(rng.integers(0, n1 + 1))
+        n3 = int(rng.integers(0, max(n2, 1) + 1))
+        r = rng.random()
+        if r < 0.4:
+            base = rng.uniform(40, 500)
+            ks = np.sort(rng.choice(np.arange(1, 12), n1, replace=False))
+            fre1 = np.float32(base * ks + rng.normal(0, 1.5, n1))
+        elif r < 0.6:
+            # the 190-204 Hz "3rd string" traps read past short arrays
+            fre1 = np.float32(rng.uniform(185, 210, n1))
+        else:
+            fre1 = np.float32(rng.uniform(40, 2000, n1))
+        fre1 = np.sort(np.abs(fre1) + 1).astype(np.float32)
+        if n1 > 1 and np.min(np.diff(fre1)) < 1.5:
+            continue
+        db1 = np.float32(rng.uniform(-60, 0, n1))
+        if len(np.unique(db1)) < n1:
+            continue
+        h1 = np.float32(rng.uniform(0, 30, n1))
+        s2 = np.sort(rng.choice(n1, n2, replace=False))
+        s3 = (np.sort(rng.choice(s2, n3, replace=False))
+              if n2 > 0 else np.array([], int))
+        n3 = len(s3)
+        fre2, db2, h2 = fre1[s2], db1[s2], h1[s2]
+        fre3, db3, h3 = fre1[s3], db1[s3], h1[s3]
+        light = float(rng.uniform(0, 1.05))
+
+        def pad(a, dt=np.float32):
+            out = np.zeros(PAD, dt)
+            out[:len(a)] = np.asarray(a, dt)
+            return out
+
+        f1p, d1p, h1p = pad(fre1), pad(db1), pad(h1)
+        f2p, d2p, h2p = pad(fre2), pad(db2), pad(h2)
+        f3p, d3p, h3p = pad(fre3), pad(db3), pad(h3)
+        out = ctypes.c_float(0)
+        fmt = ctypes.c_int(0)
+        zp = [np.zeros(4, np.float32) for _ in range(6)]
+        flag_c = lib.trist3(
+            f1p.ctypes.data_as(FP), d1p.ctypes.data_as(FP),
+            h1p.ctypes.data_as(FP), n1,
+            f2p.ctypes.data_as(FP), d2p.ctypes.data_as(FP),
+            h2p.ctypes.data_as(FP), n2,
+            f3p.ctypes.data_as(FP), d3p.ctypes.data_as(FP),
+            h3p.ctypes.data_as(FP), n3,
+            light, ctypes.byref(out), ctypes.byref(fmt),
+            *[a.ctypes.data_as(FP) for a in zp])
+        flag_p, fre_p = trist3_resolve(
+            list(map(float, fre1)), list(map(float, db1)),
+            list(map(float, h1)), n1,
+            list(map(float, fre2)), list(map(float, db2)),
+            list(map(float, h2)), n2,
+            list(map(float, fre3)), list(map(float, db3)),
+            list(map(float, h3)), n3, light)
+        cases += 1
+        fc = out.value
+        assert fre_p == pytest.approx(fc, abs=1e-3 * max(abs(fc), 1)), \
+            (n1, n2, n3, list(fre1), list(db1), list(h1), light)
+        if fc:
+            assert flag_p == flag_c
+    assert cases > 1500
+
+
+def test_queue_fast_length_one_no_oob():
+    """Regression: length-1 fall-through reads dbArr[1] past the end
+    (_queue.c:5503 reads a calloc'd zero; the port crashed here)."""
+    from audioflux_tpu.mir._queue_util import queue_fast
+    # the trap needs db[0] - dbArr[1] > 18 with dbArr[1] the calloc'd 0,
+    # so only a positive-dB peak fires it
+    fre = queue_fast([196.0], [25.0], [20.0], [0], 1)
+    assert fre == pytest.approx(196.0)
+    # typical negative dB: the read must yield 0 (not crash), no match
+    fre = queue_fast([196.0], [-5.0], [20.0], [0], 1)
+    assert fre == 0.0
+
+
+def test_queue_cut_fixed_count_sorts_short_length():
+    """Regression: __queue_cut's 'fre asc 2/3' sorts are UNclamped in the
+    C — at length 2 they pull a calloc'd zero into the logical view and
+    the function falls through (oracle-verified; see
+    test_trist3_short_length_fuzz_vs_c)."""
+    from audioflux_tpu.mir._queue_cut import queue_cut
+    fre3 = [190.77855, 200.34282]
+    db3 = [-22.98284, -54.908104]
+    h3 = [1.0498627, 16.811642]
+    fre1 = [187.95212, 190.77855, 200.34282]
+    db1 = [-19.864925, -22.98284, -54.908104]
+    h1 = [24.562204, 1.0498627, 16.811642]
+    fre = queue_cut(fre3, db3, h3, [0, 1], 2, fre1, db1, h1, 3,
+                    fre1, db1, h1, 3, 0.9179094100870372, 0)
+    assert fre == 0.0
+    # caller-visible mutation matches the C: zero dragged to the front
+    assert fre3[0] == 0.0 and fre3[1] == pytest.approx(190.77855)
