@@ -53,8 +53,9 @@ class PitchShift:
         self._ts = TimeStretch(radix2_exp, slide_length, window_type)
         self._rs = Resample(ResampleQualityType.FAST, is_scale=True)
 
-    def pitch_shift(self, data_arr, samplate: int, n_semitone: int):
-        """Shift by n_semitone (in [-12, 12]) without changing duration."""
+    def pitch_shift(self, data_arr, n_semitone: int, samplate: int = 32000):
+        """Shift by n_semitone (in [-12, 12]) without changing duration
+        (arg order matches the reference, pitch_shift.py:79)."""
         if not -12 <= n_semitone <= 12:
             raise ValueError("n_semitone must be in [-12, 12]")
         if n_semitone == 0:

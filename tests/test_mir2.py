@@ -42,7 +42,7 @@ def test_time_stretch(goldens):
 def test_pitch_shift(goldens):
     g = goldens("mir2")
     ps = PitchShift(radix2_exp=11, slide_length=512)
-    y = np.asarray(ps.pitch_shift(g["in_tone"], 32000, 5))
+    y = np.asarray(ps.pitch_shift(g["in_tone"], 5, 32000))
     ref = g["ps_up5"]
     n = min(len(y), len(ref))
     assert np.abs(y[:n] - ref[:n]).max() <= 0.12 * np.abs(ref).max()
