@@ -1,7 +1,8 @@
 """PitchFFP vs reference C golden (harmonic material).
 
-The full _queue strategy engine is not ported yet (see pitch_ffp.py
-docstring); on harmonic signals both implementations agree closely.
+The engine is fully ported and frame-exact (see
+test_pitch_ffp_fuzz.py for the randomized oracle rig); this golden
+pins one harmonic fixture without needing the compiled reference.
 """
 
 import numpy as np
