@@ -139,6 +139,7 @@ class CQTBase:
     def __init__(self, num=84, samplate=32000, low_fre=None,
                  bin_per_octave=12, factor=1.0, beta=0.0, thresh=0.01,
                  window_type=WindowType.HANN, slide_length=None,
+                 is_continue=False,
                  normal_type=SpectralFilterBankNormalType.AREA,
                  is_scale=True, _v_flag=False):
         if low_fre is None:
@@ -192,6 +193,16 @@ class CQTBase:
             top_lens, self.fft_length,
             fre_global=self.fre_band_arr, offset=top)] * self.octave_num
 
+        # cross-call tail carry (cqtObj isContinue: one carry at the top
+        # of the multirate chain, right-padded framing; the per-call chain
+        # itself is stateless — cqt_algorithm.c:346-430, 1303-1320)
+        self.is_continue = bool(is_continue)
+        if self.is_continue:
+            from audioflux_tpu.transforms.stft import TailCarry
+            self._carry = TailCarry(self.fft_length, self.slide_length)
+        else:
+            self._carry = None
+
         self._resampler = Resample(ResampleQualityType.FAST, is_scale=True)
         self._resampler.set_samplate(2, 1)
         self._dct = dct_matrix(num)
@@ -211,6 +222,8 @@ class CQTBase:
         return self.fre_band_arr
 
     def cal_time_length(self, data_length: int) -> int:
+        if self._carry is not None:
+            return self._carry.cal_time_length(data_length)
         return data_length // self.slide_length + 1
 
     def set_scale(self, flag: bool):
@@ -218,9 +231,14 @@ class CQTBase:
 
     # ------------------------------------------------------------------
     def _octave_spec(self, x, slide, kernel):
-        """Padded rect-window STFT + complex kernel dot -> (..., T', bpo)."""
+        """Padded rect-window STFT + complex kernel dot -> (..., T', bpo).
+
+        Continue mode pads RIGHT instead of CENTER, like the C cqtObj's
+        internal stft (cqt_algorithm.c:1303-1320)."""
+        pos = (PaddingPositionType.RIGHT if self.is_continue
+               else PaddingPositionType.CENTER)
         xp = pad_signal(x, self.fft_length, slide,
-                        PaddingPositionType.CENTER, PaddingModeType.CONSTANT)
+                        pos, PaddingModeType.CONSTANT)
         frames = frame_signal(xp, self.fft_length, slide)
         S = afft.rfft(frames, axis=-1)
         Kt = jnp.asarray(kernel)
@@ -246,12 +264,26 @@ class CQTBase:
         return v
 
     def cqt(self, data_arr):
-        """(..., n) -> complex64 (..., num, time)."""
+        """(..., n) -> complex64 (..., num, time).
+
+        With ``is_continue`` set, consecutive calls carry the unconsumed
+        sample tail (cqtObj isContinue); each call emits the frames the
+        accumulated samples complete."""
+        if self._carry is not None:
+            buf = self._carry.feed(np.asarray(data_arr, np.float32))
+            if buf is None:
+                return np.zeros(np.shape(data_arr)[:-1] + (self.num, 0),
+                                np.complex64)
+            data_arr = buf
         return self._cqt_run(jnp.asarray(data_arr, jnp.float32),
                              jnp.asarray(self._scale_vec()))
 
     def _cqt_impl(self, x, scale_vec):
-        T = self.cal_time_length(x.shape[-1])
+        if self.is_continue:
+            # x is the carried buffer: (len - fft) // slide + 1 frames
+            T = (x.shape[-1] - self.fft_length) // self.slide_length + 1
+        else:
+            T = x.shape[-1] // self.slide_length + 1
         bpo = self.bin_per_octave
         slide = self.slide_length
 
@@ -322,6 +354,7 @@ class CQT(CQTBase):
     def __init__(self, num=84, samplate=32000, low_fre=None,
                  bin_per_octave=12, factor=1.0, beta=0.0, thresh=0.01,
                  window_type=WindowType.HANN, slide_length=None,
+                 is_continue=False,
                  normal_type=SpectralFilterBankNormalType.AREA,
                  is_scale=True):
         # the reference CQT ctor (cqt.py:21-24) exposes beta too; beta>0
@@ -329,7 +362,8 @@ class CQT(CQTBase):
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          bin_per_octave=bin_per_octave, factor=factor,
                          beta=beta, thresh=thresh, window_type=window_type,
-                         slide_length=slide_length, normal_type=normal_type,
+                         slide_length=slide_length, is_continue=is_continue,
+                         normal_type=normal_type,
                          is_scale=is_scale, _v_flag=beta > 0)
 
 
@@ -339,12 +373,14 @@ class VQT(CQTBase):
     def __init__(self, num=84, samplate=32000, low_fre=None,
                  bin_per_octave=12, factor=1.0, beta=0.5, thresh=0.01,
                  window_type=WindowType.HANN, slide_length=None,
+                 is_continue=False,
                  normal_type=SpectralFilterBankNormalType.AREA,
                  is_scale=True):
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          bin_per_octave=bin_per_octave, factor=factor,
                          beta=beta, thresh=thresh, window_type=window_type,
-                         slide_length=slide_length, normal_type=normal_type,
+                         slide_length=slide_length, is_continue=is_continue,
+                         normal_type=normal_type,
                          is_scale=is_scale, _v_flag=True)
 
 

@@ -120,7 +120,8 @@ class Spectrogram:
                  data_type=SpectralDataType.POWER,
                  filter_bank_type=SpectralFilterBankScaleType.LINEAR,
                  style_type=SpectralFilterBankStyleType.SLANEY,
-                 normal_type=SpectralFilterBankNormalType.NONE):
+                 normal_type=SpectralFilterBankNormalType.NONE,
+                 is_continue=False):
         S = SpectralFilterBankScaleType
         scale = SpectralFilterBankScaleType(filter_bank_type)
         style = SpectralFilterBankStyleType(style_type)
@@ -204,6 +205,14 @@ class Spectrogram:
         self.base_num = base_num
         self.norm_value = 1.0
         self.chroma_data_normal_type = ChromaDataNormalType.MAX
+        # cross-call tail carry (SpectrogramBase is_continue, passed to
+        # the C stftObj; spectrogram.py:40 + stft_algorithm.c:474-600)
+        self.is_continue = bool(is_continue)
+        if self.is_continue:
+            from audioflux_tpu.transforms.stft import TailCarry
+            self._carry = TailCarry(fft_length, slide_length)
+        else:
+            self._carry = None
 
         self.window = get_fft_window(window_type, fft_length)
 
@@ -326,6 +335,8 @@ class Spectrogram:
         self._build_exec()
 
     def cal_time_length(self, data_length: int) -> int:
+        if self._carry is not None:
+            return self._carry.cal_time_length(data_length)
         return cal_time_length(data_length, self.fft_length, self.slide_length)
 
     def get_fre_band_arr(self):
@@ -352,7 +363,17 @@ class Spectrogram:
 
     # ------------------------------------------------------------------
     def spectrogram(self, data_arr):
-        """Compute the band spectrogram: (..., n) -> (..., num, time)."""
+        """Compute the band spectrogram: (..., n) -> (..., num, time).
+
+        With ``is_continue`` set, consecutive calls carry the unconsumed
+        sample tail across calls (streaming), like the C spectrogramObj.
+        """
+        if self._carry is not None:
+            buf = self._carry.feed(np.asarray(data_arr, np.float32))
+            if buf is None:
+                return np.zeros(np.shape(data_arr)[:-1] + (self.num, 0),
+                                np.float32)
+            data_arr = buf
         return self._run(jnp.asarray(data_arr, jnp.float32))
 
     def spectrogram_mfcc_fused(self, data_arr, cc_num: int = 13,
@@ -430,13 +451,15 @@ class MelSpectrogram(Spectrogram):
                  radix2_exp=12, window_type=None, slide_length=None,
                  data_type=SpectralDataType.POWER,
                  style_type=SpectralFilterBankStyleType.SLANEY,
-                 normal_type=SpectralFilterBankNormalType.NONE):
+                 normal_type=SpectralFilterBankNormalType.NONE,
+                 is_continue=False):
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          high_fre=high_fre, bin_per_octave=12,
                          radix2_exp=radix2_exp, window_type=window_type,
                          slide_length=slide_length, data_type=data_type,
                          filter_bank_type=SpectralFilterBankScaleType.MEL,
-                         style_type=style_type, normal_type=normal_type)
+                         style_type=style_type, normal_type=normal_type,
+                         is_continue=is_continue)
 
 
 class BarkSpectrogram(Spectrogram):
@@ -444,13 +467,15 @@ class BarkSpectrogram(Spectrogram):
                  radix2_exp=12, window_type=None, slide_length=None,
                  data_type=SpectralDataType.POWER,
                  style_type=SpectralFilterBankStyleType.SLANEY,
-                 normal_type=SpectralFilterBankNormalType.NONE):
+                 normal_type=SpectralFilterBankNormalType.NONE,
+                 is_continue=False):
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          high_fre=high_fre, bin_per_octave=12,
                          radix2_exp=radix2_exp, window_type=window_type,
                          slide_length=slide_length, data_type=data_type,
                          filter_bank_type=SpectralFilterBankScaleType.BARK,
-                         style_type=style_type, normal_type=normal_type)
+                         style_type=style_type, normal_type=normal_type,
+                         is_continue=is_continue)
 
 
 class ErbSpectrogram(Spectrogram):
@@ -458,13 +483,15 @@ class ErbSpectrogram(Spectrogram):
                  radix2_exp=12, window_type=None, slide_length=None,
                  data_type=SpectralDataType.POWER,
                  style_type=SpectralFilterBankStyleType.SLANEY,
-                 normal_type=SpectralFilterBankNormalType.NONE):
+                 normal_type=SpectralFilterBankNormalType.NONE,
+                 is_continue=False):
         super().__init__(num=num, samplate=samplate, low_fre=low_fre,
                          high_fre=high_fre, bin_per_octave=12,
                          radix2_exp=radix2_exp, window_type=window_type,
                          slide_length=slide_length, data_type=data_type,
                          filter_bank_type=SpectralFilterBankScaleType.ERB,
-                         style_type=style_type, normal_type=normal_type)
+                         style_type=style_type, normal_type=normal_type,
+                         is_continue=is_continue)
 
 
 # ---------------------------------------------------------------------------

@@ -106,7 +106,7 @@ class STFT:
 
     def __init__(self, radix2_exp: int = 12,
                  window_type: WindowType = WindowType.RECT,
-                 slide_length: int = 1024):
+                 slide_length: int = 1024, is_continue: bool = False):
         if not 1 <= radix2_exp <= 30:
             raise ValueError("radix2_exp must be in [1, 30]")
         self.radix2_exp = radix2_exp
@@ -120,11 +120,25 @@ class STFT:
         self.mode = PaddingModeType.CONSTANT
         self.value1 = 0.0
         self.value2 = 0.0
+        # the C stftObj_new isContinue param (stft_algorithm.c:84); the
+        # reference Python wrapper pins it False, this exposes it
+        self.is_continue = bool(is_continue)
+        self._carry = (TailCarry(self.fft_length, self.slide_length)
+                       if self.is_continue else None)
 
     # -- config ------------------------------------------------------------
+    def set_continue(self, flag: bool):
+        """Toggle cross-call tail carry (stftObj_setContinue, :182);
+        enabling resets any pending tail."""
+        self.is_continue = bool(flag)
+        self._carry = (TailCarry(self.fft_length, self.slide_length)
+                       if self.is_continue else None)
+
     def set_slide_length(self, slide_length: int):
         if slide_length > 0:
             self.slide_length = slide_length
+            if self._carry is not None:
+                self._carry = TailCarry(self.fft_length, self.slide_length)
 
     def enable_padding(self, flag: bool):
         self.is_pad = bool(flag)
@@ -152,6 +166,8 @@ class STFT:
 
     # -- shape math ---------------------------------------------------------
     def cal_time_length(self, data_length: int) -> int:
+        if self._carry is not None and not self.is_pad:
+            return self._carry.cal_time_length(data_length)
         return cal_time_length(data_length, self.fft_length, self.slide_length,
                                self.is_pad)
 
@@ -160,7 +176,18 @@ class STFT:
 
     # -- exec ----------------------------------------------------------------
     def stft(self, data_arr):
-        """Compute the STFT. data_arr: (..., n) -> complex64 (..., fre, time)."""
+        """Compute the STFT. data_arr: (..., n) -> complex64 (..., fre, time).
+
+        With ``is_continue`` set (and padding off), consecutive calls
+        carry the unconsumed tail exactly like the C stftObj.
+        """
+        if self._carry is not None and not self.is_pad:
+            buf = self._carry.feed(np.asarray(data_arr, np.float32))
+            if buf is None:
+                shape = (np.shape(data_arr)[:-1]
+                         + (self.fft_length // 2 + 1, 0))
+                return np.zeros(shape, np.complex64)
+            data_arr = buf
         return _stft_impl(jnp.asarray(data_arr, jnp.float32),
                           jnp.asarray(self.window),
                           fft_length=self.fft_length,
@@ -185,6 +212,69 @@ class STFT:
         return np.arange(T) * self.slide_length / samplate
 
 
+class TailCarry:
+    """The stftObj ``isContinue`` cross-call tail state
+    (stft_algorithm.c:474-600, non-pad path).
+
+    Each :meth:`feed` consumes ``tail + chunk``; when at least one frame
+    fits it returns the sample buffer covering the completed frames and
+    carries ``(total - fft) % slide + (fft - slide)`` samples forward;
+    otherwise it accumulates the chunk and returns ``None``.  When
+    ``slide > fft`` the carry is NEGATIVE — that many samples of the next
+    chunk are skipped, exactly as the C's ``tailDataLength < 0`` branch.
+
+    Supports ``(..., n)`` batches (the C streams 1-D; leading dims must
+    stay consistent across calls).  The carried tail is exactly the halo
+    a frame-block shard receives from its left neighbor in the sharded
+    pipeline (``audioflux_tpu.parallel``).
+    """
+
+    def __init__(self, fft_length: int, slide_length: int):
+        self.fft_length = int(fft_length)
+        self.slide_length = int(slide_length)
+        self.reset()
+
+    def reset(self):
+        self.tail = np.zeros(0, np.float32)
+        self.tail_len = 0
+
+    def cal_time_length(self, data_length: int) -> int:
+        """Frames the next feed of ``data_length`` samples would emit
+        (stftObj_calTimeLength adds the pending tail, :243)."""
+        total = self.tail_len + int(data_length)
+        if total < self.fft_length:
+            return 0
+        return (total - self.fft_length) // self.slide_length + 1
+
+    def feed(self, x):
+        x = np.asarray(x, np.float32)
+        fft, slide = self.fft_length, self.slide_length
+        if self.tail_len < 0:
+            buf = x[..., -self.tail_len:]
+        elif self.tail_len:
+            buf = np.concatenate([self.tail, x], axis=-1)
+        else:
+            buf = x
+        total = self.tail_len + x.shape[-1]
+        if total < fft:
+            self.tail = np.array(buf, np.float32, copy=True)
+            self.tail_len = total
+            return None
+        tail_len = (total - fft) % slide + (fft - slide)
+        if tail_len > 0:
+            self.tail = np.array(buf[..., total - tail_len:total],
+                                 np.float32, copy=True)
+        else:
+            self.tail = np.zeros(0, np.float32)
+        self.tail_len = tail_len
+        # the FULL tail+chunk buffer, like the C's curDataArr/validDataArr
+        # (the unconsumed tail stays in it — framing emits
+        # (total-fft)//slide+1 frames either way, but downstream
+        # resampling/padding chains SEE those samples, e.g. the CQT's
+        # lower octaves)
+        return buf
+
+
 class StreamingSTFT:
     """Chunked STFT with tail-carry, matching the reference ``isContinue``
     semantics (stft_algorithm.c:474-600): each call consumes
@@ -202,23 +292,20 @@ class StreamingSTFT:
         self._stft = STFT(radix2_exp, window_type, slide_length)
         self.fft_length = self._stft.fft_length
         self.slide_length = self._stft.slide_length
-        self._tail = np.zeros(0, np.float32)
+        self._carry = TailCarry(self.fft_length, self.slide_length)
+
+    @property
+    def _tail(self):  # kept for callers poking the halo state
+        return self._carry.tail
 
     def reset(self):
-        self._tail = np.zeros(0, np.float32)
+        self._carry.reset()
 
     def process(self, chunk):
         """Feed a chunk; returns the complex (fre, frames) for the frames
         completed by this chunk (possibly 0 columns)."""
-        x = np.concatenate([self._tail, np.asarray(chunk, np.float32)])
-        n = len(x)
-        fft, slide = self.fft_length, self.slide_length
-        if n < fft:
-            self._tail = x
-            m = fft // 2 + 1
+        buf = self._carry.feed(chunk)
+        if buf is None:
+            m = self.fft_length // 2 + 1
             return np.zeros((m, 0), np.complex64)
-        t_len = (n - fft) // slide + 1
-        tail_len = (n - fft) % slide + (fft - slide)
-        out = self._stft.stft(x[:(t_len - 1) * slide + fft])
-        self._tail = x[n - tail_len:].copy()
-        return np.asarray(out)
+        return np.asarray(self._stft.stft(buf))
