@@ -155,8 +155,69 @@ def temproal_db(X, base: float = 18.0):
             float((len(v) - count) / len(v)))
 
 
+def _synth_sample(name: str, sr: int = 32000) -> np.ndarray:
+    """Synthetic stand-in for the reference's bundled sample WAVs
+    (``utils/sample_data/``: 220/880/voice/guitar_chord1-2/
+    chord_metronome1-2).  The real recordings are not redistributed;
+    each stand-in matches the character the docs/examples rely on
+    (a pitched tone, a sung phrase, decaying plucked chords, chords
+    with a click track)."""
+    rng = np.random.default_rng(abs(hash(name)) % (2 ** 31))
+    t = np.arange(3 * sr) / sr
+
+    def pluck(f0, start, dur=1.2, amp=0.5):
+        n0 = int(start * sr)
+        seg = np.zeros_like(t)
+        tt = np.arange(int(dur * sr)) / sr
+        s = np.zeros_like(tt)
+        for k, a in enumerate([1.0, 0.6, 0.4, 0.25, 0.15, 0.08], start=1):
+            s += a * np.sin(2 * np.pi * f0 * k * tt + rng.uniform(0, 6))
+        s *= amp * np.exp(-tt * 3.0)
+        seg[n0:n0 + len(s)] += s[:max(len(t) - n0, 0)]
+        return seg
+
+    if name in ("220", "880"):
+        f = float(name)
+        x = 0.5 * np.sin(2 * np.pi * f * t[:sr])
+    elif name == "voice":
+        # glide between note pitches with vibrato + formant-ish harmonics
+        notes = [196.0, 220.0, 246.9, 220.0, 196.0, 164.8]
+        f0 = np.concatenate([np.full(len(t) // len(notes), f)
+                             for f in notes])
+        f0 = np.resize(f0, len(t))
+        f0 = f0 * (1 + 0.01 * np.sin(2 * np.pi * 5.5 * t))
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        x = np.zeros_like(t)
+        for k, a in [(1, 0.5), (2, 0.35), (3, 0.2), (4, 0.1), (5, 0.05)]:
+            x += a * np.sin(k * phase)
+        x *= 0.6 + 0.4 * np.sin(2 * np.pi * 1.5 * t) ** 2
+    elif name.startswith("guitar_chord"):
+        root = 110.0 if name.endswith("1") else 146.83
+        ratios = [1.0, 1.26, 1.5, 2.0]  # major triad + octave
+        x = np.zeros_like(t)
+        for i, r in enumerate(ratios):
+            x += pluck(root * r, 0.2 + 0.03 * i)
+        for i, r in enumerate(ratios):
+            x += pluck(root * r * 1.122, 1.6 + 0.03 * i)
+    elif name.startswith("chord_metronome"):
+        root = 130.8 if name.endswith("1") else 164.8
+        x = pluck(root, 0.1, 2.5) + pluck(root * 1.26, 0.12, 2.5) \
+            + pluck(root * 1.5, 0.14, 2.5)
+        for beat in np.arange(0.0, 3.0, 0.5):
+            n0 = int(beat * sr)
+            click = 0.4 * np.exp(-np.arange(600) / 60.0) \
+                * rng.standard_normal(600)
+            x[n0:n0 + 600] += click[:max(len(x) - n0, 0)]
+    else:
+        f = float(name) if name.replace(".", "").isdigit() else 220.0
+        x = 0.5 * np.sin(2 * np.pi * f * t[:sr])
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
 def sample_path(name: str = "220") -> str:
-    """Path to a bundled sample WAV (generated synthetically on first use)."""
+    """Path to a sample WAV (synthesized stand-in, generated on first
+    use; see :func:`_synth_sample`).  Mirrors ``utils.sample_path``
+    (``python/audioflux/utils/sample.py:9``)."""
     import os
     import wave as _wave
 
@@ -165,9 +226,7 @@ def sample_path(name: str = "220") -> str:
     path = os.path.join(base, f"{name}.wav")
     if not os.path.exists(path):
         sr = 32000
-        freq = float(name) if name.replace(".", "").isdigit() else 220.0
-        t = np.arange(sr) / sr
-        x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        x = _synth_sample(name, sr)
         pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
         with _wave.open(path, "wb") as w:
             w.setnchannels(1)
