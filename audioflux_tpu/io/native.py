@@ -28,10 +28,16 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    src = os.path.join(_root(), "native", "wavio.cpp")
-    so = os.path.join(_root(), "native", "libafio.so")
+    native_dir = os.environ.get(
+        "AFIO_NATIVE_DIR", os.path.join(_root(), "native"))
+    src = os.path.join(native_dir, "wavio.cpp")
+    so = os.path.join(native_dir, "libafio.so")
+    if not os.path.exists(src) and not os.path.exists(so):
+        _LIB = None
+        return _LIB
     try:
-        if (not os.path.exists(so)
+        if os.path.exists(src) and (
+                not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
