@@ -199,6 +199,104 @@ def matrix(rows):
           el, audio_hours, 0.299, rows)
 
 
+def baseline_configs(rows):
+    """BASELINE.json configs 1/4/5 — no published reference number, so the
+    anchors are the compiled reference C measured on this box
+    (tools/bench_ref.py, single-core; metric names say "local-C base").
+    Config 2 is the headline row; config 3 is the server cqt+chroma rows.
+    """
+    from audioflux_tpu.transforms.bft import BFT
+    from audioflux_tpu.transforms.cwt import CWT
+    from audioflux_tpu.transforms.synsq import Synsq
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+    from audioflux_tpu.mir.pitch_yin import PitchYIN
+    from audioflux_tpu.mir.hpss import HPSS
+    from audioflux_tpu.mir.onset import Onset, NoveltyParam, peak_pick
+    from audioflux_tpu.features.spectral import Spectral
+    from audioflux_tpu.types import (SpectralDataType,
+                                     SpectralFilterBankScaleType,
+                                     WaveletContinueType, WindowType)
+    S = SpectralFilterBankScaleType
+
+    # config 1: linear STFT power spectrogram, 10 s clips, fft 1024 /
+    # slide 256 / hann (C: 0.035498 s/clip on this box)
+    B = 128
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(11), (B, 10 * SR),
+                                 jnp.float32)
+    xs.block_until_ready()
+    bft_lin = BFT(num=513, radix2_exp=10, samplate=SR, slide_length=256,
+                  window_type=WindowType.HANN, scale_type=S.LINEAR,
+                  data_type=SpectralDataType.POWER)
+    bft_lin.set_result_type(1)
+    el = _time(jax.jit(lambda x: jnp.abs(bft_lin.bft(x))), xs)
+    _emit("stft-linear audio-hours/sec/chip (128x 10s, local-C base)",
+          el, B * 10 / 3600.0, B * 0.035498, rows)
+    del xs
+
+    # config 4: CWT morlet 84 scales + synsq reassignment (C segfaults at
+    # radix2_exp>=17; anchor clip is its largest working size, 2^15
+    # samples = 1.024 s at 1.3247 s/clip)
+    B = 16
+    n = 1 << 15
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(12), (B, n), jnp.float32)
+    xs.block_until_ready()
+    cwt = CWT(num=84, radix2_exp=15, samplate=SR,
+              wavelet_type=WaveletContinueType.MORLET, scale_type=S.OCTAVE)
+    fre = cwt.get_fre_band_arr()
+    sq = Synsq(num=84, radix2_exp=15, samplate=SR)
+
+    @jax.jit
+    def cwt_synsq(x):
+        # magnitude: the axon backend cannot fetch complex64 to the host
+        return jnp.abs(sq.synsq(cwt.cwt(x), S.OCTAVE, fre))
+
+    el = _time(cwt_synsq, xs)
+    _emit("cwt+synsq audio-hours/sec/chip (16x 1.024s, local-C base)",
+          el, B * n / SR / 3600.0, B * 1.3247, rows)
+    del xs
+
+    # config 5: MIR pipeline — YIN pitch + mel-flux onset + median HPSS,
+    # 30 s clips (C: 6.8315 s/clip).  Device work runs as one fused jit
+    # dispatch; onset peak-picking is sequential host logic in the
+    # reference too, so it stays on the host here (one envelope fetch).
+    B = 8
+    xs = 0.2 * jax.random.normal(jax.random.PRNGKey(13), (B, 30 * SR),
+                                 jnp.float32)
+    xs.block_until_ready()
+    yin = PitchYIN(samplate=SR, radix2_exp=12, slide_length=1024)
+    hp = HPSS(radix2_exp=11, window_type=WindowType.HAMM, slide_length=512,
+              h_order=21, p_order=31)
+    mel = MelSpectrogram(num=NUM, samplate=SR, radix2_exp=11,
+                         slide_length=512)
+    sp = Spectral(NUM, np.zeros(NUM, np.float32))
+    param = NoveltyParam()
+    on = Onset(time_length=1, fre_length=NUM, slide_length=512, samplate=SR)
+
+    @jax.jit
+    def mir_device(x):
+        fre_arr = yin._run(x)[0]
+        env = sp.flux(mel.spectrogram(x), step=param.step, p=param.p,
+                      is_positive=bool(param.is_positive),
+                      is_exp=bool(param.is_exp), tp=param.tp)
+        h, p = hp.hpss(x)
+        return fre_arr, env, h, p
+
+    def mir_pipeline(x):
+        fre_arr, env, h, p = mir_device(x)
+        for row in np.asarray(env, np.float32):
+            row = row - row.min()
+            mx = row.max()
+            if mx > 0:
+                row = row / mx
+            peak_pick(row, on.pre_max, on.post_max, on.pre_avg,
+                      on.post_avg, on.wait, on.delta)
+        return fre_arr, h
+
+    el = _time(mir_pipeline, xs, reps=5)
+    _emit("mir yin+onset+hpss audio-hours/sec/chip (8x 30s, local-C base)",
+          el, B * 30 / 3600.0, B * 6.8315, rows)
+
+
 # perf-regression gate: fail the bench if the headline throughput drops
 # more than 15% below the best recorded value (update deliberately when
 # the kernel genuinely improves)
@@ -211,6 +309,7 @@ def main():
     row = headline(rows)
     if want_matrix:
         matrix(rows)
+        baseline_configs(rows)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
     if row["value"] < 0.85 * HEADLINE_FLOOR:
