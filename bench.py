@@ -20,6 +20,7 @@ feature rows Mel/MFCC/CQT/Chroma on 1000x128ms clips,
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,17 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the first fs4 compile over the axon tunnel
+# costs minutes; caching it makes repeated runs (driver round-end +
+# --matrix) start fast.  Harmless no-op if the backend can't serialize
+# executables (JAX skips caching with a log line).
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 SR = 32000
 NUM = 128
