@@ -62,8 +62,14 @@ def test_two_process_equals_single(tmp_path):
         os.path.dirname(os.path.abspath(__file__)))})
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # grab a free port (bind 0, close) instead of a fixed one — a stale
+    # worker or a concurrent suite on a fixed port hangs the coordinator
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), "2", "12377"],
+        [sys.executable, str(script), str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for i in range(2)]
     outs = []
