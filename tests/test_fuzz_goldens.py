@@ -1,0 +1,44 @@
+"""Randomized BFT parameter-space parity vs the reference C.
+
+36 seeded-random configurations across scale x style x norm x window x
+fft x slide x data-type (``tools/gen_goldens.py`` ``fuzz_bft`` group,
+seed 20260818).  The fixed-case goldens pin known configurations; these
+catch regressions off the beaten path (odd slides, small ffts, every
+window, style/norm combinations).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_close_to_golden
+
+from audioflux_tpu.transforms.bft import BFT
+from audioflux_tpu.types import (SpectralDataType,
+                                 SpectralFilterBankNormalType,
+                                 SpectralFilterBankScaleType,
+                                 SpectralFilterBankStyleType, WindowType)
+
+N_CASES = 36
+
+
+@pytest.mark.parametrize("i", range(N_CASES))
+def test_fuzz_bft_case(goldens, signals, i):
+    g = goldens("fuzz_bft")
+    p = json.loads(str(g[f"c{i}_params"]))
+    x = signals["sine"][:8000]
+    bft = BFT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+              low_fre=p["low"], high_fre=p["high"],
+              bin_per_octave=p["bpo"],
+              window_type=WindowType(p["window"]),
+              slide_length=p["slide"],
+              scale_type=SpectralFilterBankScaleType(p["scale"]),
+              style_type=SpectralFilterBankStyleType(p["style"]),
+              normal_type=SpectralFilterBankNormalType(p["norm"]),
+              data_type=SpectralDataType(p["data"]))
+    out = np.abs(np.asarray(bft.bft(x, result_type=1)))
+    assert_close_to_golden(out, g[f"c{i}_arr"], 2e-4, f"fuzz_bft[{i}] {p}")
+    np.testing.assert_allclose(np.asarray(bft.get_fre_band_arr(), np.float32),
+                               g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
+                               err_msg=f"fuzz_bft[{i}] fre {p}")

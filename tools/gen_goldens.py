@@ -711,6 +711,103 @@ def gen_deep(af):
     save("deep", **out)
 
 
+# ---------------------------------------------------------------------------
+# Randomized BFT parameter-space fuzz (fixed seed, one subprocess per case).
+# The fixed-case goldens pin known configurations; this walks the
+# scale x style x norm x window x fft x slide x data-type space so
+# regressions off the beaten path get caught too.  CHROMA/DEEP scales are
+# excluded: this package routes them through the Spectrogram hub, not BFT.
+
+def fuzz_bft_params(n=36, seed=20260818):
+    rng = np.random.default_rng(seed)
+    sr = 32000
+    space = [  # (scale, style pool, norm pool)
+        (0, [0], [0]),                             # LINEAR
+        (1, [0], [0]),                             # LINSPACE
+        (2, [0, 1, 3, 4, 5, 6, 10], [0, 1, 2]),    # MEL
+        (3, [0, 1, 3, 4, 5, 6, 10], [0, 1, 2]),    # BARK
+        (4, [0, 2], [0, 1, 2]),                    # ERB
+        (5, [0], [0]),                             # OCTAVE
+        (6, [0], [0]),                             # LOG
+    ]
+    cases = []
+    for _ in range(n):
+        scale, styles, norms = space[int(rng.integers(len(space)))]
+        # OCTAVE/LOG at fft<=1024 segfault the reference C (its log-scale
+        # filterbank writes out of bounds); stay where it survives
+        r2e = int(rng.choice([11, 12] if scale >= 5 else [9, 10, 11, 12]))
+        fft = 1 << r2e
+        p = dict(scale=scale, style=int(rng.choice(styles)),
+                 norm=int(rng.choice(norms)), r2e=r2e,
+                 slide=int(rng.choice([fft // 4, fft // 2, 500])),
+                 window=int(rng.integers(14)),
+                 data=int(rng.integers(2)), bpo=12)
+        if scale == 0:
+            low, high = [(0.0, sr / 2.0), (100.0, 8000.0),
+                         (500.0, 12000.0)][int(rng.integers(3))]
+            det = np.float32(sr) / np.float32(fft)
+            num = (int(np.round(np.float32(high) / det))
+                   - int(np.round(np.float32(low) / det)) + 1)
+            p.update(num=num, low=low, high=high)
+        elif scale == 1:
+            # high stays off sr/2: bands touching the Nyquist edge make
+            # the reference write one float past its filterbank buffer
+            # (auditory_filterBank.c:402-404) and corrupt the heap
+            p.update(num=int(rng.choice([32, 64, 96])),
+                     low=float(rng.choice([0.0, 100.0, 500.0])),
+                     high=float(rng.choice([8000.0, 12000.0, 15000.0])))
+        elif scale in (2, 3, 4):
+            p.update(num=int(rng.choice([26, 64, 128])),
+                     low=float(rng.choice([0.0, 50.0])),
+                     high=float(rng.choice([8000.0, 15000.0])))
+        elif scale == 5:
+            p.update(num=int(rng.choice([60, 84])), low=32.703, high=16000.0)
+        else:
+            p.update(num=84, low=32.703, high=16000.0)
+        cases.append(p)
+    return cases
+
+
+def gen_fuzz_bft_case(i):
+    import json
+    af = _setup_reference()
+    p = fuzz_bft_params()[i]
+    # the noisy sine: broadband energy so every sub-band comparison has
+    # real signal (the chord's partials sit below some fuzzed band edges)
+    x = signals()["sine"][:8000]
+    T = af.type
+    bft = af.BFT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+                 low_fre=p["low"], high_fre=p["high"],
+                 bin_per_octave=p["bpo"],
+                 window_type=T.WindowType(p["window"]),
+                 slide_length=p["slide"],
+                 scale_type=T.SpectralFilterBankScaleType(p["scale"]),
+                 style_type=T.SpectralFilterBankStyleType(p["style"]),
+                 normal_type=T.SpectralFilterBankNormalType(p["norm"]),
+                 data_type=T.SpectralDataType(p["data"]))
+    arr = np.abs(bft.bft(x, result_type=1)).astype(np.float32)
+    save(f"_fuzzbft{i}", arr=arr,
+         fre=np.asarray(bft.get_fre_band_arr(), np.float32),
+         params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_bft():
+    import subprocess
+    out = {}
+    for i in range(len(fuzz_bft_params())):
+        path = os.path.join(GOLDEN_DIR, f"_fuzzbft{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzzbft{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"fuzz bft case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_bft", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -732,6 +829,7 @@ GROUPS = {
     "mir2": gen_mir2,
     "deep": gen_deep,
     "vqt": gen_vqt,
+    "fuzz_bft": lambda af: gen_fuzz_bft(),
 }
 
 
@@ -741,6 +839,9 @@ def main():
         groups = list(GROUPS)
     if len(groups) == 1 and groups[0].startswith("_fbcase"):
         gen_filterbank_case(int(groups[0][7:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzbft"):
+        gen_fuzz_bft_case(int(groups[0][8:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
