@@ -89,8 +89,15 @@ def cqt_filter_bank(fre, samplate, bin_per_octave, normal_type, window_type,
         elif norm == SpectralFilterBankNormalType.BAND_WIDTH:
             fg = fre if fre_global is None else fre_global
             j = offset + i
-            lo = fg[max(j - 1, 0)]
-            hi = fg[j + 1] if j + 1 < len(fg) else fg[j]
+            # the C reads neighbors in the GLOBAL band array without
+            # bounds checks (cqt_filterBank.c:319-321); that array is
+            # allocated num+2 long (cqt_calFreArr, __vnew(num+2)) with
+            # calloc zeros past [num-1], so the top band's "next"
+            # frequency is 0 and its weight is negative — reproduced
+            # exactly.  j==0 (single-octave bank) would read heap garbage
+            # before the buffer in the C; we use 0 there instead.
+            lo = fg[j - 1] if j >= 1 else 0.0
+            hi = fg[j + 1] if j + 1 < len(fg) else 0.0
             k = k / ((hi - lo) / 2.0)
         k = k * (flen / fft_length)
         start = (fft_length - L) // 2
@@ -179,19 +186,39 @@ class CQTBase:
         self._d_len = np.sqrt(np.power(2.0, np.arange(self.octave_num))
                               ).astype(np.float32)
 
-        # One shared kernel for every octave: at octave k's halved rate the
+        # Shared kernel for every octave: at octave k's halved rate the
         # phase f/sr and window length both equal the top octave's, so the
-        # reference's per-octave VQT kernels are numerically identical to the
+        # reference's per-octave kernels are numerically identical to the
         # top-octave kernel (cqt_filterBank.c:95-125 with samplate/=2 and
-        # freBandArr scaled by the same 2^k). beta only changes lenArr/sLen.
+        # freBandArr scaled by the same 2^k).  EXCEPT when beta>0: the C
+        # then flips to its vFlag/VQT path (cqt_algorithm.c:188-193,
+        # 1238-1245) and builds all num bands — the per-octave kernels
+        # still share phases/windows (same top-octave lenArr is passed to
+        # every octave), but the BAND_WIDTH weight reads each octave's own
+        # UNscaled neighbor frequencies, so those kernels scale by 2^k and
+        # their sparsity masks differ.  Build per octave in that case.
         top_fre = self.fre_band_arr[top:]
         top_lens = _len_arr(top_fre, samplate, bin_per_octave,
                             self.factor, self.beta)
-        self._kernels = [cqt_filter_bank(
-            top_fre, samplate, bin_per_octave, self.normal_type,
-            self.window_type, self.factor, self.beta, self.thresh,
-            top_lens, self.fft_length,
-            fre_global=self.fre_band_arr, offset=top)] * self.octave_num
+        if self.beta > 0:
+            srs = samplate
+            kernels = [None] * self.octave_num
+            for i in range(self.octave_num - 1, -1, -1):
+                kernels[i] = cqt_filter_bank(
+                    self.fre_band_arr[i * bin_per_octave:
+                                      (i + 1) * bin_per_octave],
+                    srs, bin_per_octave, self.normal_type,
+                    self.window_type, self.factor, self.beta, self.thresh,
+                    top_lens, self.fft_length,
+                    fre_global=self.fre_band_arr, offset=i * bin_per_octave)
+                srs //= 2
+            self._kernels = kernels
+        else:
+            self._kernels = [cqt_filter_bank(
+                top_fre, samplate, bin_per_octave, self.normal_type,
+                self.window_type, self.factor, self.beta, self.thresh,
+                top_lens, self.fft_length,
+                fre_global=self.fre_band_arr, offset=top)] * self.octave_num
 
         # cross-call tail carry (cqtObj isContinue: one carry at the top
         # of the multirate chain, right-padded framing; the per-call chain

@@ -21,6 +21,7 @@ from audioflux_tpu.types import (SpectralDataType,
                                  SpectralFilterBankStyleType, WindowType)
 
 N_CASES = 36
+N_CQT_CASES = 16
 
 
 @pytest.mark.parametrize("i", range(N_CASES))
@@ -42,3 +43,23 @@ def test_fuzz_bft_case(goldens, signals, i):
     np.testing.assert_allclose(np.asarray(bft.get_fre_band_arr(), np.float32),
                                g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
                                err_msg=f"fuzz_bft[{i}] fre {p}")
+
+
+@pytest.mark.parametrize("i", range(N_CQT_CASES))
+def test_fuzz_cqt_case(goldens, signals, i):
+    from audioflux_tpu.transforms.cqt import CQT
+    g = goldens("fuzz_cqt")
+    p = json.loads(str(g[f"c{i}_params"]))
+    x = signals["sine"]
+    obj = CQT(num=p["num"], samplate=32000, low_fre=p["low"],
+              bin_per_octave=p["bpo"], factor=p["factor"], beta=p["beta"],
+              thresh=p["thresh"], window_type=WindowType(p["window"]),
+              normal_type=SpectralFilterBankNormalType(p["normal"]),
+              is_scale=p["is_scale"])
+    mag = np.abs(np.asarray(obj.cqt(x)))
+    # the 7-octave multirate chain accumulates resampler drift; matches
+    # the fixed-case cqt golden tolerance
+    assert_close_to_golden(mag, g[f"c{i}_mag"], 5e-4, f"fuzz_cqt[{i}] {p}")
+    np.testing.assert_allclose(np.asarray(obj.get_fre_band_arr(), np.float32),
+                               g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
+                               err_msg=f"fuzz_cqt[{i}] fre {p}")

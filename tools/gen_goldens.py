@@ -808,6 +808,66 @@ def gen_fuzz_bft():
     save("fuzz_bft", **out)
 
 
+def fuzz_cqt_params(n=16, seed=60818):
+    """Seeded random walk over the CQT/VQT parameter space.
+
+    Constraints mirror the reference wrapper: bpo in {12,24,36}, num a
+    multiple of bpo, top frequency low*2^(num/bpo) under samplate/2.
+    """
+    rng = np.random.default_rng(seed)
+    cases = []
+    while len(cases) < n:
+        bpo = int(rng.choice([12, 24, 36]))
+        octaves = int(rng.integers(4, 8))
+        low = float(rng.choice([32.703, 55.0, 65.41]))
+        if low * (2.0 ** octaves) >= 16000.0:
+            continue
+        cases.append(dict(
+            num=bpo * octaves, bpo=bpo, low=low,
+            window=int(rng.integers(14)),
+            normal=int(rng.integers(3)),
+            is_scale=bool(rng.integers(2)),
+            beta=float(rng.choice([0.0, 0.0, 0.5])),
+            thresh=float(rng.choice([0.01, 0.0005])),
+            factor=1.0))
+    return cases
+
+
+def gen_fuzz_cqt_case(i):
+    import json
+    af = _setup_reference()
+    p = fuzz_cqt_params()[i]
+    x = signals()["sine"]
+    T = af.type
+    obj = af.CQT(num=p["num"], samplate=32000, low_fre=p["low"],
+                 bin_per_octave=p["bpo"], factor=p["factor"],
+                 beta=p["beta"], thresh=p["thresh"],
+                 window_type=T.WindowType(p["window"]),
+                 normal_type=T.SpectralFilterBankNormalType(p["normal"]),
+                 is_scale=p["is_scale"])
+    C = obj.cqt(x)
+    save(f"_fuzzcqt{i}", mag=np.abs(C).astype(np.float32),
+         fre=np.asarray(obj.get_fre_band_arr(), np.float32),
+         params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_cqt():
+    import subprocess
+    out = {}
+    for i in range(len(fuzz_cqt_params())):
+        path = os.path.join(GOLDEN_DIR, f"_fuzzcqt{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzzcqt{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"fuzz cqt case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_cqt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -830,6 +890,7 @@ GROUPS = {
     "deep": gen_deep,
     "vqt": gen_vqt,
     "fuzz_bft": lambda af: gen_fuzz_bft(),
+    "fuzz_cqt": lambda af: gen_fuzz_cqt(),
 }
 
 
@@ -842,6 +903,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzbft"):
         gen_fuzz_bft_case(int(groups[0][8:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzcqt"):
+        gen_fuzz_cqt_case(int(groups[0][8:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
