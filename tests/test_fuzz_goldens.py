@@ -63,3 +63,29 @@ def test_fuzz_cqt_case(goldens, signals, i):
     np.testing.assert_allclose(np.asarray(obj.get_fre_band_arr(), np.float32),
                                g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
                                err_msg=f"fuzz_cqt[{i}] fre {p}")
+
+
+N_NSGT_CASES = 12
+
+
+@pytest.mark.parametrize("i", range(N_NSGT_CASES))
+def test_fuzz_nsgt_case(goldens, signals, i):
+    from audioflux_tpu.transforms.nsgt import NSGT, NSGTFilterBankType
+    g = goldens("fuzz_nsgt")
+    p = json.loads(str(g[f"c{i}_params"]))
+    x = signals["sine"][:1 << p["r2e"]]
+    obj = NSGT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+               low_fre=p["low"], high_fre=p["high"],
+               bin_per_octave=p["bpo"], min_len=p["min_len"],
+               nsgt_filter_bank_type=NSGTFilterBankType(p["bank"]),
+               scale_type=SpectralFilterBankScaleType(p["scale"]),
+               style_type=SpectralFilterBankStyleType(p["style"]),
+               normal_type=SpectralFilterBankNormalType(p["norm"]))
+    mag = np.abs(np.asarray(obj.nsgt(x)))
+    assert_close_to_golden(mag, g[f"c{i}_mag"], 2e-4, f"fuzz_nsgt[{i}] {p}")
+    np.testing.assert_array_equal(
+        np.asarray(obj.get_time_length_arr(), np.int64), g[f"c{i}_lens"],
+        err_msg=f"fuzz_nsgt[{i}] lens {p}")
+    np.testing.assert_allclose(np.asarray(obj.get_fre_band_arr(), np.float32),
+                               g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
+                               err_msg=f"fuzz_nsgt[{i}] fre {p}")

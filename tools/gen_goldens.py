@@ -868,6 +868,68 @@ def gen_fuzz_cqt():
     save("fuzz_cqt", **out)
 
 
+def fuzz_nsgt_params(n=12, seed=70818):
+    """Seeded random walk over NSGT's space (styles minus GAMMATONE,
+    norms NONE/BAND_WIDTH per the reference wrapper's own checks)."""
+    rng = np.random.default_rng(seed)
+    cases = []
+    for _ in range(n):
+        scale = int(rng.choice([0, 1, 2, 3, 4, 5, 6]))
+        r2e = int(rng.choice([11, 12]))
+        p = dict(scale=scale, r2e=r2e,
+                 bank=int(rng.integers(2)),
+                 style=int(rng.choice([0, 5, 10])),
+                 norm=int(rng.choice([0, 2])),
+                 min_len=int(rng.choice([3, 8])), bpo=12)
+        if scale in (0, 1):
+            p.update(num=64, low=100.0, high=8000.0)
+        elif scale in (2, 3, 4):
+            p.update(num=int(rng.choice([32, 64])),
+                     low=float(rng.choice([0.0, 50.0])),
+                     high=float(rng.choice([8000.0, 15000.0])))
+        else:
+            p.update(num=84, low=32.703, high=16000.0)
+        cases.append(p)
+    return cases
+
+
+def gen_fuzz_nsgt_case(i):
+    import json
+    af = _setup_reference()
+    p = fuzz_nsgt_params()[i]
+    x = signals()["sine"][:1 << p["r2e"]]
+    T = af.type
+    obj = af.NSGT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+                  low_fre=p["low"], high_fre=p["high"],
+                  bin_per_octave=p["bpo"], min_len=p["min_len"],
+                  nsgt_filter_bank_type=T.NSGTFilterBankType(p["bank"]),
+                  scale_type=T.SpectralFilterBankScaleType(p["scale"]),
+                  style_type=T.SpectralFilterBankStyleType(p["style"]),
+                  normal_type=T.SpectralFilterBankNormalType(p["norm"]))
+    C = obj.nsgt(x)
+    save(f"_fuzznsgt{i}", mag=np.abs(C).astype(np.float32),
+         fre=np.asarray(obj.get_fre_band_arr(), np.float32),
+         lens=np.asarray(obj.get_time_length_arr(), np.int64),
+         params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_nsgt():
+    import subprocess
+    out = {}
+    for i in range(len(fuzz_nsgt_params())):
+        path = os.path.join(GOLDEN_DIR, f"_fuzznsgt{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzznsgt{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"fuzz nsgt case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_nsgt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -891,6 +953,7 @@ GROUPS = {
     "vqt": gen_vqt,
     "fuzz_bft": lambda af: gen_fuzz_bft(),
     "fuzz_cqt": lambda af: gen_fuzz_cqt(),
+    "fuzz_nsgt": lambda af: gen_fuzz_nsgt(),
 }
 
 
@@ -906,6 +969,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzcqt"):
         gen_fuzz_cqt_case(int(groups[0][8:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzznsgt"):
+        gen_fuzz_nsgt_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
