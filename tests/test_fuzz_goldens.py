@@ -89,3 +89,24 @@ def test_fuzz_nsgt_case(goldens, signals, i):
     np.testing.assert_allclose(np.asarray(obj.get_fre_band_arr(), np.float32),
                                g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
                                err_msg=f"fuzz_nsgt[{i}] fre {p}")
+
+
+N_DWT_CASES = 51
+
+
+@pytest.mark.parametrize("i", range(N_DWT_CASES))
+def test_dwt_every_wavelet(goldens, signals, i):
+    """Full coef-table sweep: 5-level DWT vs the C for all 51 wavelets."""
+    from audioflux_tpu.transforms.dwt import DWT
+    from audioflux_tpu.types import WaveletDiscreteType
+    g = goldens("fuzz_dwt")
+    wt, t1, t2, name = str(g[f"c{i}_params"]).split(",")
+    x = signals["sine"][:1024]
+    obj = DWT(num=5, radix2_exp=10, samplate=32000,
+              wavelet_type=WaveletDiscreteType(int(wt)),
+              t1=int(t1), t2=int(t2))
+    coef, m = obj.dwt(x)
+    assert_close_to_golden(np.asarray(coef), g[f"c{i}_coef"], 5e-5,
+                           f"dwt_{name}_coef")
+    assert_close_to_golden(np.asarray(m), g[f"c{i}_m"], 5e-5,
+                           f"dwt_{name}_m")

@@ -930,6 +930,57 @@ def gen_fuzz_nsgt():
     save("fuzz_nsgt", **out)
 
 
+# Full per-wavelet DWT sweep: every wavelet in the coef table, driven
+# through dwtObj_* ctypes (the reference Python DWT wrapper marshals
+# samplate where the C expects waveletType*, so it cannot select
+# wavelets itself).  Same list as tools/gen_wavelet_coefs.py.
+_DWT_SWEEP = [(0, 0, 0, "haar")]
+_DWT_SWEEP += [(1, t, 0, f"db{t}") for t in list(range(2, 11)) + [20, 30, 40]]
+_DWT_SWEEP += [(2, t, 0, f"sym{t}") for t in list(range(2, 11)) + [20, 30]]
+_DWT_SWEEP += [(3, t, 0, f"coif{t}") for t in range(1, 6)]
+_DWT_SWEEP += [(4, t, 0, f"fk{t}") for t in (4, 6, 8, 14, 18, 22)]
+_DWT_SWEEP += [(5, a, b, f"bior{a}.{b}") for (a, b) in
+               [(1, 1), (1, 3), (1, 5), (2, 2), (2, 4), (2, 6), (2, 8),
+                (3, 1), (3, 3), (3, 5), (3, 7), (3, 9), (4, 4), (5, 5),
+                (6, 8)]]
+_DWT_SWEEP += [(6, 0, 0, "dmey")]
+
+
+def gen_fuzz_dwt_case(i):
+    wt, t1, t2, name = _DWT_SWEEP[i]
+    x = signals()["sine"][:1024]
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    o = ctypes.c_void_p()
+    lib["dwtObj_new"](ctypes.byref(o), ctypes.c_int(5), ctypes.c_int(10),
+                      ctypes.byref(ctypes.c_int(wt)),
+                      ctypes.byref(ctypes.c_int(t1)),
+                      ctypes.byref(ctypes.c_int(t2)))
+    coef = np.zeros(1024, np.float32)
+    m = np.zeros((5, 1024), np.float32)
+    lib["dwtObj_dwt"](o, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      coef.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    save(f"_fuzzdwt{i}", coef=coef, m=m,
+         params=np.array(f"{wt},{t1},{t2},{name}"))
+
+
+def gen_fuzz_dwt():
+    import subprocess
+    out = {}
+    for i in range(len(_DWT_SWEEP)):
+        path = os.path.join(GOLDEN_DIR, f"_fuzzdwt{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzzdwt{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"dwt sweep case {i} ({_DWT_SWEEP[i]}) failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_dwt", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -954,6 +1005,7 @@ GROUPS = {
     "fuzz_bft": lambda af: gen_fuzz_bft(),
     "fuzz_cqt": lambda af: gen_fuzz_cqt(),
     "fuzz_nsgt": lambda af: gen_fuzz_nsgt(),
+    "fuzz_dwt": lambda af: gen_fuzz_dwt(),
 }
 
 
@@ -972,6 +1024,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzznsgt"):
         gen_fuzz_nsgt_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzdwt"):
+        gen_fuzz_dwt_case(int(groups[0][8:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
