@@ -92,6 +92,41 @@ def test_fuzz_nsgt_case(goldens, signals, i):
 
 
 N_DWT_CASES = 51
+N_WAVELET_CASES = 14  # 6 CWT gamma/beta variations + 8 PWT scale/style/norm
+
+
+@pytest.mark.parametrize("i", range(N_WAVELET_CASES))
+def test_fuzz_wavelet_case(goldens, signals, i):
+    from audioflux_tpu.transforms.cwt import CWT
+    from audioflux_tpu.transforms.pwt import PWT
+    from audioflux_tpu.types import WaveletContinueType
+    g = goldens("fuzz_wavelet")
+    p = json.loads(str(g[f"c{i}_params"]))
+    S = SpectralFilterBankScaleType
+    if "wavelet" in p:
+        x = signals["sine"][:1 << p["r2e"]]
+        obj = CWT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+                  low_fre=p.get("low"), high_fre=p.get("high"),
+                  wavelet_type=getattr(WaveletContinueType, p["wavelet"]),
+                  scale_type=getattr(S, p["scale"]),
+                  gamma=p["gamma"], beta=p["beta"])
+        C = np.asarray(obj.cwt(x))
+    else:
+        x = signals["sine"][:4096]
+        obj = PWT(num=p["num"], radix2_exp=12, samplate=32000,
+                  low_fre=p.get("low"), high_fre=p.get("high"),
+                  scale_type=getattr(S, p["scale"]),
+                  style_type=getattr(SpectralFilterBankStyleType,
+                                     p["style"]),
+                  normal_type=getattr(SpectralFilterBankNormalType,
+                                      p["norm"]))
+        C = np.asarray(obj.pwt(x))
+    ref = g[f"c{i}_re"] + 1j * g[f"c{i}_im"]
+    assert_close_to_golden(C.real, ref.real, 2e-4, f"fuzz_wave[{i}] re {p}")
+    assert_close_to_golden(C.imag, ref.imag, 2e-4, f"fuzz_wave[{i}] im {p}")
+    np.testing.assert_allclose(np.asarray(obj.get_fre_band_arr(), np.float32),
+                               g[f"c{i}_fre"], rtol=2e-5, atol=2e-3,
+                               err_msg=f"fuzz_wave[{i}] fre {p}")
 
 
 @pytest.mark.parametrize("i", range(N_DWT_CASES))

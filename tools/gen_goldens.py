@@ -981,6 +981,89 @@ def gen_fuzz_dwt():
     save("fuzz_dwt", **out)
 
 
+# CWT gamma/beta variations + PWT scale/style/norm sweep (the fixed-case
+# cwt/pwt goldens only exercise default wavelet parameters and 2 scales).
+_CWT_PARAM_CASES = [
+    dict(wavelet="MORSE", gamma=3.0, beta=10.0, scale="OCTAVE", num=84,
+         r2e=12),
+    dict(wavelet="MORSE", gamma=2.0, beta=45.0, scale="OCTAVE", num=84,
+         r2e=12),
+    dict(wavelet="MORLET", gamma=8.0, beta=2.0, scale="OCTAVE", num=84,
+         r2e=12),
+    dict(wavelet="DOG", gamma=4.0, beta=None, scale="OCTAVE", num=84,
+         r2e=12),
+    dict(wavelet="MORSE", gamma=None, beta=None, scale="LINEAR", num=64,
+         r2e=11, low=100.0, high=8000.0),
+    dict(wavelet="MORLET", gamma=None, beta=None, scale="MEL", num=64,
+         r2e=11),
+]
+_PWT_CASES = [
+    dict(scale="LINEAR", style="SLANEY", norm="NONE", num=64, low=100.0,
+         high=8000.0),
+    # LINSPACE + window styles (HANN/GAUSS/...) segfault the reference
+    # PWT bank generator on this box; SLANEY is its only surviving style
+    dict(scale="LINSPACE", style="SLANEY", norm="NONE", num=64, low=100.0,
+         high=8000.0),
+    dict(scale="BARK", style="SLANEY", norm="NONE", num=64),
+    dict(scale="ERB", style="GAUSS", norm="NONE", num=64),
+    dict(scale="OCTAVE", style="HANN", norm="BAND_WIDTH", num=84),
+    dict(scale="LOG", style="SLANEY", norm="NONE", num=84),
+    dict(scale="OCTAVE", style="SLANEY", norm="AREA", num=84),
+    dict(scale="MEL", style="HAMM", norm="NONE", num=64),
+]
+
+
+def gen_fuzz_wavelet_case(i):
+    import json
+    af = _setup_reference()
+    x = signals()["sine"][:4096]
+    T = af.type
+    S = T.SpectralFilterBankScaleType
+    if i < len(_CWT_PARAM_CASES):
+        p = dict(_CWT_PARAM_CASES[i])
+        x = signals()["sine"][:1 << p["r2e"]]
+        obj = af.CWT(num=p["num"], radix2_exp=p["r2e"], samplate=32000,
+                     low_fre=p.get("low"), high_fre=p.get("high"),
+                     wavelet_type=getattr(T.WaveletContinueType,
+                                          p["wavelet"]),
+                     scale_type=getattr(S, p["scale"]),
+                     gamma=p["gamma"], beta=p["beta"])
+        C = obj.cwt(x)
+    else:
+        p = dict(_PWT_CASES[i - len(_CWT_PARAM_CASES)])
+        p["r2e"] = 12
+        obj = af.PWT(num=p["num"], radix2_exp=12, samplate=32000,
+                     low_fre=p.get("low"), high_fre=p.get("high"),
+                     scale_type=getattr(S, p["scale"]),
+                     style_type=getattr(T.SpectralFilterBankStyleType,
+                                        p["style"]),
+                     normal_type=getattr(T.SpectralFilterBankNormalType,
+                                         p["norm"]))
+        C = obj.pwt(x)
+    save(f"_fuzzwave{i}", re=C.real.astype(np.float32),
+         im=C.imag.astype(np.float32),
+         fre=np.asarray(obj.get_fre_band_arr(), np.float32),
+         params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_wavelet():
+    import subprocess
+    out = {}
+    n = len(_CWT_PARAM_CASES) + len(_PWT_CASES)
+    for i in range(n):
+        path = os.path.join(GOLDEN_DIR, f"_fuzzwave{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzzwave{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"wavelet sweep case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_wavelet", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1006,6 +1089,7 @@ GROUPS = {
     "fuzz_cqt": lambda af: gen_fuzz_cqt(),
     "fuzz_nsgt": lambda af: gen_fuzz_nsgt(),
     "fuzz_dwt": lambda af: gen_fuzz_dwt(),
+    "fuzz_wavelet": lambda af: gen_fuzz_wavelet(),
 }
 
 
@@ -1027,6 +1111,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzdwt"):
         gen_fuzz_dwt_case(int(groups[0][8:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzwave"):
+        gen_fuzz_wavelet_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
