@@ -95,6 +95,27 @@ N_DWT_CASES = 51
 N_WAVELET_CASES = 14  # 6 CWT gamma/beta variations + 8 PWT scale/style/norm
 
 
+@pytest.mark.parametrize("name", ["blocks", "sparse"])
+def test_fuzz_edge_arr(goldens, name):
+    """Non-contiguous set_edge_arr band subsets vs the C."""
+    from audioflux_tpu.features.spectral import Spectral
+    g = goldens("fuzz_edges")
+    spec = g["in_spec"]
+    sp = Spectral(128, g["in_fre"])
+    sp.set_edge_arr(g[f"{name}_idx"].astype(np.int64))
+    for feat, kw in (("centroid", {}), ("spread", {}), ("hfc", {}),
+                     ("rms", {}), ("flux", {}),
+                     ("entropy", {"is_norm": True}), ("eef", {})):
+        ours = np.asarray(getattr(sp, feat)(spec, **kw))
+        assert_close_to_golden(ours, g[f"{name}_{feat}"], 2e-4,
+                               f"edge_{name}_{feat}")
+    v, f = sp.max(spec)
+    assert_close_to_golden(np.asarray(v), g[f"{name}_max_v"], 2e-4,
+                           f"edge_{name}_max_v")
+    assert_close_to_golden(np.asarray(f), g[f"{name}_max_f"], 2e-4,
+                           f"edge_{name}_max_f")
+
+
 @pytest.mark.parametrize("i", range(N_WAVELET_CASES))
 def test_fuzz_wavelet_case(goldens, signals, i):
     from audioflux_tpu.transforms.cwt import CWT

@@ -1064,6 +1064,39 @@ def gen_fuzz_wavelet():
     save("fuzz_wavelet", **out)
 
 
+def gen_fuzz_edges(af):
+    """Non-contiguous band subsets: spectralObj_setEdgeArr golden cases
+    (the fixed spectral goldens only exercise the contiguous set_edge)."""
+    sigs = signals()
+    out = {}
+    x = sigs["sine"]
+    mel = af.MelSpectrogram(num=128, samplate=32000, radix2_exp=11,
+                            slide_length=512)
+    spec = mel.spectrogram(x)
+    fre = mel.get_fre_band_arr()
+    out["in_spec"] = spec
+    out["in_fre"] = fre
+    edges = {
+        "blocks": np.r_[5:15, 40:45, 100:110].astype(np.int32),
+        "sparse": np.array([2, 7, 19, 53, 88, 120], np.int32),
+    }
+    for name, idx in edges.items():
+        sp = af.Spectral(num=128, fre_band_arr=fre)
+        sp.set_time_length(spec.shape[-1])
+        sp.set_edge_arr(idx)
+        out[f"{name}_idx"] = idx
+        out[f"{name}_centroid"] = sp.centroid(spec)
+        out[f"{name}_spread"] = sp.spread(spec)
+        out[f"{name}_hfc"] = sp.hfc(spec)
+        out[f"{name}_rms"] = sp.rms(spec)
+        out[f"{name}_flux"] = sp.flux(spec)
+        out[f"{name}_entropy"] = sp.entropy(spec, is_norm=True)
+        out[f"{name}_eef"] = sp.eef(spec)
+        v, f = sp.max(spec)
+        out[f"{name}_max_v"], out[f"{name}_max_f"] = v, f
+    save("fuzz_edges", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1090,6 +1123,7 @@ GROUPS = {
     "fuzz_nsgt": lambda af: gen_fuzz_nsgt(),
     "fuzz_dwt": lambda af: gen_fuzz_dwt(),
     "fuzz_wavelet": lambda af: gen_fuzz_wavelet(),
+    "fuzz_edges": gen_fuzz_edges,
 }
 
 
