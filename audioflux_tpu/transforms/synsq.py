@@ -53,9 +53,13 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order):
     # synsq_algorithm.c:155), C unwrap, forward diff / 2pi
     phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
     ph = _c_unwrap(phase)
-    # backward diff stored at j, first column 0 (__mdiff2 axis=1 semantics)
+    # backward diff stored at j, first column 0 (__mdiff2 axis=1
+    # semantics); the C then overwrites the LAST column with the
+    # second-to-last (synsq_algorithm.c:191-193), so the final two
+    # phase-rate columns are identical
     d = ph[..., 1:] - ph[..., :-1]
-    d = jnp.concatenate([jnp.zeros_like(d[..., :1]), d], axis=-1) / (2 * np.pi)
+    d = jnp.concatenate([jnp.zeros_like(d[..., :1]),
+                         d[..., :-1], d[..., -2:-1]], axis=-1) / (2 * np.pi)
 
     v = jnp.abs(d)
     f = fre_arr / samplate

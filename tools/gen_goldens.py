@@ -1097,6 +1097,57 @@ def gen_fuzz_edges(af):
     save("fuzz_edges", **out)
 
 
+def gen_fuzz_reassign(af):
+    """Reassign re_type x window x padding sweep (fixed goldens only pin
+    ALL and FRE with hann, no padding) + Synsq order=2 composition."""
+    import json
+    sigs = signals()
+    out = {}
+    x = sigs["sine"][:8192]
+    T = af.type
+    cases = [
+        dict(re_type="TIME", window="HANN", pad=False, r2e=11, slide=512),
+        dict(re_type="NONE", window="HANN", pad=False, r2e=11, slide=512),
+        dict(re_type="ALL", window="HAMM", pad=True, r2e=11, slide=512),
+        dict(re_type="FRE", window="BLACKMAN", pad=False, r2e=10,
+             slide=256),
+        dict(re_type="ALL", window="RECT", pad=False, r2e=11, slide=500),
+    ]
+    for i, p in enumerate(cases):
+        rs = af.Reassign(radix2_exp=p["r2e"], samplate=32000,
+                         window_type=getattr(T.WindowType, p["window"]),
+                         slide_length=p["slide"],
+                         re_type=getattr(T.ReassignType, p["re_type"]),
+                         thresh=0.001, is_padding=p["pad"])
+        D, _ = rs.reassign(x)
+        out[f"c{i}_re"] = D.real.astype(np.float32)
+        out[f"c{i}_im"] = D.imag.astype(np.float32)
+        out[f"c{i}_params"] = np.array(json.dumps(p))
+
+    # synsq order composition (fixed golden pins order=1 only)
+    S = T.SpectralFilterBankScaleType
+    W = T.WaveletContinueType
+    cwt = af.CWT(num=84, radix2_exp=12, samplate=32000,
+                 wavelet_type=W.MORSE, scale_type=S.OCTAVE)
+    # clean 2-tone input: on noisy signals the unwrapped-phase rows
+    # drift thousands of radians and the rounded reassignment index
+    # becomes sensitive to the C's double-internal/float-stored unwrap
+    # arithmetic (same libm/precision-drift class as the documented
+    # phase-vocoder deviation); the chord keeps the order-composition
+    # semantics testable bit-for-bit
+    C = cwt.cwt(sigs["chord"][:4096])
+    fre = cwt.get_fre_band_arr()
+    sq = af.Synsq(num=84, radix2_exp=12, samplate=32000, order=2,
+                  thresh=0.001)
+    R = sq.synsq(C, S.OCTAVE, fre)
+    out["synsq2_re"] = R.real.astype(np.float32)
+    out["synsq2_im"] = R.imag.astype(np.float32)
+    out["synsq2_in_re"] = C.real.astype(np.float32)
+    out["synsq2_in_im"] = C.imag.astype(np.float32)
+    out["synsq2_fre"] = np.asarray(fre, np.float32)
+    save("fuzz_reassign", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1124,6 +1175,7 @@ GROUPS = {
     "fuzz_dwt": lambda af: gen_fuzz_dwt(),
     "fuzz_wavelet": lambda af: gen_fuzz_wavelet(),
     "fuzz_edges": gen_fuzz_edges,
+    "fuzz_reassign": gen_fuzz_reassign,
 }
 
 
