@@ -156,6 +156,35 @@ def test_fuzz_synsq_order2(goldens):
     assert (np.linalg.norm(R1 - ref) > 3 * np.linalg.norm(R - ref))
 
 
+@pytest.mark.parametrize("i", range(10))
+def test_fuzz_pitch_case(goldens, i):
+    """Pitch classes under non-default fft/slide/range parameters."""
+    from audioflux_tpu.mir.pitch import (PitchCEP, PitchHPS, PitchLHS,
+                                         PitchNCF, PitchPEF)
+    from audioflux_tpu.mir.pitch_stft import PitchSTFT
+    from audioflux_tpu.mir.pitch_yin import PitchYIN
+    classes = dict(PitchYIN=PitchYIN, PitchNCF=PitchNCF, PitchCEP=PitchCEP,
+                   PitchHPS=PitchHPS, PitchLHS=PitchLHS, PitchPEF=PitchPEF,
+                   PitchSTFT=PitchSTFT)
+    g = goldens("fuzz_pitch")
+    p = json.loads(str(g[f"c{i}_params"]))
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)
+            + 0.12 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    kw = dict(p.get("kw", {}))
+    if "window_type" in kw:
+        kw["window_type"] = getattr(WindowType, kw["window_type"])
+    obj = classes[p["cls"]](samplate=sr, low_fre=p["low"],
+                            high_fre=p["high"], radix2_exp=p["r2e"],
+                            slide_length=p["slide"], **kw)
+    res = obj.pitch(tone)
+    fre = np.asarray(res[0] if isinstance(res, tuple) else res)
+    np.testing.assert_allclose(fre, g[f"c{i}_fre"], atol=1e-3,
+                               err_msg=f"fuzz_pitch[{i}] {p}")
+
+
 @pytest.mark.parametrize("name", ["blocks", "sparse"])
 def test_fuzz_edge_arr(goldens, name):
     """Non-contiguous set_edge_arr band subsets vs the C."""

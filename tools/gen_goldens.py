@@ -1148,6 +1148,59 @@ def gen_fuzz_reassign(af):
     save("fuzz_reassign", **out)
 
 
+_PITCH_FUZZ_CASES = [
+    dict(cls="PitchYIN", r2e=11, slide=512, low=40.0, high=1000.0),
+    dict(cls="PitchYIN", r2e=13, slide=2048, low=27.0, high=2000.0),
+    dict(cls="PitchNCF", r2e=11, slide=500, low=50.0, high=1000.0),
+    dict(cls="PitchNCF", r2e=13, slide=2048, low=32.0, high=2000.0),
+    dict(cls="PitchCEP", r2e=13, slide=2048, low=32.0, high=2000.0),
+    dict(cls="PitchHPS", r2e=12, slide=512, low=50.0, high=1500.0),
+    dict(cls="PitchLHS", r2e=11, slide=512, low=50.0, high=1500.0),
+    dict(cls="PitchPEF", r2e=12, slide=1024, low=40.0, high=1800.0,
+         kw=dict(cut_fre=3000.0, alpha=12.0, beta=0.3, gamma=2.0)),
+    dict(cls="PitchSTFT", r2e=11, slide=512, low=60.0, high=1000.0,
+         kw=dict(window_type="HANN")),
+    dict(cls="PitchSTFT", r2e=12, slide=1000, low=32.0, high=2000.0),
+]
+
+
+def gen_fuzz_pitch_case(i):
+    import json
+    af = _setup_reference()
+    p = dict(_PITCH_FUZZ_CASES[i])
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)
+            + 0.12 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    kw = dict(p.get("kw", {}))
+    if "window_type" in kw:
+        kw["window_type"] = getattr(af.type.WindowType, kw["window_type"])
+    obj = getattr(af, p["cls"])(samplate=sr, low_fre=p["low"],
+                                high_fre=p["high"], radix2_exp=p["r2e"],
+                                slide_length=p["slide"], **kw)
+    res = obj.pitch(tone)
+    fre = np.asarray(res[0] if isinstance(res, tuple) else res, np.float32)
+    save(f"_fuzzpitch{i}", fre=fre, params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_pitch():
+    import subprocess
+    out = {}
+    for i in range(len(_PITCH_FUZZ_CASES)):
+        path = os.path.join(GOLDEN_DIR, f"_fuzzpitch{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_fuzzpitch{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"pitch fuzz case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save("fuzz_pitch", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1176,6 +1229,7 @@ GROUPS = {
     "fuzz_wavelet": lambda af: gen_fuzz_wavelet(),
     "fuzz_edges": gen_fuzz_edges,
     "fuzz_reassign": gen_fuzz_reassign,
+    "fuzz_pitch": lambda af: gen_fuzz_pitch(),
 }
 
 
@@ -1200,6 +1254,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzwave"):
         gen_fuzz_wavelet_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzpitch"):
+        gen_fuzz_pitch_case(int(groups[0][10:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
