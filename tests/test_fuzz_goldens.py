@@ -156,6 +156,27 @@ def test_fuzz_synsq_order2(goldens):
     assert (np.linalg.norm(R1 - ref) > 3 * np.linalg.norm(R - ref))
 
 
+@pytest.mark.parametrize("nt", ["FLUX", "HFC", "SD", "SF", "MKL",
+                                "BROADBAND", "PD", "WPD", "NWPD", "CD",
+                                "RCD"])
+def test_fuzz_onset_every_novelty(goldens, nt):
+    """Onset end-to-end (novelty -> normalize -> peak-pick) per type."""
+    from audioflux_tpu.mir.onset import Onset
+    from audioflux_tpu.types import NoveltyType
+    g = goldens("fuzz_onset")
+    phase_based = nt in ("PD", "WPD", "NWPD", "CD", "RCD")
+    spec = g["mag"] if phase_based else g["spec"]
+    on = Onset(time_length=spec.shape[-1], fre_length=spec.shape[0],
+               slide_length=512, samplate=32000,
+               novelty_type=getattr(NoveltyType, nt))
+    pts, env, _ = on.onset(spec, g["phase"] if phase_based else None)
+    assert_close_to_golden(np.asarray(env), g[f"{nt}_env"], 2e-4,
+                           f"onset_{nt}_env")
+    np.testing.assert_array_equal(np.asarray(pts, np.int64),
+                                  g[f"{nt}_points"],
+                                  err_msg=f"onset_{nt}_points")
+
+
 @pytest.mark.parametrize("i", range(10))
 def test_fuzz_pitch_case(goldens, i):
     """Pitch classes under non-default fft/slide/range parameters."""

@@ -1201,6 +1201,53 @@ def gen_fuzz_pitch():
     save("fuzz_pitch", **out)
 
 
+def gen_fuzz_onset(af):
+    """Onset end-to-end for every novelty type (the fixed mir golden only
+    pins FLUX).  PD/WPD/NWPD/CD/RCD take the STFT phase matrix."""
+    sigs = signals()
+    out = {}
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = 0.6 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    x = tone.copy()
+    for p in (4000, 12000, 20000, 28000):
+        x[p:p+200] += (0.8 * np.random.default_rng(3)
+                       .standard_normal(200)).astype(np.float32)
+    x = x.astype(np.float32)
+    out["in_x"] = x
+
+    bft = af.BFT(num=128, radix2_exp=11, samplate=sr, slide_length=512,
+                 scale_type=af.type.SpectralFilterBankScaleType.MEL,
+                 data_type=af.type.SpectralDataType.POWER)
+    spec = np.abs(bft.bft(x, result_type=1))
+    out["spec"] = spec
+
+    st = af.STFT(radix2_exp=11, window_type=af.type.WindowType.HANN,
+                 slide_length=512)
+    D = st.stft(x)
+    mag = np.abs(D).astype(np.float32)
+    phase = np.arctan2(D.imag, D.real).astype(np.float32)
+    out["mag"] = mag
+    out["phase"] = phase
+
+    N = af.type.NoveltyType
+    for nt in ("FLUX", "HFC", "SD", "SF", "MKL", "BROADBAND"):
+        on = af.Onset(time_length=spec.shape[-1], fre_length=128,
+                      slide_length=512, samplate=sr,
+                      novelty_type=getattr(N, nt))
+        point_arr, evn_arr, time_arr, value_arr = on.onset(spec)
+        out[f"{nt}_points"] = np.asarray(point_arr, np.int64)
+        out[f"{nt}_env"] = evn_arr
+    for nt in ("PD", "WPD", "NWPD", "CD", "RCD"):
+        on = af.Onset(time_length=mag.shape[-1], fre_length=mag.shape[0],
+                      slide_length=512, samplate=sr,
+                      novelty_type=getattr(N, nt))
+        point_arr, evn_arr, time_arr, value_arr = on.onset(mag, phase)
+        out[f"{nt}_points"] = np.asarray(point_arr, np.int64)
+        out[f"{nt}_env"] = evn_arr
+    save("fuzz_onset", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1230,6 +1277,7 @@ GROUPS = {
     "fuzz_edges": gen_fuzz_edges,
     "fuzz_reassign": gen_fuzz_reassign,
     "fuzz_pitch": lambda af: gen_fuzz_pitch(),
+    "fuzz_onset": gen_fuzz_onset,
 }
 
 
