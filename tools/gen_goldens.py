@@ -718,6 +718,26 @@ def gen_deep(af):
 # regressions off the beaten path get caught too.  CHROMA/DEEP scales are
 # excluded: this package routes them through the Spectrogram hub, not BFT.
 
+
+def _gen_fuzz_group(prefix, n, save_name):
+    """Run n per-case subprocesses (the reference corrupts its allocator
+    across calls) and merge the per-case fixtures into one .npz."""
+    import subprocess
+    out = {}
+    for i in range(n):
+        path = os.path.join(GOLDEN_DIR, f"{prefix}{i}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"{prefix}{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"{save_name} case {i} failed")
+        part = np.load(path)
+        out.update({f"c{i}_{k}": part[k] for k in part.files})
+        os.remove(path)
+    save(save_name, **out)
+
+
 def fuzz_bft_params(n=36, seed=20260818):
     rng = np.random.default_rng(seed)
     sr = 32000
@@ -792,20 +812,7 @@ def gen_fuzz_bft_case(i):
 
 
 def gen_fuzz_bft():
-    import subprocess
-    out = {}
-    for i in range(len(fuzz_bft_params())):
-        path = os.path.join(GOLDEN_DIR, f"_fuzzbft{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzzbft{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"fuzz bft case {i} failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_bft", **out)
+    _gen_fuzz_group("_fuzzbft", len(fuzz_bft_params()), "fuzz_bft")
 
 
 def fuzz_cqt_params(n=16, seed=60818):
@@ -852,20 +859,7 @@ def gen_fuzz_cqt_case(i):
 
 
 def gen_fuzz_cqt():
-    import subprocess
-    out = {}
-    for i in range(len(fuzz_cqt_params())):
-        path = os.path.join(GOLDEN_DIR, f"_fuzzcqt{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzzcqt{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"fuzz cqt case {i} failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_cqt", **out)
+    _gen_fuzz_group("_fuzzcqt", len(fuzz_cqt_params()), "fuzz_cqt")
 
 
 def fuzz_nsgt_params(n=12, seed=70818):
@@ -914,20 +908,7 @@ def gen_fuzz_nsgt_case(i):
 
 
 def gen_fuzz_nsgt():
-    import subprocess
-    out = {}
-    for i in range(len(fuzz_nsgt_params())):
-        path = os.path.join(GOLDEN_DIR, f"_fuzznsgt{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzznsgt{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"fuzz nsgt case {i} failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_nsgt", **out)
+    _gen_fuzz_group("_fuzznsgt", len(fuzz_nsgt_params()), "fuzz_nsgt")
 
 
 # Full per-wavelet DWT sweep: every wavelet in the coef table, driven
@@ -965,20 +946,7 @@ def gen_fuzz_dwt_case(i):
 
 
 def gen_fuzz_dwt():
-    import subprocess
-    out = {}
-    for i in range(len(_DWT_SWEEP)):
-        path = os.path.join(GOLDEN_DIR, f"_fuzzdwt{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzzdwt{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"dwt sweep case {i} ({_DWT_SWEEP[i]}) failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_dwt", **out)
+    _gen_fuzz_group("_fuzzdwt", len(_DWT_SWEEP), "fuzz_dwt")
 
 
 # CWT gamma/beta variations + PWT scale/style/norm sweep (the fixed-case
@@ -1047,21 +1015,7 @@ def gen_fuzz_wavelet_case(i):
 
 
 def gen_fuzz_wavelet():
-    import subprocess
-    out = {}
-    n = len(_CWT_PARAM_CASES) + len(_PWT_CASES)
-    for i in range(n):
-        path = os.path.join(GOLDEN_DIR, f"_fuzzwave{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzzwave{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"wavelet sweep case {i} failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_wavelet", **out)
+    _gen_fuzz_group("_fuzzwave", len(_CWT_PARAM_CASES) + len(_PWT_CASES), "fuzz_wavelet")
 
 
 def gen_fuzz_edges(af):
@@ -1185,20 +1139,7 @@ def gen_fuzz_pitch_case(i):
 
 
 def gen_fuzz_pitch():
-    import subprocess
-    out = {}
-    for i in range(len(_PITCH_FUZZ_CASES)):
-        path = os.path.join(GOLDEN_DIR, f"_fuzzpitch{i}.npz")
-        if os.path.exists(path):
-            os.remove(path)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        f"_fuzzpitch{i}"])
-        if not os.path.exists(path):
-            raise RuntimeError(f"pitch fuzz case {i} failed")
-        part = np.load(path)
-        out.update({f"c{i}_{k}": part[k] for k in part.files})
-        os.remove(path)
-    save("fuzz_pitch", **out)
+    _gen_fuzz_group("_fuzzpitch", len(_PITCH_FUZZ_CASES), "fuzz_pitch")
 
 
 def gen_fuzz_onset(af):
