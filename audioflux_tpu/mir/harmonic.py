@@ -49,7 +49,11 @@ class Harmonic:
         self.high_fre = float(high_fre)
         self.radix2_exp = radix2_exp
         self.fft_length = fft_length
+        # the C only accepts RECT/HANN/HAMM and silently keeps its HAMM
+        # default for anything else (harmonic_algorithm.c:140-143)
         self.window_type = WindowType(window_type)
+        if self.window_type > WindowType.HAMM:
+            self.window_type = WindowType.HAMM
         self.slide_length = slide_length if slide_length else fft_length // 4
         self.window = get_fft_window(self.window_type, fft_length)
 

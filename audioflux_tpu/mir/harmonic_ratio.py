@@ -60,11 +60,17 @@ def _hr_impl(x, window, *, window_length, slide_length, fft_length,
 class HarmonicRatio:
     """API mirrors ``python/audioflux/mir/harmonic_ratio.py``."""
 
-    def __init__(self, samplate: int = 32000, low_fre: float = 25.0,
+    def __init__(self, samplate: int = 32000, low_fre: float = None,
                  radix2_exp: int = 12, slide_length: int = None,
                  window_type: WindowType = WindowType.HAMM):
         self.samplate = samplate
-        self.low_fre = float(low_fre) if low_fre > 0 else 25.0
+        # wrapper default is C1 = 32.7032 Hz (harmonic_ratio.py:62);
+        # out-of-range values fall back to the C's internal 25 Hz
+        # (harmonicRatio_algorithm.c:58)
+        if low_fre is None:
+            low_fre = 2.0 ** (-45 / 12.0) * 440.0  # note_to_hz('C1')
+        self.low_fre = (float(low_fre)
+                        if 0 < low_fre < samplate / 2 else 25.0)
         self.radix2_exp = radix2_exp
         self.fft_length = 1 << (radix2_exp + 1)
         self.window_length = self.fft_length // 2

@@ -177,6 +177,34 @@ def test_fuzz_onset_every_novelty(goldens, nt):
                                   err_msg=f"onset_{nt}_points")
 
 
+@pytest.mark.parametrize("i", range(4))
+def test_fuzz_harmonic_count(goldens, i):
+    from audioflux_tpu.mir.harmonic import Harmonic
+    g = goldens("fuzz_harmonic")
+    p = json.loads(str(g[f"h{i}_params"]))
+    h = Harmonic(radix2_exp=p["r2e"], samplate=32000,
+                 slide_length=p["slide"],
+                 window_type=getattr(WindowType, p["window"]),
+                 low_fre=p["low"], high_fre=p["high"])
+    counts = np.asarray(h.harmonic_count(g["in_tone"], *p["q"]), np.int64)
+    np.testing.assert_array_equal(counts, g[f"h{i}_counts"],
+                                  err_msg=f"fuzz_harmonic[{i}] {p}")
+
+
+@pytest.mark.parametrize("i", range(3))
+def test_fuzz_harmonic_ratio(goldens, i):
+    # the C never reads HarmonicRatio's windowType (README deviation 8);
+    # HAMM — its hardcoded choice — is the comparable configuration
+    from audioflux_tpu.mir.harmonic_ratio import HarmonicRatio
+    g = goldens("fuzz_harmonic")
+    p = json.loads(str(g[f"r{i}_params"]))
+    hr = HarmonicRatio(samplate=32000, radix2_exp=p["r2e"],
+                       window_type=WindowType.HAMM,
+                       slide_length=p["slide"])
+    out = np.asarray(hr.harmonic_ratio(g["in_tone"]))
+    assert_close_to_golden(out, g[f"r{i}_hr"], 5e-5, f"fuzz_hr[{i}] {p}")
+
+
 @pytest.mark.parametrize("i", range(10))
 def test_fuzz_pitch_case(goldens, i):
     """Pitch classes under non-default fft/slide/range parameters."""

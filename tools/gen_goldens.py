@@ -1189,6 +1189,52 @@ def gen_fuzz_onset(af):
     save("fuzz_onset", **out)
 
 
+def gen_fuzz_harmonic(af):
+    """Harmonic peak-chain + HarmonicRatio under varied fft/slide/window/
+    search-range parameters (the fixed goldens pin one config each)."""
+    import json
+    out = {}
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)
+            + 0.12 * np.sin(2 * np.pi * 660 * t)
+            + 0.01 * np.random.default_rng(5).standard_normal(sr)
+            ).astype(np.float32)
+    out["in_tone"] = tone
+    W = af.type.WindowType
+    cases = [
+        dict(r2e=11, slide=512, window="HAMM", low=50.0, high=3000.0,
+             q=(100.0, 2000.0)),
+        dict(r2e=12, slide=2048, window="HANN", low=27.0, high=4000.0,
+             q=(150.0, 1500.0)),
+        dict(r2e=13, slide=1024, window="HAMM", low=30.0, high=2000.0,
+             q=(80.0, 800.0)),
+        # the C clamps windows beyond HAMM back to its HAMM default
+        # (harmonic_algorithm.c:140-143) — pins the clamp behavior
+        dict(r2e=11, slide=512, window="BLACKMAN", low=50.0, high=3000.0,
+             q=(100.0, 2000.0)),
+    ]
+    for i, p in enumerate(cases):
+        h = af.Harmonic(radix2_exp=p["r2e"], samplate=sr,
+                        slide_length=p["slide"],
+                        window_type=getattr(W, p["window"]),
+                        low_fre=p["low"], high_fre=p["high"])
+        out[f"h{i}_counts"] = np.asarray(
+            h.harmonic_count(tone, *p["q"]), np.int64)
+        out[f"h{i}_params"] = np.array(json.dumps(p))
+    # HarmonicRatio: the C ctor NEVER reads its windowType argument
+    # (harmonicRatio_algorithm.c:60, always Window_Hamm) — README
+    # deviation 8; vary only fft/slide here
+    for i, (r2e, slide) in enumerate([(11, 512), (12, 500), (13, 1024)]):
+        hr = af.HarmonicRatio(samplate=sr, radix2_exp=r2e,
+                              slide_length=slide)
+        out[f"r{i}_hr"] = hr.harmonic_ratio(tone)
+        out[f"r{i}_params"] = np.array(json.dumps(
+            dict(r2e=r2e, slide=slide)))
+    save("fuzz_harmonic", **out)
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1219,6 +1265,7 @@ GROUPS = {
     "fuzz_reassign": gen_fuzz_reassign,
     "fuzz_pitch": lambda af: gen_fuzz_pitch(),
     "fuzz_onset": gen_fuzz_onset,
+    "fuzz_harmonic": gen_fuzz_harmonic,
 }
 
 
