@@ -221,4 +221,8 @@ def chroma_cqt(X, chroma_num=12, num=84, samplate=32000, low_fre=None,
                 window_type=window_type, slide_length=slide_length,
                 normal_type=normal_type, is_scale=is_scale)
     C = obj.cqt(X)
-    return obj.chroma(C, chroma_num, data_type, norm_type)
+    # the reference one-shot squares the COMPLEX cqt matrix before the
+    # chroma fold (core.py:1457 ``power_arr = cqt_arr ** 2``), so the fold
+    # effectively weights by |C|^4 under the default POWER data type —
+    # mirrored verbatim for drop-in parity
+    return obj.chroma(C ** 2, chroma_num, data_type, norm_type)

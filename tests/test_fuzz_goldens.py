@@ -305,3 +305,24 @@ def test_dwt_every_wavelet(goldens, signals, i):
                            f"dwt_{name}_coef")
     assert_close_to_golden(np.asarray(m), g[f"c{i}_m"], 5e-5,
                            f"dwt_{name}_m")
+
+
+@pytest.mark.parametrize("i", range(6))
+def test_fuzz_chroma_case(goldens, i):
+    """chroma_linear / chroma_cqt one-shots under varied parameters.
+
+    chroma_octave is untestable against the reference: its one-shot
+    corrupts the C heap even at default parameters on this box.
+    """
+    import audioflux_tpu as af
+    g = goldens("fuzz_chroma")
+    p = json.loads(str(g[f"c{i}_params"]))
+    sr = 32000
+    t = np.arange(sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 261.63 * t)
+         + 0.3 * np.sin(2 * np.pi * 392.0 * t)
+         + 0.02 * np.random.default_rng(9).standard_normal(sr)
+         ).astype(np.float32)  # matches gen_goldens._chroma_fuzz_signal
+    arr = np.asarray(getattr(af, p["fn"])(x, samplate=32000, **p["kw"]))
+    assert_close_to_golden(arr, g[f"c{i}_arr"], 5e-4,
+                           f"fuzz_chroma[{i}] {p}")

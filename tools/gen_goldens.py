@@ -1235,6 +1235,48 @@ def gen_fuzz_harmonic(af):
     save("fuzz_harmonic", **out)
 
 
+# chroma_octave is absent: the reference one-shot corrupts its heap
+# ("malloc(): corrupted top size") even at default parameters on this box
+_CHROMA_FUZZ_CASES = [
+    dict(fn="chroma_linear", kw=dict(radix2_exp=11, slide_length=512)),
+    dict(fn="chroma_linear", kw=dict(radix2_exp=12, slide_length=1024,
+                                     low_fre=100.0, high_fre=8000.0)),
+    dict(fn="chroma_linear", kw=dict(radix2_exp=12, slide_length=1000,
+                                     chroma_num=24)),
+    dict(fn="chroma_cqt", kw=dict(num=84, bin_per_octave=12)),
+    dict(fn="chroma_cqt", kw=dict(num=144, bin_per_octave=24,
+                                  chroma_num=12)),
+    dict(fn="chroma_cqt", kw=dict(num=60, bin_per_octave=12,
+                                  low_fre=65.41)),
+]
+
+
+def _chroma_fuzz_signal():
+    sr = 32000
+    t = np.arange(sr) / sr
+    return (0.3 * np.sin(2 * np.pi * 261.63 * t)
+            + 0.3 * np.sin(2 * np.pi * 392.0 * t)
+            + 0.02 * np.random.default_rng(9).standard_normal(sr)
+            ).astype(np.float32)
+
+
+def gen_fuzz_chroma_case(i):
+    """chroma_linear/chroma_octave/chroma_cqt one-shots under varied
+    parameters; one subprocess per case (the one-shots corrupt the
+    reference heap when run back-to-back in one process)."""
+    import json
+    af = _setup_reference()
+    p = dict(_CHROMA_FUZZ_CASES[i])
+    arr = getattr(af, p["fn"])(_chroma_fuzz_signal(), samplate=32000,
+                               **p["kw"])
+    save(f"_fuzzchroma{i}", arr=np.asarray(arr, np.float32),
+         params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_chroma():
+    _gen_fuzz_group("_fuzzchroma", len(_CHROMA_FUZZ_CASES), "fuzz_chroma")
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1266,6 +1308,7 @@ GROUPS = {
     "fuzz_pitch": lambda af: gen_fuzz_pitch(),
     "fuzz_onset": gen_fuzz_onset,
     "fuzz_harmonic": gen_fuzz_harmonic,
+    "fuzz_chroma": lambda af: gen_fuzz_chroma(),
 }
 
 
@@ -1293,6 +1336,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzpitch"):
         gen_fuzz_pitch_case(int(groups[0][10:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzchroma"):
+        gen_fuzz_chroma_case(int(groups[0][11:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
