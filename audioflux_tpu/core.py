@@ -10,6 +10,8 @@ import functools
 
 import numpy as np
 
+from audioflux_tpu.features.xxcc import XXCC as _XXCC
+from audioflux_tpu.transforms.bft import BFT as _BFT
 from audioflux_tpu.transforms.cqt import CQT as _CQT, VQT as _VQT
 from audioflux_tpu.transforms.spectrogram import (BarkSpectrogram,
                                                   ErbSpectrogram,
@@ -110,35 +112,48 @@ def erb_spectrogram(X, num=128, radix2_exp=12, samplate=32000,
     return spec, obj.get_fre_band_arr()
 
 
-def mfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+def _bft_cc(scale_type, style_type, X, num, cc_num, rectify_type,
+            radix2_exp, samplate, slide_length, low_fre, high_fre,
+            window_type):
+    """The reference cc one-shots (core.py:600-830) run BFT with an
+    AREA-normalized POWER bank, take |complex result| and feed XXCC —
+    NOT the xx_spectrogram + xxcc composition of the classes."""
+    obj = _plan(_BFT, num=num, radix2_exp=radix2_exp, samplate=samplate,
+                low_fre=low_fre, high_fre=high_fre,
+                window_type=window_type, slide_length=slide_length,
+                scale_type=scale_type, style_type=style_type,
+                normal_type=SpectralFilterBankNormalType.AREA,
+                data_type=SpectralDataType.POWER)
+    spec = np.abs(np.asarray(obj.bft(X, result_type=0)))
+    cc = _XXCC(obj.num).xxcc(spec, cc_num, rectify_type)
+    return cc, obj.get_fre_band_arr()
+
+
+def mfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, mel_num=128,
          radix2_exp=12, samplate=32000, slide_length=None,
-         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
-    obj, spec = _band_spectrogram(
-        MelSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
-        high_fre, window_type, SpectralDataType.POWER,
-        SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
+         low_fre=None, high_fre=None, window_type=WindowType.HANN):
+    return _bft_cc(SpectralFilterBankScaleType.MEL,
+                   SpectralFilterBankStyleType.SLANEY, X, mel_num, cc_num,
+                   rectify_type, radix2_exp, samplate, slide_length,
+                   low_fre, high_fre, window_type)
 
 
-def bfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+def bfcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, bark_num=128,
          radix2_exp=12, samplate=32000, slide_length=None,
-         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
-    obj, spec = _band_spectrogram(
-        BarkSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
-        high_fre, window_type, SpectralDataType.POWER,
-        SpectralFilterBankStyleType.SLANEY, SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
+         low_fre=None, high_fre=None, window_type=WindowType.HANN):
+    return _bft_cc(SpectralFilterBankScaleType.BARK,
+                   SpectralFilterBankStyleType.SLANEY, X, bark_num, cc_num,
+                   rectify_type, radix2_exp, samplate, slide_length,
+                   low_fre, high_fre, window_type)
 
 
-def gtcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=128,
+def gtcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, erb_num=128,
          radix2_exp=12, samplate=32000, slide_length=None,
-         low_fre=0.0, high_fre=None, window_type=WindowType.HANN):
-    obj, spec = _band_spectrogram(
-        ErbSpectrogram, X, num, radix2_exp, samplate, slide_length, low_fre,
-        high_fre, window_type, SpectralDataType.POWER,
-        SpectralFilterBankStyleType.GAMMATONE,
-        SpectralFilterBankNormalType.NONE)
-    return obj.xxcc(spec, cc_num, rectify_type), obj.get_fre_band_arr()
+         low_fre=None, high_fre=None, window_type=WindowType.HANN):
+    return _bft_cc(SpectralFilterBankScaleType.ERB,
+                   SpectralFilterBankStyleType.GAMMATONE, X, erb_num,
+                   cc_num, rectify_type, radix2_exp, samplate, slide_length,
+                   low_fre, high_fre, window_type)
 
 
 def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
@@ -149,7 +164,9 @@ def cqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
                 bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
                 window_type=window_type, slide_length=slide_length,
                 normal_type=normal_type, is_scale=is_scale)
-    return obj.cqt(X), obj.get_fre_band_arr()
+    # the reference one-shot returns |CQT| (core.py:1040 ``np.abs``), not
+    # the complex matrix — use the CQT class for complex output
+    return np.abs(obj.cqt(X)), obj.get_fre_band_arr()
 
 
 def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
@@ -161,19 +178,23 @@ def vqt(X, num=84, samplate=32000, low_fre=None, bin_per_octave=12,
                 thresh=thresh, window_type=window_type,
                 slide_length=slide_length, normal_type=normal_type,
                 is_scale=is_scale)
-    return obj.cqt(X), obj.get_fre_band_arr()
+    return np.abs(obj.cqt(X)), obj.get_fre_band_arr()
 
 
-def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, num=84,
-         samplate=32000, low_fre=None, bin_per_octave=12, factor=1.0,
-         thresh=0.01, window_type=WindowType.HANN, slide_length=None,
-         normal_type=SpectralFilterBankNormalType.AREA, is_scale=True):
-    obj = _plan(_CQT, num=num, samplate=samplate, low_fre=low_fre,
+def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, cqt_num=84,
+         samplate=32000, low_fre=None, slide_length=None,
+         bin_per_octave=12, window_type=WindowType.HANN,
+         normal_type=SpectralFilterBankNormalType.AREA, is_scale=True,
+         factor=1.0, thresh=0.01):
+    obj = _plan(_CQT, num=cqt_num, samplate=samplate, low_fre=low_fre,
                 bin_per_octave=bin_per_octave, factor=factor, thresh=thresh,
                 window_type=window_type, slide_length=slide_length,
                 normal_type=normal_type, is_scale=is_scale)
     C = obj.cqt(X)
-    return (obj.cqcc(np.abs(np.asarray(C)), cc_num, rectify_type),
+    # the reference one-shot feeds |C|^2 (POWER) into cqtObj_cqcc
+    # (core.py:929 ``power_arr = np.abs(spec_arr) ** 2``), unlike the
+    # class-level usage with magnitude — mirrored for drop-in parity
+    return (obj.cqcc(np.abs(np.asarray(C)) ** 2, cc_num, rectify_type),
             obj.get_fre_band_arr())
 
 

@@ -8,7 +8,7 @@ audio_arr = sample_220()
 spec_arr, mel_fre_band_arr = af.mel_spectrogram(
     audio_arr, num=128, radix2_exp=12, samplate=SR)
 spec_arr = np.abs(np.asarray(spec_arr))
-mfcc_arr, _ = af.mfcc(audio_arr, cc_num=13, num=128, radix2_exp=12,
+mfcc_arr, _ = af.mfcc(audio_arr, cc_num=13, mel_num=128, radix2_exp=12,
                       samplate=SR)
 print("mel:", spec_arr.shape, "mfcc:", np.asarray(mfcc_arr).shape)
 

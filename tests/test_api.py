@@ -11,7 +11,7 @@ def test_one_shot_api(signals):
     x = signals["chord"][:8192]
     m = np.asarray(af.mel_spectrogram(x, num=64, radix2_exp=10)[0])
     assert m.shape[0] == 64
-    cc = np.asarray(af.mfcc(x, num=64, radix2_exp=10)[0])
+    cc = np.asarray(af.mfcc(x, mel_num=64, radix2_exp=10)[0])
     assert cc.shape[0] == 13
     c = np.asarray(af.chroma_linear(x, radix2_exp=10))
     assert c.shape[0] == 12

@@ -326,3 +326,23 @@ def test_fuzz_chroma_case(goldens, i):
     arr = np.asarray(getattr(af, p["fn"])(x, samplate=32000, **p["kw"]))
     assert_close_to_golden(arr, g[f"c{i}_arr"], 5e-4,
                            f"fuzz_chroma[{i}] {p}")
+
+
+@pytest.mark.parametrize("i", range(14))
+def test_fuzz_core_oneshot(goldens, signals, i):
+    """Every core.py one-shot vs the reference one-shot (not just the
+    underlying class): the wrapper bodies hide their own quirks — the
+    reference's cqt/vqt return |C|, cqcc feeds |C|^2, chroma_cqt squares
+    the complex matrix."""
+    import audioflux_tpu as af
+    g = goldens("fuzz_core")
+    p = json.loads(str(g[f"c{i}_params"]))
+    x = signals["sine"]
+    arr, fre = getattr(af, p["fn"])(x, samplate=32000, **p["kw"])
+    arr = np.asarray(arr)
+    tol = 5e-4 if p["fn"] in ("cqcc", "cqt", "vqt") else 2e-4
+    assert_close_to_golden(arr, g[f"c{i}_arr"], tol,
+                           f"fuzz_core[{i}] {p}")
+    np.testing.assert_allclose(np.asarray(fre, np.float32), g[f"c{i}_fre"],
+                               rtol=2e-5, atol=2e-3,
+                               err_msg=f"fuzz_core[{i}] fre {p}")

@@ -1276,6 +1276,55 @@ def gen_fuzz_chroma_case(i):
 def gen_fuzz_chroma():
     _gen_fuzz_group("_fuzzchroma", len(_CHROMA_FUZZ_CASES), "fuzz_chroma")
 
+# Every core.py one-shot at default-ish + one varied config — the
+# wrapper bodies hide quirks the class-level goldens can't see (e.g.
+# chroma_cqt's complex-square).  chroma_* have their own group.
+_CORE_FUZZ_CASES = [
+    dict(fn="linear_spectrogram", kw=dict(radix2_exp=11, slide_length=512)),
+    dict(fn="linear_spectrogram", kw=dict(radix2_exp=10, slide_length=256)),
+    dict(fn="mel_spectrogram", kw=dict(num=128, radix2_exp=11,
+                                       slide_length=512)),
+    dict(fn="mel_spectrogram", kw=dict(num=64, radix2_exp=12,
+                                       slide_length=1000)),
+    dict(fn="bark_spectrogram", kw=dict(num=64, radix2_exp=11,
+                                        slide_length=512)),
+    dict(fn="erb_spectrogram", kw=dict(num=64, radix2_exp=11,
+                                       slide_length=512)),
+    dict(fn="mfcc", kw=dict(cc_num=13, radix2_exp=11, slide_length=512)),
+    dict(fn="mfcc", kw=dict(cc_num=20, mel_num=64, radix2_exp=12,
+                            slide_length=1024)),
+    dict(fn="bfcc", kw=dict(cc_num=13, radix2_exp=11, slide_length=512)),
+    dict(fn="gtcc", kw=dict(cc_num=13, radix2_exp=11, slide_length=512)),
+    dict(fn="cqcc", kw=dict(cc_num=13, cqt_num=84)),
+    dict(fn="cqt", kw=dict(num=84)),
+    dict(fn="cqt", kw=dict(num=96, bin_per_octave=24, low_fre=65.41)),
+    dict(fn="vqt", kw=dict(num=84)),
+]
+
+
+def gen_fuzz_core_case(i):
+    import json
+    af = _setup_reference()
+    p = dict(_CORE_FUZZ_CASES[i])
+    x = signals()["sine"]
+    res = getattr(af, p["fn"])(x, samplate=32000, **p["kw"])
+    # one-shots return (matrix, fre_band_arr)
+    arr, fre = (res if isinstance(res, tuple) else (res, None))
+    arr = np.asarray(arr)
+    out = {"params": np.array(json.dumps(p))}
+    if np.iscomplexobj(arr):
+        out["re"] = arr.real.astype(np.float32)
+        out["im"] = arr.imag.astype(np.float32)
+    else:
+        out["arr"] = arr.astype(np.float32)
+    if fre is not None:
+        out["fre"] = np.asarray(fre, np.float32)
+    save(f"_fuzzcore{i}", **out)
+
+
+def gen_fuzz_core():
+    _gen_fuzz_group("_fuzzcore", len(_CORE_FUZZ_CASES), "fuzz_core")
+
 
 GROUPS = {
     "windows": lambda af: gen_windows(),
@@ -1309,6 +1358,7 @@ GROUPS = {
     "fuzz_onset": gen_fuzz_onset,
     "fuzz_harmonic": gen_fuzz_harmonic,
     "fuzz_chroma": lambda af: gen_fuzz_chroma(),
+    "fuzz_core": lambda af: gen_fuzz_core(),
 }
 
 
@@ -1339,6 +1389,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzchroma"):
         gen_fuzz_chroma_case(int(groups[0][11:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzcore"):
+        gen_fuzz_core_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
