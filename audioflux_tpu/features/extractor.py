@@ -64,12 +64,20 @@ class FeatureExtractor:
         kw = dict(radix2_exp=self.radix2_exp, samplate=self.samplate)
         if name == "bft":
             from audioflux_tpu.transforms.bft import BFT
+            from audioflux_tpu.types import (SpectralFilterBankNormalType,
+                                             SpectralFilterBankStyleType,
+                                             WindowType)
+            # the reference facade builds its BFT with MAG data
+            # (feature/extractor.py:177-185), not POWER
             return BFT(num=self.num or 128, low_fre=self.low_fre,
                        high_fre=self.high_fre,
                        bin_per_octave=self.bin_per_octave,
+                       window_type=WindowType.HANN,
                        slide_length=self.slide_length,
                        scale_type=self.scale_type,
-                       data_type=SpectralDataType.POWER, **kw)
+                       style_type=SpectralFilterBankStyleType.SLANEY,
+                       normal_type=SpectralFilterBankNormalType.NONE,
+                       data_type=SpectralDataType.MAG, **kw)
         if name == "nsgt":
             from audioflux_tpu.transforms.nsgt import NSGT
             return NSGT(num=self.num or 84, low_fre=self.low_fre,
@@ -112,7 +120,8 @@ class FeatureExtractor:
 
     def _run_one(self, name, obj, x):
         if name == "bft":
-            return obj.bft(x, result_type=1)
+            # complex matrix, like the reference facade's default bft()
+            return obj.bft(x, result_type=0)
         if name == "nsgt":
             return obj.nsgt(x)
         if name == "cwt":

@@ -346,3 +346,30 @@ def test_fuzz_core_oneshot(goldens, signals, i):
     np.testing.assert_allclose(np.asarray(fre, np.float32), g[f"c{i}_fre"],
                                rtol=2e-5, atol=2e-3,
                                err_msg=f"fuzz_core[{i}] fre {p}")
+
+
+def test_fuzz_feature_extractor(goldens, signals):
+    """FeatureExtractor facade end-to-end vs the reference facade."""
+    from audioflux_tpu.features.extractor import FeatureExtractor
+    g = goldens("fuzz_extractor")
+    x = signals["sine"][:8192]
+    fe = FeatureExtractor(transforms=["bft", "cwt", "pwt"], num=64,
+                          radix2_exp=11, samplate=32000, slide_length=512,
+                          scale_type=SpectralFilterBankScaleType.MEL)
+    spec_res = fe.spectrogram(x)
+    # the reference FeatureResult is list-like (one entry per input
+    # clip), hence the goldens' leading 1 — compare content
+    for name in ("bft", "cwt", "pwt"):
+        arr = np.asarray(spec_res[name]["spectrogram"])
+        ref = (g[f"{name}_re"] + 1j * g[f"{name}_im"])[0]
+        assert_close_to_golden(arr.real, ref.real, 5e-4, f"fe_{name}_re")
+        assert_close_to_golden(arr.imag, ref.imag, 5e-4, f"fe_{name}_im")
+    sp = fe.spectral(spec_res, spectral="flux")
+    for name in ("bft", "cwt", "pwt"):
+        assert_close_to_golden(np.asarray(sp[name]["flux"]),
+                               g[f"{name}_flux"][0], 5e-4,
+                               f"fe_{name}_flux")
+    cc = fe.xxcc(spec_res, cc_num=13)
+    for name in ("bft", "cwt", "pwt"):
+        assert_close_to_golden(np.asarray(cc[name]["xxcc"]),
+                               g[f"{name}_cc"][0], 5e-4, f"fe_{name}_cc")

@@ -1325,6 +1325,33 @@ def gen_fuzz_core_case(i):
 def gen_fuzz_core():
     _gen_fuzz_group("_fuzzcore", len(_CORE_FUZZ_CASES), "fuzz_core")
 
+def gen_fuzz_extractor(af):
+    """FeatureExtractor facade vs ours: spectrogram dict + spectral/xxcc
+    stages over several transform backends at once."""
+    import json
+    out = {}
+    sigs = signals()
+    x = sigs["sine"][:8192]
+    S = af.type.SpectralFilterBankScaleType
+    fe = af.FeatureExtractor(transforms=["bft", "cwt", "pwt"], num=64,
+                             radix2_exp=11, samplate=32000,
+                             slide_length=512, scale_type=S.MEL)
+    spec_res = fe.spectrogram(x)
+    for name in ("bft", "cwt", "pwt"):
+        arr = np.asarray(spec_res[name])
+        if np.iscomplexobj(arr):
+            out[f"{name}_re"] = arr.real.astype(np.float32)
+            out[f"{name}_im"] = arr.imag.astype(np.float32)
+        else:
+            out[f"{name}_arr"] = arr.astype(np.float32)
+    sp = fe.spectral(spec_res, spectral="flux")
+    for name in ("bft", "cwt", "pwt"):
+        out[f"{name}_flux"] = np.asarray(sp[name], np.float32)
+    cc = fe.xxcc(spec_res, cc_num=13)
+    for name in ("bft", "cwt", "pwt"):
+        out[f"{name}_cc"] = np.asarray(cc[name], np.float32)
+    save("fuzz_extractor", **out)
+
 
 GROUPS = {
     "windows": lambda af: gen_windows(),
@@ -1359,6 +1386,7 @@ GROUPS = {
     "fuzz_harmonic": gen_fuzz_harmonic,
     "fuzz_chroma": lambda af: gen_fuzz_chroma(),
     "fuzz_core": lambda af: gen_fuzz_core(),
+    "fuzz_extractor": gen_fuzz_extractor,
 }
 
 
