@@ -373,3 +373,24 @@ def test_fuzz_feature_extractor(goldens, signals):
     for name in ("bft", "cwt", "pwt"):
         assert_close_to_golden(np.asarray(cc[name]["xxcc"]),
                                g[f"{name}_cc"][0], 5e-4, f"fe_{name}_cc")
+
+
+@pytest.mark.parametrize("i", range(6))
+def test_fuzz_resample_presets(goldens, signals, i):
+    """Resample quality presets (BEST/MID/FAST) x ratios vs the C.
+
+    Small-p ratios agree to ~1e-5; 32k->44.1k (p=441) carries the
+    documented float32 phase-jitter deviation (README deviation 7), so
+    its tolerance is the documented ~4e-3 bound.
+    """
+    from audioflux_tpu.dsp.resample import Resample
+    from audioflux_tpu.types import ResampleQualityType
+    g = goldens("fuzz_resample")
+    p = json.loads(str(g[f"c{i}_params"]))
+    x = signals["sine"][:9000]
+    rs = Resample(getattr(ResampleQualityType, p["q"]),
+                  is_scale=p["is_scale"])
+    rs.set_samplate(p["src"], p["dst"])
+    y = np.asarray(rs.resample(x))
+    tol = 4e-3 if p["dst"] == 44100 else 3e-5
+    assert_close_to_golden(y, g[f"c{i}_y"], tol, f"fuzz_resample[{i}] {p}")

@@ -1352,6 +1352,32 @@ def gen_fuzz_extractor(af):
         out[f"{name}_cc"] = np.asarray(cc[name], np.float32)
     save("fuzz_extractor", **out)
 
+_RESAMPLE_FUZZ_CASES = [
+    dict(q="BEST", src=32000, dst=16000, is_scale=False),
+    dict(q="MID", src=32000, dst=16000, is_scale=True),
+    dict(q="FAST", src=32000, dst=16000, is_scale=False),
+    dict(q="BEST", src=48000, dst=32000, is_scale=False),   # p=2 q=3
+    dict(q="MID", src=24000, dst=32000, is_scale=False),    # upsample 4/3
+    dict(q="FAST", src=32000, dst=44100, is_scale=True),    # 441/320
+]
+
+
+def gen_fuzz_resample_case(i):
+    import json
+    af = _setup_reference()
+    p = dict(_RESAMPLE_FUZZ_CASES[i])
+    x = signals()["sine"][:9000]
+    rs = af.Resample(qual_type=getattr(af.type.ResampleQualityType, p["q"]),
+                     is_scale=p["is_scale"])
+    rs.set_samplate(p["src"], p["dst"])
+    y = np.asarray(rs.resample(x), np.float32)
+    save(f"_fuzzresample{i}", y=y, params=np.array(json.dumps(p)))
+
+
+def gen_fuzz_resample():
+    _gen_fuzz_group("_fuzzresample", len(_RESAMPLE_FUZZ_CASES),
+                    "fuzz_resample")
+
 
 GROUPS = {
     "windows": lambda af: gen_windows(),
@@ -1387,6 +1413,7 @@ GROUPS = {
     "fuzz_chroma": lambda af: gen_fuzz_chroma(),
     "fuzz_core": lambda af: gen_fuzz_core(),
     "fuzz_extractor": gen_fuzz_extractor,
+    "fuzz_resample": lambda af: gen_fuzz_resample(),
 }
 
 
@@ -1420,6 +1447,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzcore"):
         gen_fuzz_core_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzresample"):
+        gen_fuzz_resample_case(int(groups[0][13:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
