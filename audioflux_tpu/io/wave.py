@@ -140,19 +140,22 @@ class WaveWriter:
 
 
 def chirp(fmin: float, fmax: float, duration: float, samplate: int = 32000,
-          phi: float | None = None, linear: bool = False) -> np.ndarray:
-    """Swept-frequency sinusoid (log sweep by default, like the reference)."""
-    t = np.arange(int(duration * samplate), dtype=np.float64) / samplate
-    if phi is None:
-        phi = -np.pi / 2
+          phi: float | None = None, method: str = "logarithmic",
+          linear: bool = False) -> np.ndarray:
+    """Swept-frequency sinusoid (``audio.py:224-267``): same signature and
+    scipy.signal.chirp dispatch as the reference (method one of linear /
+    quadratic / logarithmic / hyperbolic; ``phi`` in radians).  The extra
+    ``linear=True`` flag is kept as an alias of ``method='linear'``."""
+    import scipy.signal
+    if fmin <= 0 or fmax <= 0:
+        raise ValueError("fmax and fmin must be strictly positive")
     if linear:
-        phase = 2 * np.pi * (fmin * t + 0.5 * (fmax - fmin) / duration * t * t)
-    else:
-        if fmin <= 0 or fmax <= 0:
-            raise ValueError("log chirp requires positive fmin/fmax")
-        k = (fmax / fmin) ** (1.0 / duration)
-        phase = 2 * np.pi * fmin * (np.power(k, t) - 1) / np.log(k)
-    return np.cos(phase + phi).astype(np.float32)
+        method = "linear"
+    t = np.arange(duration, step=1.0 / samplate)
+    if phi is None:
+        phi = 0.5 * -np.pi
+    return scipy.signal.chirp(t, fmin, duration, fmax, method=method,
+                              phi=phi / np.pi * 180)
 
 
 def convert_mono(x: np.ndarray) -> np.ndarray:
