@@ -233,10 +233,27 @@ class Resample(WindowResample):
                          is_continue=is_continue, tail_carry=tail_carry)
 
 
-def resample(x, source_rate: int, target_rate: int,
-             qual_type: ResampleQualityType = ResampleQualityType.BEST,
-             is_scale: bool = False):
-    """One-shot functional resample (``python/audioflux/audio.py`` resample)."""
-    obj = Resample(qual_type, is_scale=is_scale)
-    obj.set_samplate(source_rate, target_rate)
-    return obj.resample(x)
+def resample(x, source_samplate: int, target_samplate: int,
+             re_type: str = "scipy"):
+    """Module-level resample: signature and semantics of the reference's
+    free function (``audio.py:176-222`` — scipy-based, downsample-only
+    validation; the C-style resampler lives in the :class:`Resample`
+    class, use it for upsampling or the quality presets)."""
+    import scipy.signal
+    x = np.asarray(x, dtype=np.float32, order="C")
+    if target_samplate == source_samplate:
+        return x
+    if not 8000 <= target_samplate < source_samplate:
+        raise ValueError(
+            f"target_samplate[{target_samplate}] must be between 8000 to "
+            f"source_samplate[{source_samplate}]")
+    if re_type == "scipy":
+        num = int(np.ceil(x.shape[-1]
+                          * (target_samplate * 1.0 / source_samplate)))
+        return scipy.signal.resample(x, num, axis=-1)
+    if re_type == "scipy_poly":
+        gcd = np.gcd(source_samplate, target_samplate)
+        return scipy.signal.resample_poly(x, up=target_samplate // gcd,
+                                          down=source_samplate // gcd,
+                                          axis=-1)
+    raise ValueError(f"re_type[{re_type}] not supported")
