@@ -37,34 +37,78 @@ def _decode(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
     return data
 
 
-def read(path, is_mono: bool = True):
-    """Read a PCM WAV file. Returns (audio float32, samplate).
-
-    Mono audio is (n,); multichannel is (channels, n) unless ``is_mono``.
-    """
+def _read_one(path, is_mono):
     with _wave.open(str(path), "rb") as w:
         sr = w.getframerate()
         ch = w.getnchannels()
         sw = w.getsampwidth()
         raw = w.readframes(w.getnframes())
     data = _decode(raw, sw, ch)
-    if ch > 1 and is_mono:
-        data = data.mean(axis=0)
+    if is_mono:
+        data = convert_mono(data)
+    elif data.ndim == 1:
+        data = data.reshape(1, -1)
     return data, sr
 
 
-def write(path, data, samplate: int = 32000, subtype: str = "PCM_16"):
-    """Write float32 audio (mono (n,) or (channels, n)) to a PCM WAV file."""
+def read(path=None, dir=None, is_mono: bool = True, samplate: int = None,
+         re_type: str = "scipy"):
+    """Load PCM WAV audio — full reference surface (``audio.py:22-107``):
+    ``path`` a str or a list of paths (stacked on axis 0; rates and
+    shapes must agree), ``dir`` overrides ``path`` with every file in a
+    directory, ``samplate`` resamples on read via :func:`resample`.
+    Returns (audio float32, samplate)."""
+    import os as _os
+    import warnings as _warnings
+    if dir is not None:
+        path = [_os.path.join(dir, f) for f in _os.listdir(dir)]
+    if isinstance(path, (str, bytes, _os.PathLike)):
+        data, sr = _read_one(path, is_mono)
+    else:
+        sr = None
+        datas = []
+        shape = None
+        for fp in path:
+            try:
+                d, _sr = _read_one(fp, is_mono)
+            except Exception as e:  # mirror the reference's skip-and-warn
+                _warnings.warn(f"Load file error, skip: {fp}, {e}")
+                continue
+            if sr is None:
+                sr = _sr
+            elif sr != _sr:
+                raise ValueError("When loading multiple audio files, the "
+                                 "sampling rate must be the same")
+            if shape is None:
+                shape = d.shape
+            elif shape != d.shape:
+                raise ValueError("When loading multiple audio files, the "
+                                 "audio shape must be the same")
+            datas.append(d)
+        data = np.stack(datas, axis=0)
+    if samplate is not None and samplate != sr:
+        from audioflux_tpu.dsp.resample import resample as _mod_resample
+        data = _mod_resample(data, sr, samplate, re_type=re_type)
+        sr = samplate
+    return data, sr
+
+
+def write(path, data, samplate: int = 32000, subtype: str = "PCM_32",
+          format: str = "WAV"):
+    """Write float32 audio (mono (n,) or (channels, n)) to a PCM WAV file
+    (reference default subtype PCM_32, ``audio.py:118``)."""
+    if format.upper() != "WAV":
+        raise ValueError(f"format={format} not supported (WAV only)")
     data = np.asarray(data, dtype=np.float32)
+    nch = 1 if data.ndim == 1 else data.shape[0]
     if data.ndim == 2:
         data = data.T.reshape(-1)  # interleave
-    width = {"PCM_16": 2, "PCM_32": 4}.get(subtype, 2)
+    width = {"PCM_16": 2, "PCM_32": 4}.get(subtype, 4)
     pcm = np.clip(data, -1.0, 1.0)
     if width == 2:
         pcm = (pcm * 32767.0).astype("<i2")
     else:
         pcm = (pcm * 2147483647.0).astype("<i4")
-    nch = 1 if np.asarray(data).ndim == 1 else data.shape[0]
     with _wave.open(str(path), "wb") as w:
         w.setnchannels(nch)
         w.setsampwidth(width)
@@ -159,8 +203,10 @@ def chirp(fmin: float, fmax: float, duration: float, samplate: int = 32000,
 
 
 def convert_mono(x: np.ndarray) -> np.ndarray:
-    """Average channels to mono; accepts (n,), (channels, n)."""
+    """Average the channel axis (axis -2, like the reference's
+    ``audio.py:156-173``); accepts (n,), (channels, n), (batch,
+    channels, n)."""
     x = np.asarray(x, dtype=np.float32)
-    if x.ndim == 1:
-        return x
-    return x.mean(axis=0)
+    if x.ndim > 1:
+        x = x.mean(axis=-2)
+    return x

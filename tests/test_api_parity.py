@@ -103,7 +103,12 @@ def test_wave_reader_get_infor(tmp_path):
         info = r.get_infor()
     assert info["samplate"] == 16000
     assert info["channel_num"] == 1
-    assert info["bit"] == 16
+    assert info["bit"] == 32  # write defaults to PCM_32, like the reference
+    path2 = str(tmp_path / "t16.wav")
+    af.write(path2, np.zeros(100, np.float32), samplate=16000,
+             subtype="PCM_16")
+    with af.WaveReader(path2) as r:
+        assert r.get_infor()["bit"] == 16
 
 
 def test_legacy_spectrogram_presets():
