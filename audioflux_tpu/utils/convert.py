@@ -69,24 +69,30 @@ def log10_compress(X, gamma: float = 1.0):
 
 
 def delta(X, order: int = 9):
-    """Savitzky-Golay style delta over the time (last) axis.
+    """Delta features with the reference's exact semantics.
 
-    delta_t = sum_{k=-M..M} k * x_{t+k} / sum k^2, window ``order`` odd
-    (reference util_delta / xxcc standard deltas). Edges use edge padding.
+    The reference swaps time/fre and feeds rows to ``util_delta``
+    (convert.py:291-308), so the filter runs along the FREQUENCY axis;
+    ``util_delta`` itself is a CAUSAL direct-form FIR with the
+    smoothing-derivative kernel [m..-m]/sum(i^2, i=1..m)
+    (filterDesign_smooth1 + filterDesign_filter, zero initial state —
+    NOT a centered window).
     """
     if order < 3 or order % 2 == 0:
         raise ValueError("order must be odd and >= 3")
-    X = jnp.asarray(X)
+    X = jnp.asarray(X, jnp.float32)
+    if X.ndim < 2:
+        raise ValueError("The dimension should be greater than equal to 2")
     m = order // 2
-    kernel = np.arange(-m, m + 1, dtype=np.float32)
-    denom = float((kernel ** 2).sum())
-    Xp = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(m, m)], mode="edge")
+    v1 = float(sum(i * i for i in range(1, m + 1)))
+    b = np.arange(m, -m - 1, -1, dtype=np.float32) / np.float32(v1)
+    F = X.shape[-2]
+    # y[f] = sum_j b[j] * x[f-j] with zeros before f=0 (causal)
+    Xp = jnp.pad(X, [(0, 0)] * (X.ndim - 2) + [(order - 1, 0), (0, 0)])
     out = jnp.zeros_like(X)
-    for i, k in enumerate(kernel):
-        if k == 0:
-            continue
-        out = out + k * Xp[..., i:i + X.shape[-1]]
-    return out / denom
+    for j in range(order):
+        out = out + b[j] * Xp[..., order - 1 - j:order - 1 - j + F, :]
+    return out
 
 
 def get_phase(D, eps: float = 1e-16):

@@ -55,7 +55,10 @@ def robust_scale(X):
     q2 = _quantile_ref(X, 1, 2)
     q1 = _quantile_ref(X, 1, 4)
     q3 = _quantile_ref(X, 3, 4)
-    return jnp.where(q3 > q1, (X - q2) / (q3 - q1), X)
+    # columns where q3<=q1 are never written by the C (__vrobustscale
+    # guards the whole loop), so the wrapper's zero-filled output buffer
+    # comes back as ZEROS there — not a passthrough
+    return jnp.where(q3 > q1, (X - q2) / (q3 - q1), 0.0)
 
 
 def center_scale(X):

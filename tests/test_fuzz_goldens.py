@@ -394,3 +394,51 @@ def test_fuzz_resample_presets(goldens, signals, i):
     y = np.asarray(rs.resample(x))
     tol = 4e-3 if p["dst"] == 44100 else 3e-5
     assert_close_to_golden(y, g[f"c{i}_y"], tol, f"fuzz_resample[{i}] {p}")
+
+
+def test_fuzz_every_utility(goldens):
+    """Every pure-Python utility vs the reference wrapper's output."""
+    from audioflux_tpu import utils as U
+    g = goldens("fuzz_utils")
+    spec = g["in_spec"]
+    D = g["in_d_re"] + 1j * g["in_d_im"]
+    fre = g["in_fre"]
+    midi = np.arange(21, 109, dtype=np.float32)
+
+    def close(ours, key, tol=1e-5):
+        np.testing.assert_allclose(np.asarray(ours, np.float64),
+                                   np.asarray(g[key], np.float64),
+                                   rtol=tol, atol=tol,
+                                   err_msg=key)
+
+    close(U.power_to_db(spec), "power_to_db")
+    close(U.power_to_db(spec, min_db=-40), "power_to_db_m40")
+    close(U.power_to_abs_db(spec), "power_to_abs_db")
+    close(U.power_to_abs_db(spec, fft_length=2048, is_norm=True),
+          "power_to_abs_db_norm")
+    close(U.mag_to_abs_db(spec), "mag_to_abs_db")
+    close(U.log_compress(spec, gamma=5.0), "log_compress")
+    close(U.log10_compress(spec, gamma=5.0), "log10_compress")
+    tdb = U.temproal_db(spec[0], base=18.0)
+    close(tdb[0], "temproal_db")
+    close(tdb[1], "temproal_db_energy")
+    close(U.delta(spec, order=9), "delta_9")
+    close(U.delta(spec, order=5), "delta_5")
+    close(U.get_phase(D), "get_phase")
+    close(U.midi_to_hz(midi), "midi_to_hz")
+    close(U.hz_to_midi(fre), "hz_to_midi")
+    close([U.note_to_midi(n) for n in ("C1", "A4", "G#3", "Bb5", "F#2")],
+          "note_vals")
+    close(U.min_max_scale(spec), "min_max")
+    close(U.stand_scale(spec), "stand")
+    close(U.max_abs_scale(spec), "max_abs")
+    close(U.robust_scale(spec), "robust")
+    close(U.center_scale(spec), "center")
+    close(U.mean_scale(spec), "mean")
+    close(U.arctan_scale(spec), "arctan")
+    close(U.auditory_weight_a(fre), "wa", 1e-4)
+    close(U.auditory_weight_b(fre), "wb", 1e-4)
+    close(U.auditory_weight_c(fre), "wc", 1e-4)
+    close(U.auditory_weight_d(fre), "wd", 1e-4)
+    close(U.queue_fre2(220.0, 446.0), "qf2")
+    close(U.queue_fre3(220.0, 446.0, 655.0), "qf3")

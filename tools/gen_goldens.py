@@ -1378,6 +1378,53 @@ def gen_fuzz_resample():
     _gen_fuzz_group("_fuzzresample", len(_RESAMPLE_FUZZ_CASES),
                     "fuzz_resample")
 
+def gen_fuzz_utils(af):
+    """Every pure-Python utility in the reference wrapper, golden-compared
+    on fixed random inputs (the class-level goldens never exercise these
+    directly)."""
+    rng = np.random.default_rng(42)
+    spec = (rng.random((64, 40)).astype(np.float32) * 3.0 + 1e-6)
+    D = (rng.standard_normal((33, 20)) + 1j * rng.standard_normal((33, 20))
+         ).astype(np.complex64)
+    fre = np.linspace(20.0, 16000.0, 128).astype(np.float32)
+    midi = np.arange(21, 109, dtype=np.float32)
+    U = af.utils
+    out = {"in_spec": spec, "in_d_re": D.real, "in_d_im": D.imag,
+           "in_fre": fre}
+    out["power_to_db"] = U.power_to_db(spec)
+    out["power_to_db_m40"] = U.power_to_db(spec, min_db=-40)
+    out["power_to_abs_db"] = U.power_to_abs_db(spec)
+    out["power_to_abs_db_norm"] = U.power_to_abs_db(spec, fft_length=2048,
+                                                    is_norm=True)
+    out["mag_to_abs_db"] = U.mag_to_abs_db(spec)
+    out["log_compress"] = U.log_compress(spec, gamma=5.0)
+    out["log10_compress"] = U.log10_compress(spec, gamma=5.0)
+    tdb = U.temproal_db(spec[0], base=18.0)  # returns (db_arr, energy)
+    out["temproal_db"] = np.asarray(tdb[0], np.float32)
+    out["temproal_db_energy"] = np.asarray(tdb[1], np.float32)
+    out["delta_9"] = U.delta(spec, order=9)
+    out["delta_5"] = U.delta(spec, order=5)
+    out["get_phase"] = U.get_phase(D)
+    out["midi_to_hz"] = np.asarray(U.midi_to_hz(midi), np.float64)
+    out["hz_to_midi"] = np.asarray(U.hz_to_midi(fre), np.float64)
+    out["note_vals"] = np.array([U.note_to_midi(n) for n in
+                                 ("C1", "A4", "G#3", "Bb5", "F#2")],
+                                np.float64)
+    out["min_max"] = U.min_max_scale(spec)
+    out["stand"] = U.stand_scale(spec)
+    out["max_abs"] = U.max_abs_scale(spec)
+    out["robust"] = U.robust_scale(spec)
+    out["center"] = U.center_scale(spec)
+    out["mean"] = U.mean_scale(spec)
+    out["arctan"] = U.arctan_scale(spec)
+    out["wa"] = np.asarray(U.auditory_weight_a(fre), np.float32)
+    out["wb"] = np.asarray(U.auditory_weight_b(fre), np.float32)
+    out["wc"] = np.asarray(U.auditory_weight_c(fre), np.float32)
+    out["wd"] = np.asarray(U.auditory_weight_d(fre), np.float32)
+    out["qf2"] = np.array(U.queue_fre2(220.0, 446.0), np.float64)
+    out["qf3"] = np.array(U.queue_fre3(220.0, 446.0, 655.0), np.float64)
+    save("fuzz_utils", **out)
+
 
 GROUPS = {
     "windows": lambda af: gen_windows(),
@@ -1414,6 +1461,7 @@ GROUPS = {
     "fuzz_core": lambda af: gen_fuzz_core(),
     "fuzz_extractor": gen_fuzz_extractor,
     "fuzz_resample": lambda af: gen_fuzz_resample(),
+    "fuzz_utils": gen_fuzz_utils,
 }
 
 
