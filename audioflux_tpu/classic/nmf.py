@@ -67,21 +67,21 @@ def _nmf_impl(V, W0, H0, *, max_iter, tp, thresh, norm):
     return W, H
 
 
-def nmf(V, k: int, w_arr=None, h_arr=None, max_iter: int = 300, tp: int = 0,
+def nmf(X, k: int, w_arr=None, h_arr=None, max_iter: int = 300, tp: int = 0,
         thresh: float = 1e-3, norm: int = 0, seed: int = 0):
-    """Factor V (n, m) into (W (n, k), H (k, m)).
+    """Factor X (n, m) into (W (n, k), H (k, m)).
 
     tp: 0 KL divergence, 1 IS divergence, 2 Euclidean. Mirrors
     ``python/audioflux/classic/nmf.py``.
     """
-    V = jnp.asarray(V, jnp.float32)
-    n, m = V.shape
+    X = jnp.asarray(X, jnp.float32)
+    n, m = X.shape
     rng = np.random.default_rng(seed)
     W0 = (jnp.asarray(w_arr, jnp.float32) if w_arr is not None
           else jnp.asarray(rng.random((n, k)), jnp.float32))
     H0 = (jnp.asarray(h_arr, jnp.float32) if h_arr is not None
           else jnp.asarray(rng.random((k, m)), jnp.float32))
-    return _nmf_impl(V, W0, H0, max_iter=max_iter, tp=tp,
+    return _nmf_impl(X, W0, H0, max_iter=max_iter, tp=tp,
                      thresh=float(thresh), norm=norm)
 
 

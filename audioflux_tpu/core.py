@@ -53,17 +53,23 @@ def _plan(cls, _chroma_norm=None, **kwargs):
 
 
 def linear_spectrogram(X, num=None, radix2_exp=12, samplate=32000,
-                       slide_length=None, low_fre=0.0, high_fre=None,
+                       slide_length=None, low_fre=0.0,
                        window_type=WindowType.HANN,
-                       data_type=SpectralDataType.POWER):
-    if high_fre is None:
-        high_fre = samplate / 2.0
-    obj = _plan(Spectrogram, samplate=samplate, radix2_exp=radix2_exp,
-                      slide_length=slide_length, low_fre=low_fre,
-                      high_fre=high_fre, window_type=window_type,
-                      data_type=data_type,
-                      filter_bank_type=SpectralFilterBankScaleType.LINEAR)
-    return obj.spectrogram(X), obj.get_fre_band_arr()
+                       style_type=SpectralFilterBankStyleType.SLANEY,
+                       data_type=SpectralDataType.POWER,
+                       is_reassign=False):
+    """Linear/STFT spectrogram via BFT, exactly like the reference
+    one-shot (core.py:17-141: result_type 1, style/data/is_reassign
+    pass-through, num defaulting to fft//2+1)."""
+    if num is None:
+        num = (1 << radix2_exp) // 2 + 1
+    obj = _plan(_BFT, num=num, radix2_exp=radix2_exp, samplate=samplate,
+                low_fre=low_fre, window_type=window_type,
+                slide_length=slide_length,
+                scale_type=SpectralFilterBankScaleType.LINEAR,
+                style_type=style_type, data_type=data_type,
+                is_reassign=is_reassign)
+    return obj.bft(X, result_type=1), obj.get_fre_band_arr()
 
 
 def _band_spectrogram(cls, X, num, radix2_exp, samplate, slide_length,
@@ -201,12 +207,15 @@ def cqcc(X, cc_num=13, rectify_type=CepstralRectifyType.LOG, cqt_num=84,
 def chroma_linear(X, chroma_num=12, radix2_exp=12, samplate=32000,
                   low_fre=0.0, high_fre=16000.0, slide_length=None,
                   window_type=WindowType.HANN,
+                  style_type=SpectralFilterBankStyleType.SLANEY,
                   data_type=SpectralDataType.POWER,
+                  normal_type=SpectralFilterBankNormalType.NONE,
                   norm_type=ChromaDataNormalType.MAX):
     obj = _plan(Spectrogram, _chroma_norm=norm_type, num=chroma_num,
                 samplate=samplate, radix2_exp=radix2_exp,
                 slide_length=slide_length, low_fre=low_fre,
                 high_fre=high_fre, window_type=window_type,
+                style_type=style_type, normal_type=normal_type,
                 data_type=data_type,
                 filter_bank_type=SpectralFilterBankScaleType.CHROMA)
     return obj.spectrogram(X)

@@ -13,8 +13,10 @@ __all__ = ["get_fft_lib", "get_fft_lib_fp", "get_fft_lib_name",
            "get_lib_md5", "set_fft_lib"]
 
 
-def get_fft_lib_name() -> str:
-    """Active compute backend name (e.g. 'tpu', 'cpu')."""
+def get_fft_lib_name(system=None, lib_ext=None) -> str:
+    """Active compute backend name (e.g. 'tpu', 'cpu').  ``system`` and
+    ``lib_ext`` (the reference's dylib-picking arguments) are accepted
+    and ignored: XLA is the only backend here."""
     import jax
     return jax.default_backend()
 
@@ -39,7 +41,8 @@ def get_lib_md5() -> str:
     return hashlib.md5(key.encode()).hexdigest()
 
 
-def set_fft_lib(path=None):
+def set_fft_lib(system=None, *, lib_ext=None, path=None):
     """No-op: the XLA backend is fixed per platform.  Accepts and ignores
-    a path so reference migration code keeps working."""
+    the reference's dylib-picking arguments so migration code keeps
+    working."""
     return None

@@ -14,11 +14,11 @@ __all__ = ["check_audio", "check_audio_length", "format_channel",
            "ascontiguous_swapaxex"]
 
 
-def check_audio(x, is_mono: bool = True) -> bool:
-    x = np.asarray(x)
-    if not np.issubdtype(x.dtype, np.floating):
-        raise ValueError(f"audio dtype must be floating, got {x.dtype}")
-    if is_mono and x.ndim != 1:
+def check_audio(X, is_mono: bool = True) -> bool:
+    X = np.asarray(X)
+    if not np.issubdtype(X.dtype, np.floating):
+        raise ValueError(f"audio dtype must be floating, got {X.dtype}")
+    if is_mono and X.ndim != 1:
         raise ValueError("audio must be mono (1-D)")
     return True
 
@@ -59,16 +59,16 @@ def ascontiguous_swapaxex(X, axis1: int, axis2: int, dtype=None,
                                 dtype=dtype, *args, **kwargs)
 
 
-def format_channel(x: np.ndarray, last_dims: int):
-    """Collapse leading dims into one channel axis; returns (x2, lead_shape)."""
-    shape = x.shape
-    lead = shape[:-last_dims] if last_dims else shape
+def format_channel(X: np.ndarray, last_fixed_ndim: int):
+    """Collapse leading dims into one channel axis; returns (X2, lead_shape)."""
+    shape = X.shape
+    lead = shape[:-last_fixed_ndim] if last_fixed_ndim else shape
     tail = shape[len(lead):]
-    return x.reshape((-1,) + tail), lead
+    return X.reshape((-1,) + tail), lead
 
 
-def revoke_channel(x: np.ndarray, lead_shape, last_dims: int):
-    return x.reshape(tuple(lead_shape) + x.shape[1:])
+def revoke_channel(X: np.ndarray, target_channel_shape, last_fixed_ndim: int):
+    return X.reshape(tuple(target_channel_shape) + X.shape[1:])
 
 
 def synth_f0(times, frequencies, samplate: int, amplitudes=None):
