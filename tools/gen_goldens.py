@@ -7,7 +7,13 @@ compares audioflux_tpu outputs against these fixtures, so tests are hermetic
 (no reference needed at test time).
 
 Usage: python tools/gen_goldens.py [group ...]
-Groups: windows filterbanks spectrogram stft chroma cqt cwt features mir all
+Fixed groups: windows filterbanks spectrogram stft chroma cqt cwt pwt
+  synsq st dwt nsgt spectral features bft mir pitch mir2 deep vqt
+Fuzz groups (seeded parameter-space sweeps, one subprocess per case):
+  fuzz_bft fuzz_cqt fuzz_nsgt fuzz_dwt fuzz_wavelet fuzz_pitch
+  fuzz_onset fuzz_harmonic fuzz_chroma fuzz_core fuzz_extractor
+  fuzz_resample fuzz_utils fuzz_reassign fuzz_edges
+"all" regenerates everything.
 """
 
 import ctypes
