@@ -12,6 +12,7 @@ build environment, not the repo).
 
 import ast
 import os
+import warnings
 
 import pytest
 
@@ -31,7 +32,11 @@ def _reference_surface():
                 continue
             try:
                 with open(os.path.join(dirp, f)) as fh:
-                    tree = ast.parse(fh.read())
+                    with warnings.catch_warnings():
+                        # the reference docstrings carry invalid LaTeX
+                        # escapes that ast.parse warns about
+                        warnings.simplefilter("ignore", SyntaxWarning)
+                        tree = ast.parse(fh.read())
             except SyntaxError:
                 continue
             for node in tree.body:
@@ -94,7 +99,11 @@ def _reference_signatures():
                 continue
             try:
                 with open(os.path.join(dirp, f)) as fh:
-                    tree = ast.parse(fh.read())
+                    with warnings.catch_warnings():
+                        # the reference docstrings carry invalid LaTeX
+                        # escapes that ast.parse warns about
+                        warnings.simplefilter("ignore", SyntaxWarning)
+                        tree = ast.parse(fh.read())
             except SyntaxError:
                 continue
             for node in tree.body:
