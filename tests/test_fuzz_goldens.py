@@ -442,3 +442,185 @@ def test_fuzz_every_utility(goldens):
     close(U.auditory_weight_d(fre), "wd", 1e-4)
     close(U.queue_fre2(220.0, 446.0), "qf2")
     close(U.queue_fre3(220.0, 446.0, 655.0), "qf3")
+
+
+# --- feature/aux-transform parameter sweep (fuzz_features group) ---------
+
+N_FEAT_CASES = 14
+
+
+@pytest.mark.parametrize("i", range(N_FEAT_CASES))
+def test_fuzz_features_case(goldens, signals, i):
+    """xxcc/deconv/temporal/cepstrogram/st/fst off their fixed-golden
+    configurations (num, cc_num, rectify, delta window, frame/slide,
+    window type, cep_num, index ranges, factor/norm)."""
+    g = goldens("fuzz_features")
+    p = json.loads(str(g[f"c{i}_params"]))
+    kind = p["kind"]
+    x = signals["chord"]
+    tag = f"fuzz_features[{i}] {p}"
+    if kind == "xxcc":
+        from audioflux_tpu.features.xxcc import XXCC
+        from audioflux_tpu.types import CepstralRectifyType
+        xx = XXCC(num=p["num"])
+        out = np.asarray(xx.xxcc(
+            g[f"c{i}_in_spec"], cc_num=p["cc"],
+            rectify_type=getattr(CepstralRectifyType, p["rectify"])))
+        atol = 2e-3 if p["rectify"] == "CUBIC_ROOT" else 2e-4
+        np.testing.assert_allclose(out, g[f"c{i}_arr"], atol=atol,
+                                   err_msg=tag)
+    elif kind == "xxcc_std":
+        from audioflux_tpu.features.xxcc import XXCC
+        from audioflux_tpu.types import CepstralEnergyType
+        xx = XXCC(num=p["num"])
+        coe, d1, d2 = xx.xxcc_standard(
+            g[f"c{i}_in_spec"], g[f"c{i}_in_energy"], cc_num=p["cc"],
+            delta_window_length=p["dwl"],
+            energy_type=CepstralEnergyType.REPLACE)
+        np.testing.assert_allclose(np.asarray(coe), g[f"c{i}_coe"],
+                                   atol=2e-4, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(d1), g[f"c{i}_d1"],
+                                   atol=2e-4, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(d2), g[f"c{i}_d2"],
+                                   atol=2e-4, err_msg=tag)
+    elif kind == "deconv":
+        from audioflux_tpu.features.deconv import Deconv
+        dc = Deconv(num=p["num"])
+        timbre, pitch = dc.deconv(g[f"c{i}_in_spec"])
+        assert_close_to_golden(timbre, g[f"c{i}_timbre"], 5e-5, tag)
+        assert_close_to_golden(pitch, g[f"c{i}_pitch"], 5e-4, tag)
+    elif kind == "temporal":
+        from audioflux_tpu.transforms.temporal import Temporal
+        tp = Temporal(frame_length=p["frame"], slide_length=p["slide"],
+                      window_type=getattr(WindowType, p["window"]))
+        res = tp.temporal(x, has_energy=True, has_rms=True, has_zcr=True,
+                          has_m=True)
+        assert_close_to_golden(res["energy_arr"], g[f"c{i}_energy"],
+                               5e-5, tag)
+        assert_close_to_golden(res["rms_arr"], g[f"c{i}_rms"], 5e-5, tag)
+        np.testing.assert_allclose(np.asarray(res["zcr_arr"]),
+                                   g[f"c{i}_zcr"], atol=1e-6, err_msg=tag)
+        assert_close_to_golden(res["m_arr"], g[f"c{i}_m"], 5e-6, tag)
+    elif kind == "cepstrogram":
+        # runs on the noisy sine: pure tones put windowed-spectrum nulls
+        # on the log(max(p,1e-16)) clamp where one FFT ulp flips the log
+        # by tens of units (rounding knife edge, see gen_goldens)
+        from audioflux_tpu.transforms.cepstrogram import Cepstrogram
+        cp = Cepstrogram(radix2_exp=p["r2e"], samplate=32000,
+                         window_type=getattr(WindowType, p["window"]),
+                         slide_length=p["slide"])
+        c1, c2, c3 = cp.cepstrogram(signals["sine"], cep_num=p["cep"])
+        assert_close_to_golden(c1, g[f"c{i}_ceps"], 5e-5, tag)
+        assert_close_to_golden(c2, g[f"c{i}_env"], 5e-5, tag)
+        # details re-FFT the cepstrum (same bound as the fixed golden)
+        assert_close_to_golden(c3, g[f"c{i}_det"], 2e-3, tag)
+    elif kind == "st":
+        from audioflux_tpu.transforms.st import ST
+        st = ST(radix2_exp=p["r2e"], min_index=p["mn"], max_index=p["mx"],
+                factor=p["factor"], norm=p["norm"])
+        C = np.asarray(st.st(x[:1 << p["r2e"]]))
+        assert_close_to_golden(C.real, g[f"c{i}_re"], 5e-5, tag)
+        assert_close_to_golden(C.imag, g[f"c{i}_im"], 5e-5, tag)
+    elif kind == "fst":
+        from audioflux_tpu.transforms.fst import FST
+        fst = FST(radix2_exp=p["r2e"], samplate=32000)
+        C = np.asarray(fst.fst(x[:1 << p["r2e"]], p["mn"], p["mx"]))
+        assert_close_to_golden(C.real, g[f"c{i}_re"], 5e-5, tag)
+        assert_close_to_golden(C.imag, g[f"c{i}_im"], 5e-5, tag)
+    else:
+        raise AssertionError(f"unknown kind {kind}")
+
+
+# --- MIR post-processing / classic-ML parameter sweep (fuzz_mir2) --------
+
+N_MIR2_CASES = 14
+
+
+def _peak_freq(y, sr=32000):
+    w = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    return np.argmax(w) * sr / len(y)
+
+
+@pytest.mark.parametrize("i", range(N_MIR2_CASES))
+def test_fuzz_mir2_case(goldens, i):
+    """time_stretch/pitch_shift/HPSS/HarmonicRatio/NMF/Viterbi off their
+    fixed-golden configurations.  Phase-vocoder outputs use the
+    documented drift bound (unwrapped-phase cos/sin libm divergence,
+    see test_mir2.py) plus pitch/duration checks."""
+    g = goldens("fuzz_mir2")
+    p = json.loads(str(g[f"c{i}_params"]))
+    kind = p["kind"]
+    tag = f"fuzz_mir2[{i}] {p}"
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    if kind == "ts":
+        from audioflux_tpu.mir.time_stretch import TimeStretch
+        ts = TimeStretch(radix2_exp=p["r2e"], slide_length=p["slide"],
+                         window_type=getattr(WindowType, p["window"]))
+        y = np.asarray(ts.time_stretch(tone, p["rate"]))
+        ref = g[f"c{i}_y"]
+        # the C returns its full capacity buffer ceil(n/rate)+fft with
+        # zeros after the real signal; ours ends at the true OLA length
+        import math
+        cap = math.ceil(len(tone) / p["rate"]) + (1 << p["r2e"])
+        assert len(ref) == cap, tag
+        n = min(len(y), len(ref))
+        assert np.abs(y[:n] - ref[:n]).max() <= 0.1 * np.abs(ref).max(), tag
+        assert np.abs(ref[n:]).max() <= 1e-6, tag
+        assert abs(_peak_freq(y) - 220) < 6, tag
+    elif kind == "ps":
+        from audioflux_tpu.mir.time_stretch import PitchShift
+        ps = PitchShift(radix2_exp=p["r2e"], slide_length=p["slide"],
+                        window_type=getattr(WindowType, p["window"]))
+        y = np.asarray(ps.pitch_shift(tone, p["semitone"], sr))
+        ref = g[f"c{i}_y"]
+        n = min(len(y), len(ref))
+        assert np.abs(y[:n] - ref[:n]).max() <= 0.12 * np.abs(ref).max(), tag
+        want = 220 * 2 ** (p["semitone"] / 12)
+        assert abs(_peak_freq(y) - want) < 8, tag
+    elif kind == "hpss":
+        from audioflux_tpu.mir.hpss import HPSS
+        hp = HPSS(radix2_exp=p["r2e"],
+                  window_type=getattr(WindowType, p["window"]),
+                  slide_length=p["slide"], h_order=p["h"], p_order=p["p"])
+        h, perc = hp.hpss(g[f"c{i}_in_x"])
+        assert_close_to_golden(h, g[f"c{i}_h"], 5e-5, tag)
+        assert_close_to_golden(perc, g[f"c{i}_p"], 5e-5, tag)
+    elif kind == "hr":
+        from audioflux_tpu.mir.harmonic_ratio import HarmonicRatio
+        hr = HarmonicRatio(samplate=sr, radix2_exp=p["r2e"],
+                           slide_length=p["slide"])
+        out = np.asarray(hr.harmonic_ratio(tone))
+        assert_close_to_golden(out, g[f"c{i}_y"], 5e-5, tag)
+    elif kind == "nmf":
+        from audioflux_tpu.classic import nmf
+        W, H = nmf(g[f"c{i}_V"], p["k"], w_arr=g[f"c{i}_W0"],
+                   h_arr=g[f"c{i}_H0"], max_iter=p["it"], tp=p["tp"],
+                   thresh=1e-5, norm=p["norm"])
+        W, H = np.asarray(W), np.asarray(H)
+        V = g[f"c{i}_V"]
+        # multiplicative updates compound float32 differences; compare
+        # factors loosely and the reconstruction quality tightly.  The
+        # IS divergence (tp=2) is chaotic enough that factor paths part
+        # ways entirely (measured: equal reconstruction, 0.11 factor
+        # drift) — reconstruction quality is the only stable contract.
+        if p["tp"] < 2:
+            np.testing.assert_allclose(W, g[f"c{i}_W"], atol=5e-2,
+                                       err_msg=tag)
+        rec_ours = np.abs(V - W @ H).mean()
+        rec_ref = np.abs(V - g[f"c{i}_W"] @ g[f"c{i}_H"]).mean()
+        assert rec_ours <= rec_ref * 1.05, tag
+    elif kind == "viterbi":
+        from audioflux_tpu.classic import viterbi
+        s, prob, m = viterbi(g[f"c{i}_pi"], g[f"c{i}_A"], g[f"c{i}_B"],
+                             g[f"c{i}_o"])
+        np.testing.assert_array_equal(np.asarray(s), g[f"c{i}_vit_s"],
+                                      err_msg=tag)
+        np.testing.assert_allclose(float(prob), g[f"c{i}_vit_prob"],
+                                   rtol=1e-4, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(m), g[f"c{i}_vit_m"],
+                                   rtol=1e-4, atol=1e-12, err_msg=tag)
+    else:
+        raise AssertionError(f"unknown kind {kind}")

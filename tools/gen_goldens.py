@@ -9,10 +9,12 @@ compares audioflux_tpu outputs against these fixtures, so tests are hermetic
 Usage: python tools/gen_goldens.py [group ...]
 Fixed groups: windows filterbanks spectrogram stft chroma cqt cwt pwt
   synsq st dwt nsgt spectral features bft mir pitch mir2 deep vqt
+  classic dsp harmonic pitch_ffp pitch_stft
 Fuzz groups (seeded parameter-space sweeps, one subprocess per case):
   fuzz_bft fuzz_cqt fuzz_nsgt fuzz_dwt fuzz_wavelet fuzz_pitch
   fuzz_onset fuzz_harmonic fuzz_chroma fuzz_core fuzz_extractor
-  fuzz_resample fuzz_utils fuzz_reassign fuzz_edges
+  fuzz_resample fuzz_utils fuzz_reassign fuzz_edges fuzz_features
+  fuzz_mir2
 "all" regenerates everything.
 """
 
@@ -1432,6 +1434,311 @@ def gen_fuzz_utils(af):
     save("fuzz_utils", **out)
 
 
+# Feature/auxiliary-transform parameter sweep: xxcc/deconv/temporal/
+# cepstrogram/st/fst only have fixed-configuration goldens; these walk
+# their knobs (num, cc_num, rectify, delta window, frame/slide, window
+# type, cep_num, index ranges, factor/norm).  One subprocess per case.
+_FEAT_FUZZ_CASES = [
+    dict(kind="xxcc", num=64, r2e=11, slide=512, cc=20, rectify="LOG"),
+    dict(kind="xxcc", num=256, r2e=12, slide=1024, cc=13,
+         rectify="CUBIC_ROOT"),
+    dict(kind="xxcc_std", num=128, r2e=11, slide=512, cc=8, dwl=3),
+    dict(kind="xxcc_std", num=128, r2e=11, slide=512, cc=14, dwl=15),
+    dict(kind="deconv", num=64, r2e=11, slide=512),
+    dict(kind="deconv", num=256, r2e=12, slide=1024),
+    dict(kind="temporal", frame=1024, slide=256, window="HAMM"),
+    dict(kind="temporal", frame=2000, slide=500, window="RECT"),
+    dict(kind="cepstrogram", r2e=10, slide=256, window="HANN", cep=64),
+    dict(kind="cepstrogram", r2e=12, slide=1024, window="HAMM", cep=4),
+    dict(kind="st", r2e=9, mn=3, mx=200, factor=0.5, norm=1.5),
+    dict(kind="st", r2e=11, mn=50, mx=300, factor=3.0, norm=0.3),
+    dict(kind="fst", r2e=9, mn=20, mx=250),
+    dict(kind="fst", r2e=11, mn=1, mx=900),
+]
+
+
+def gen_fuzz_features_case(i):
+    import json
+    af = _setup_reference()
+    p = dict(_FEAT_FUZZ_CASES[i])
+    x = signals()["chord"]
+    out = {"params": np.array(json.dumps(p))}
+    kind = p["kind"]
+    if kind in ("xxcc", "xxcc_std", "deconv"):
+        mel = af.MelSpectrogram(num=p["num"], samplate=32000,
+                                radix2_exp=p["r2e"],
+                                slide_length=p["slide"])
+        spec = mel.spectrogram(x)
+        out["in_spec"] = spec
+        if kind == "deconv":
+            dc = af.Deconv(num=p["num"])
+            dc.set_time_length(spec.shape[-1])
+            timbre, pitch = dc.deconv(spec)
+            out["timbre"], out["pitch"] = timbre, pitch
+        else:
+            xx = af.XXCC(num=p["num"])
+            xx.set_time_length(spec.shape[-1])
+            if kind == "xxcc":
+                rt = getattr(af.type.CepstralRectifyType, p["rectify"])
+                out["arr"] = xx.xxcc(spec, cc_num=p["cc"], rectify_type=rt)
+            else:
+                rng = np.random.default_rng(100 + i)
+                energy = rng.uniform(0.1, 5.0, spec.shape[-1]).astype(
+                    np.float32)
+                out["in_energy"] = energy
+                coe, d1, d2 = xx.xxcc_standard(
+                    spec, energy, cc_num=p["cc"],
+                    delta_window_length=p["dwl"],
+                    energy_type=af.type.CepstralEnergyType.REPLACE)
+                out["coe"], out["d1"], out["d2"] = coe, d1, d2
+    elif kind == "temporal":
+        tp = af.Temporal(frame_length=p["frame"], slide_length=p["slide"],
+                         window_type=getattr(af.type.WindowType,
+                                             p["window"]))
+        res = tp.temporal(x, has_energy=True, has_rms=True, has_zcr=True,
+                          has_m=True)
+        out["energy"] = res["energy_arr"]
+        out["rms"] = res["rms_arr"]
+        out["zcr"] = res["zcr_arr"]
+        out["m"] = res["m_arr"]
+    elif kind == "cepstrogram":
+        # noisy input: the pure 2-tone chord has deep windowed-spectrum
+        # nulls that land on the C's log(max(p,1e-16)) clamp, where a
+        # one-ulp FFT difference flips log by tens of units (same
+        # rounding-knife-edge class as the documented phase-vocoder
+        # drift); the noise floor keeps every power cell well above it
+        cp = af.Cepstrogram(radix2_exp=p["r2e"], samplate=32000,
+                            window_type=getattr(af.type.WindowType,
+                                                p["window"]),
+                            slide_length=p["slide"])
+        c1, c2, c3 = cp.cepstrogram(signals()["sine"], cep_num=p["cep"])
+        out["ceps"], out["env"], out["det"] = c1, c2, c3
+    elif kind == "st":
+        st = af.ST(radix2_exp=p["r2e"], min_index=p["mn"],
+                   max_index=p["mx"], factor=p["factor"], norm=p["norm"])
+        C = st.st(x[:1 << p["r2e"]])
+        out["re"] = C.real.astype(np.float32)
+        out["im"] = C.imag.astype(np.float32)
+    elif kind == "fst":
+        fst = af.FST(radix2_exp=p["r2e"], min_index=p["mn"],
+                     max_index=p["mx"], samplate=32000)
+        C = fst.fst(x[:1 << p["r2e"]])
+        out["re"] = C.real.astype(np.float32)
+        out["im"] = C.imag.astype(np.float32)
+    save(f"_fuzzfeat{i}", **out)
+
+
+def gen_fuzz_features():
+    _gen_fuzz_group("_fuzzfeat", len(_FEAT_FUZZ_CASES), "fuzz_features")
+
+
+# --- fixed groups for goldens originally committed without a generator ---
+# (classic/dsp/harmonic/pitch_ffp/pitch_stft were produced by one-off
+# scripts in round 1; these reproduce them so `all` regenerates the full
+# fixture set per machine.)
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _harm_tone(amps, noise_seed, f0=220.0, sr=32000):
+    t = np.arange(sr) / sr
+    x = sum(a * np.sin(2 * np.pi * f0 * (i + 1) * t)
+            for i, a in enumerate(amps))
+    x = x + 0.01 * np.random.default_rng(noise_seed).standard_normal(sr)
+    return x.astype(np.float32)
+
+
+def gen_classic():
+    """NMF (C `nmf` symbol, src/classic/nmf.c) + Viterbi (src/classic/
+    viterbi.c) fixtures for tests/test_classic.py."""
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    r = np.random.default_rng(0)
+    V = r.random((16, 20)).astype(np.float32)
+    W0 = r.random((16, 4)).astype(np.float32)
+    H0 = r.random((4, 20)).astype(np.float32)
+    W, H = W0.copy(), H0.copy()
+    lib["nmf"](_f32p(V), ctypes.c_int(16), ctypes.c_int(20), ctypes.c_int(4),
+               _f32p(W), _f32p(H),
+               ctypes.byref(ctypes.c_int(100)), ctypes.byref(ctypes.c_int(0)),
+               ctypes.byref(ctypes.c_float(1e-4)),
+               ctypes.byref(ctypes.c_int(0)))
+
+    pi = np.array([0.5, 0.3, 0.2], np.float32)
+    A = np.array([[0.6, 0.3, 0.1], [0.2, 0.5, 0.3], [0.1, 0.3, 0.6]],
+                 np.float32)
+    B = np.array([[0.7, 0.2, 0.1], [0.2, 0.5, 0.3], [0.05, 0.15, 0.8]],
+                 np.float32)
+    o = np.array([0, 1, 2, 2, 1, 0, 0, 2], np.int32)
+    s = np.zeros(8, np.int32)
+    m = np.zeros((8, 3), np.float32)
+    idx = np.zeros((8, 3), np.int32)
+    vit = lib["viterbi"]
+    vit.restype = ctypes.c_float
+    prob = vit(_f32p(pi), _f32p(A), _f32p(B), ctypes.c_int(3),
+               ctypes.c_int(3), _i32p(o), ctypes.c_int(8), None,
+               _i32p(s), _f32p(m), _i32p(idx))
+    save("classic", V=V, W0=W0, H0=H0, W=W, H=H, pi=pi, A=A, B=B, o=o,
+         vit_s=s, vit_prob=np.float32(prob), vit_m=m)
+
+
+def gen_dsp(af):
+    """Xcorr (Python wrapper) + Hilbert/DCT (ctypes: no reference Python
+    wrapper exists) fixtures for tests/test_dsp.py."""
+    r = np.random.default_rng(5)
+    x = r.standard_normal(256).astype(np.float32)
+    y = r.standard_normal(256).astype(np.float32)
+    xc = af.Xcorr()
+    # the reference wrapper returns (arr, max_val); the max-lag index the
+    # test pins is the argmax of the returned correlation
+    out, _val = xc.xcorr(x, y, af.type.XcorrNormalType.COEFF)
+    idx = int(np.argmax(out))
+    auto, _v2 = xc.xcorr(x, xcorr_normal_type=af.type.XcorrNormalType.COEFF)
+
+    lib = ctypes.cdll.LoadLibrary(REF_LIB)
+    ho = ctypes.c_void_p()
+    lib["hilbertObj_new"](ctypes.byref(ho), ctypes.c_int(8))
+    hr = np.zeros(256, np.float32)
+    hi = np.zeros(256, np.float32)
+    lib["hilbertObj_hilbert"](ho, _f32p(x), _f32p(hr), _f32p(hi))
+
+    do = ctypes.c_void_p()
+    lib["dctObj_new"](ctypes.byref(do), ctypes.c_int(64), None)
+    dct_in = x[:64].copy()
+    dct_out = np.zeros(64, np.float32)
+    lib["dctObj_dct"](do, _f32p(dct_in), ctypes.c_int(1), _f32p(dct_out))
+
+    save("dsp", x=x, y=y, xcorr=out, xcorr_idx=np.int64(idx),
+         autocorr=auto, hilb_re=hr, hilb_im=hi,
+         dct_in=dct_in, dct_out=dct_out)
+
+
+def gen_harmonic(af):
+    x = _harm_tone([0.5, 0.3, 0.2, 0.1], noise_seed=0)
+    h = af.Harmonic(samplate=32000, radix2_exp=12)
+    counts = h.harmonic_count(x, 100.0, 2000.0)
+    save("harmonic", x=x, counts=np.asarray(counts))
+
+
+def gen_pitch_ffp(af):
+    x = _harm_tone([0.5, 0.3, 0.2], noise_seed=2)
+    p = af.PitchFFP(samplate=32000, radix2_exp=12, slide_length=1024)
+    fre, db = p.pitch(x)
+    save("pitch_ffp", x=x, fre=fre, db=db)
+
+
+def gen_pitch_stft(af):
+    x = _harm_tone([0.5, 0.3, 0.2, 0.1], noise_seed=1)
+    p = af.PitchSTFT(samplate=32000, radix2_exp=12, slide_length=1024)
+    fre, db = p.pitch(x)
+    save("pitch_stft", x=x, fre=fre, db=db)
+
+
+# MIR post-processing / classic-ML parameter sweep: time_stretch,
+# pitch_shift, HPSS, HarmonicRatio, NMF, Viterbi only have one fixed
+# configuration each; these walk their knobs.  One subprocess per case.
+_MIR2_FUZZ_CASES = [
+    dict(kind="ts", r2e=10, slide=256, window="HANN", rate=0.6),
+    dict(kind="ts", r2e=12, slide=1024, window="HAMM", rate=1.9),
+    dict(kind="ts", r2e=11, slide=512, window="HANN", rate=1.12),
+    dict(kind="ps", r2e=11, slide=512, window="HANN", semitone=-4),
+    dict(kind="ps", r2e=12, slide=1024, window="HANN", semitone=7),
+    dict(kind="hpss", r2e=11, window="HANN", slide=512, h=11, p=17),
+    dict(kind="hpss", r2e=12, window="HAMM", slide=1024, h=31, p=9),
+    dict(kind="hpss", r2e=10, window="RECT", slide=256, h=5, p=5),
+    dict(kind="hr", r2e=11, slide=256),
+    dict(kind="hr", r2e=12, slide=2048),
+    dict(kind="nmf", k=2, tp=1, it=120, norm=1),
+    dict(kind="nmf", k=8, tp=2, it=100, norm=0),
+    dict(kind="viterbi", n=4, T=12, seed=11),
+    dict(kind="viterbi", n=6, T=30, seed=12),
+]
+
+
+def gen_fuzz_mir2_case(i):
+    import json
+    p = dict(_MIR2_FUZZ_CASES[i])
+    out = {"params": np.array(json.dumps(p))}
+    kind = p["kind"]
+    sr = 32000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)
+            + 0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    if kind in ("ts", "ps", "hr"):
+        af = _setup_reference()
+        W = af.type.WindowType
+        if kind == "ts":
+            ts = af.TimeStretch(radix2_exp=p["r2e"], slide_length=p["slide"],
+                                window_type=getattr(W, p["window"]))
+            out["y"] = ts.time_stretch(tone, p["rate"])
+        elif kind == "ps":
+            ps = af.PitchShift(radix2_exp=p["r2e"], slide_length=p["slide"],
+                               window_type=getattr(W, p["window"]))
+            out["y"] = ps.pitch_shift(tone, p["semitone"], sr)
+        else:
+            hr = af.HarmonicRatio(samplate=sr, radix2_exp=p["r2e"],
+                                  slide_length=p["slide"])
+            out["y"] = hr.harmonic_ratio(tone)
+    elif kind == "hpss":
+        af = _setup_reference()
+        x = tone.copy()
+        for pos in (4000, 12000, 20000, 28000):
+            x[pos:pos + 200] += (0.8 * np.random.default_rng(3)
+                                 .standard_normal(200)).astype(np.float32)
+        out["in_x"] = x
+        hp = af.HPSS(radix2_exp=p["r2e"],
+                     window_type=getattr(af.type.WindowType, p["window"]),
+                     slide_length=p["slide"], h_order=p["h"],
+                     p_order=p["p"])
+        h, perc = hp.hpss(x)
+        out["h"], out["p"] = h, perc
+    elif kind == "nmf":
+        lib = ctypes.cdll.LoadLibrary(REF_LIB)
+        r = np.random.default_rng(200 + i)
+        V = r.random((24, 32)).astype(np.float32)
+        k = p["k"]
+        W0 = r.random((24, k)).astype(np.float32)
+        H0 = r.random((k, 32)).astype(np.float32)
+        W, H = W0.copy(), H0.copy()
+        lib["nmf"](_f32p(V), ctypes.c_int(24), ctypes.c_int(32),
+                   ctypes.c_int(k), _f32p(W), _f32p(H),
+                   ctypes.byref(ctypes.c_int(p["it"])),
+                   ctypes.byref(ctypes.c_int(p["tp"])),
+                   ctypes.byref(ctypes.c_float(1e-5)),
+                   ctypes.byref(ctypes.c_int(p["norm"])))
+        out.update(V=V, W0=W0, H0=H0, W=W, H=H)
+    elif kind == "viterbi":
+        lib = ctypes.cdll.LoadLibrary(REF_LIB)
+        r = np.random.default_rng(p["seed"])
+        n, T = p["n"], p["T"]
+        pi = r.random(n).astype(np.float32)
+        pi /= pi.sum()
+        A = r.random((n, n)).astype(np.float32)
+        A /= A.sum(axis=1, keepdims=True)
+        B = r.random((n, n)).astype(np.float32)
+        B /= B.sum(axis=1, keepdims=True)
+        o = r.integers(0, n, T).astype(np.int32)
+        s = np.zeros(T, np.int32)
+        m = np.zeros((T, n), np.float32)
+        idx = np.zeros((T, n), np.int32)
+        vit = lib["viterbi"]
+        vit.restype = ctypes.c_float
+        prob = vit(_f32p(pi), _f32p(A), _f32p(B), ctypes.c_int(n),
+                   ctypes.c_int(n), _i32p(o), ctypes.c_int(T), None,
+                   _i32p(s), _f32p(m), _i32p(idx))
+        out.update(pi=pi, A=A, B=B, o=o, vit_s=s,
+                   vit_prob=np.float32(prob), vit_m=m)
+    save(f"_fuzzmir2{i}", **out)
+
+
+def gen_fuzz_mir2():
+    _gen_fuzz_group("_fuzzmir2", len(_MIR2_FUZZ_CASES), "fuzz_mir2")
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1468,6 +1775,13 @@ GROUPS = {
     "fuzz_extractor": gen_fuzz_extractor,
     "fuzz_resample": lambda af: gen_fuzz_resample(),
     "fuzz_utils": gen_fuzz_utils,
+    "fuzz_features": lambda af: gen_fuzz_features(),
+    "classic": lambda af: gen_classic(),
+    "dsp": gen_dsp,
+    "harmonic": gen_harmonic,
+    "pitch_ffp": gen_pitch_ffp,
+    "pitch_stft": gen_pitch_stft,
+    "fuzz_mir2": lambda af: gen_fuzz_mir2(),
 }
 
 
@@ -1504,6 +1818,12 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzresample"):
         gen_fuzz_resample_case(int(groups[0][13:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzfeat"):
+        gen_fuzz_features_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzmir2"):
+        gen_fuzz_mir2_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
