@@ -307,6 +307,39 @@ def test_dwt_every_wavelet(goldens, signals, i):
                            f"dwt_{name}_m")
 
 
+N_WPT_SWT_CASES = 12
+
+
+@pytest.mark.parametrize("i", range(N_WPT_SWT_CASES))
+def test_fuzz_wpt_swt_case(goldens, signals, i):
+    """WPT/SWT parameter sweep (wavelet family x depth x length) vs the
+    reference wrappers — the fixed dwt-group goldens only cover the
+    default sym4 at one depth/length."""
+    from audioflux_tpu.transforms.dwt import SWT, WPT
+    from audioflux_tpu.types import WaveletDiscreteType
+    g = goldens("fuzz_wpt")
+    kind, num, sz, wt, t1, t2, name = str(g[f"c{i}_params"]).split(",")
+    num, sz, wt, t1, t2 = int(num), int(sz), int(wt), int(t1), int(t2)
+    if kind == "wpt":
+        x = signals["sine"][:1 << sz]
+        obj = WPT(num=num, radix2_exp=sz,
+                  wavelet_type=WaveletDiscreteType(wt), t1=t1, t2=t2)
+        coef, m = obj.wpt(x)
+        assert_close_to_golden(np.asarray(coef), g[f"c{i}_coef"], 5e-5,
+                               f"wpt_{name}_coef")
+        assert_close_to_golden(np.asarray(m), g[f"c{i}_m"], 5e-5,
+                               f"wpt_{name}_m")
+    else:
+        x = signals["sine"][:sz]
+        obj = SWT(num=num, fft_length=sz,
+                  wavelet_type=WaveletDiscreteType(wt), t1=t1, t2=t2)
+        a, d = obj.swt(x)
+        assert_close_to_golden(np.asarray(a), g[f"c{i}_a"], 5e-5,
+                               f"swt_{name}_a")
+        assert_close_to_golden(np.asarray(d), g[f"c{i}_d"], 5e-5,
+                               f"swt_{name}_d")
+
+
 @pytest.mark.parametrize("i", range(6))
 def test_fuzz_chroma_case(goldens, i):
     """chroma_linear / chroma_cqt one-shots under varied parameters.

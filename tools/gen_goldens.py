@@ -957,6 +957,50 @@ def gen_fuzz_dwt():
     _gen_fuzz_group("_fuzzdwt", len(_DWT_SWEEP), "fuzz_dwt")
 
 
+# WPT/SWT parameter sweep: the fixed dwt-group goldens only cover the
+# default sym4 at one depth/length.  Unlike the DWT wrapper, the
+# reference WPT/SWT Python ctors marshal waveletType/t1/t2 correctly,
+# so these drive the reference wrappers directly.  Tuples:
+# (kind, num, r2e_or_len, wt, t1, t2, name).
+_WPT_SWT_SWEEP = [
+    ("wpt", 3, 10, 0, 0, 0, "haar"),
+    ("wpt", 5, 10, 1, 4, 0, "db4"),
+    ("wpt", 1, 10, 2, 6, 0, "sym6"),
+    ("wpt", 9, 10, 2, 4, 0, "sym4-full-depth"),
+    ("wpt", 4, 12, 3, 2, 0, "coif2"),
+    ("wpt", 3, 10, 5, 3, 5, "bior3.5"),
+    ("wpt", 2, 8, 6, 0, 0, "dmey"),
+    ("swt", 3, 1024, 2, 4, 0, "sym4"),
+    ("swt", 5, 1024, 1, 2, 0, "db2"),
+    ("swt", 1, 4096, 0, 0, 0, "haar"),
+    ("swt", 4, 2048, 3, 1, 0, "coif1"),
+    ("swt", 3, 1024, 4, 8, 0, "fk8"),
+]
+
+
+def gen_fuzz_wptswt_case(i):
+    af = _setup_reference()
+    kind, num, sz, wt, t1, t2, name = _WPT_SWT_SWEEP[i]
+    T = af.type
+    params = np.array(f"{kind},{num},{sz},{wt},{t1},{t2},{name}")
+    if kind == "wpt":
+        x = signals()["sine"][:1 << sz]
+        obj = af.WPT(num=num, radix2_exp=sz,
+                     wavelet_type=T.WaveletDiscreteType(wt), t1=t1, t2=t2)
+        coef, m = obj.wpt(x)
+        save(f"_fuzzwpt{i}", coef=coef, m=m, params=params)
+    else:
+        x = signals()["sine"][:sz]
+        obj = af.SWT(num=num, fft_length=sz,
+                     wavelet_type=T.WaveletDiscreteType(wt), t1=t1, t2=t2)
+        a, d = obj.swt(x)
+        save(f"_fuzzwpt{i}", a=a, d=d, params=params)
+
+
+def gen_fuzz_wptswt():
+    _gen_fuzz_group("_fuzzwpt", len(_WPT_SWT_SWEEP), "fuzz_wpt")
+
+
 # CWT gamma/beta variations + PWT scale/style/norm sweep (the fixed-case
 # cwt/pwt goldens only exercise default wavelet parameters and 2 scales).
 _CWT_PARAM_CASES = [
@@ -1764,6 +1808,7 @@ GROUPS = {
     "fuzz_cqt": lambda af: gen_fuzz_cqt(),
     "fuzz_nsgt": lambda af: gen_fuzz_nsgt(),
     "fuzz_dwt": lambda af: gen_fuzz_dwt(),
+    "fuzz_wpt": lambda af: gen_fuzz_wptswt(),
     "fuzz_wavelet": lambda af: gen_fuzz_wavelet(),
     "fuzz_edges": gen_fuzz_edges,
     "fuzz_reassign": gen_fuzz_reassign,
@@ -1803,6 +1848,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzdwt"):
         gen_fuzz_dwt_case(int(groups[0][8:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzwpt"):
+        gen_fuzz_wptswt_case(int(groups[0][8:]))
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzwave"):
         gen_fuzz_wavelet_case(int(groups[0][9:]))
