@@ -657,3 +657,82 @@ def test_fuzz_mir2_case(goldens, i):
                                    rtol=1e-4, atol=1e-12, err_msg=tag)
     else:
         raise AssertionError(f"unknown kind {kind}")
+
+
+# --- spectral-feature parameter sweep (fuzz_spectral group) ---------------
+
+N_SPECTRAL_FUZZ = 10
+
+_SPECTRAL_PLAIN = ("flatness", "centroid", "spread", "skewness", "kurtosis",
+                   "crest", "slope", "decrease", "rms", "hfc")
+
+
+@pytest.mark.parametrize("i", range(N_SPECTRAL_FUZZ))
+def test_fuzz_spectral_case(goldens, i):
+    """Every Spectral method off its fixed-golden defaults: random
+    spectrum shapes, random monotone frequency bands, contiguous edge
+    windows, and randomized kwargs for each parameterized method
+    (reference feature/spectral.py:120-2645)."""
+    from audioflux_tpu.features.spectral import Spectral
+    from audioflux_tpu.types import (SpectralNoveltyDataType,
+                                     SpectralNoveltyMethodType)
+    g = goldens("fuzz_spectral")
+    p = json.loads(str(g[f"c{i}_params"]))
+    tag = f"fuzz_spectral[{i}] {p}"
+    spec = g[f"c{i}_in_spec"]
+    phase = g[f"c{i}_in_phase"]
+    sp = Spectral(num=p["num"], fre_band_arr=g[f"c{i}_in_fre"])
+    sp.set_time_length(p["T"])
+    sp.set_edge(p["start"], p["end"])
+    checks = {
+        "flux": sp.flux(spec, step=p["flux_step"], p=p["flux_p"],
+                        is_positive=p["flux_pos"], is_exp=p["flux_exp"],
+                        tp=p["flux_tp"]),
+        "rolloff": sp.rolloff(spec, threshold=p["rolloff_th"]),
+        "entropy": sp.entropy(spec, is_norm=p["ent_norm"]),
+        "energy": sp.energy(spec, is_log=p["en_log"], gamma=p["en_gamma"]),
+        "sd": sp.sd(spec, step=p["sd_step"], is_positive=p["sd_pos"]),
+        "sf": sp.sf(spec, step=p["sf_step"], is_positive=p["sf_pos"]),
+        "mkl": sp.mkl(spec, tp=p["mkl_tp"]),
+        "broadband": sp.broadband(spec, threshold=p["bb_th"]),
+        "novelty": sp.novelty(
+            spec, step=p["nov_step"], threshold=p["nov_th"],
+            method_type=SpectralNoveltyMethodType(p["nov_m"]),
+            data_type=SpectralNoveltyDataType(p["nov_d"])),
+        "eef": sp.eef(spec, is_norm=p["eef_norm"]),
+        "eer": sp.eer(spec, is_norm=p["eer_norm"], gamma=p["eer_gamma"]),
+    }
+    for name in _SPECTRAL_PLAIN:
+        checks[name] = getattr(sp, name)(spec)
+    for name in ("max", "mean", "var"):
+        v, f = getattr(sp, name)(spec)
+        checks[f"{name}_v"], checks[f"{name}_f"] = v, f
+    for name in ("pd", "wpd", "nwpd", "cd", "rcd"):
+        checks[name] = getattr(sp, name)(spec, phase)
+    for name, ours in checks.items():
+        assert_close_to_golden(ours, g[f"c{i}_{name}"], 5e-5,
+                               f"{tag} {name}")
+    # band_width needs a NaN-aware check: with integer p != 2 the C sums
+    # SIGNED x*(f-c)^p terms, so powf(value, 1/p) is NaN wherever the sum
+    # goes negative (non-integer exponent on a negative base — we reproduce
+    # the exact NaN mask).  With p == 1 the quantity is mathematically zero
+    # by the centroid definition, so both sides are pure float32
+    # cancellation noise; bound ours by the cancellation scale instead.
+    ours = np.asarray(sp.band_width(spec, p=p["bw_p"]))
+    ref = np.asarray(g[f"c{i}_band_width"])
+    assert np.array_equal(np.isnan(ours), np.isnan(ref)), (
+        f"{tag} band_width NaN mask mismatch")
+    m = ~np.isnan(ref)
+    if p["bw_p"] == 1.0:
+        x = np.where(np.arange(p["num"])[:, None] >= p["start"], spec, 0)
+        x = np.where(np.arange(p["num"])[:, None] <= p["end"], x, 0)
+        f = g[f"c{i}_in_fre"]
+        c = (f[:, None] * x).sum(0) / np.maximum(x.sum(0), 1e-20)
+        cancel = (x * np.abs(f[:, None] - c)).sum(0)
+        assert np.all(np.abs(ours - ref)[m] <= 1e-4 * cancel[m] + 1e-6), (
+            f"{tag} band_width p=1 cancellation bound")
+    elif m.any():
+        peak = np.abs(ref[m]).max()
+        err = np.abs(ours - ref)[m].max()
+        assert err <= 5e-4 * max(peak, 1e-20), (
+            f"{tag} band_width finite part: {err:.3e} vs peak {peak:.3e}")

@@ -14,7 +14,7 @@ Fuzz groups (seeded parameter-space sweeps, one subprocess per case):
   fuzz_bft fuzz_cqt fuzz_nsgt fuzz_dwt fuzz_wavelet fuzz_pitch
   fuzz_onset fuzz_harmonic fuzz_chroma fuzz_core fuzz_extractor
   fuzz_resample fuzz_utils fuzz_reassign fuzz_edges fuzz_features
-  fuzz_mir2
+  fuzz_mir2 fuzz_spectral
 "all" regenerates everything.
 """
 
@@ -1576,6 +1576,98 @@ def gen_fuzz_features():
     _gen_fuzz_group("_fuzzfeat", len(_FEAT_FUZZ_CASES), "fuzz_features")
 
 
+# Spectral-feature parameter sweep: the fixed `spectral` golden runs all
+# ~30 methods but nearly always at default kwargs and on one mel
+# spectrogram shape.  These cases randomize the spectrum shape, the
+# frequency bands, the contiguous edge window, and every method knob
+# (flux step/p/positive/exp/tp, rolloff threshold, entropy norm, energy
+# log/gamma, band_width p, sd/sf step/positive, mkl tp, broadband
+# threshold, novelty method x data x step x threshold, eef/eer norm).
+N_SPECTRAL_FUZZ = 10
+
+
+def _spectral_fuzz_inputs(i):
+    """Deterministic per-case inputs + kwargs (also reread by the test
+    via the saved params JSON, so only the arrays need to round-trip)."""
+    rng = np.random.default_rng(250818 + 7 * i)
+    num = int(rng.choice([24, 48, 96, 160]))
+    T = int(rng.integers(16, 60))
+    scale = float(rng.choice([1e-3, 0.5, 3.0, 40.0]))
+    spec = (rng.random((num, T)) * scale + 1e-6).astype(np.float32)
+    f0 = float(rng.uniform(20.0, 200.0))
+    df = rng.uniform(10.0, 120.0, num - 1)
+    fre = np.concatenate([[f0], f0 + np.cumsum(df)]).astype(np.float32)
+    phase = rng.uniform(-np.pi, np.pi, (num, T)).astype(np.float32)
+    use_edge = bool(i % 2)
+    start = int(rng.integers(0, num // 4)) if use_edge else 0
+    end = int(rng.integers(3 * num // 4, num)) if use_edge else num - 1
+    p = dict(num=num, T=T, start=start, end=end,
+             flux_step=int(rng.integers(1, 5)),
+             flux_p=float(rng.choice([0.5, 1.0, 2.0, 3.0])),
+             flux_pos=bool(rng.integers(2)), flux_exp=bool(rng.integers(2)),
+             flux_tp=int(rng.integers(2)),
+             rolloff_th=float(rng.uniform(0.05, 0.99)),
+             ent_norm=bool(rng.integers(2)),
+             en_log=bool(rng.integers(2)),
+             en_gamma=float(rng.choice([1.0, 10.0, 25.0])),
+             bw_p=float(rng.choice([1.0, 2.0, 3.0])),
+             sd_step=int(rng.integers(1, 4)),
+             sd_pos=bool(rng.integers(2)),
+             sf_step=int(rng.integers(1, 4)),
+             sf_pos=bool(rng.integers(2)),
+             mkl_tp=int(rng.integers(2)),
+             bb_th=float(rng.uniform(0.0, 0.5)),
+             nov_step=int(rng.integers(1, 4)),
+             nov_th=float(rng.choice([0.0, 0.1, 0.5])),
+             nov_m=int(rng.integers(4)), nov_d=int(rng.integers(2)),
+             eef_norm=bool(rng.integers(2)),
+             eer_norm=bool(rng.integers(2)),
+             eer_gamma=float(rng.choice([0.5, 1.0, 10.0])))
+    return spec, fre, phase, p
+
+
+def gen_fuzz_spectral_case(i):
+    import json
+    af = _setup_reference()
+    spec, fre, phase, p = _spectral_fuzz_inputs(i)
+    T = af.type
+    sp = af.Spectral(num=p["num"], fre_band_arr=fre)
+    sp.set_time_length(p["T"])
+    sp.set_edge(p["start"], p["end"])
+    out = {"in_spec": spec, "in_fre": fre, "in_phase": phase,
+           "params": np.array(json.dumps(p))}
+    out["flux"] = sp.flux(spec, step=p["flux_step"], p=p["flux_p"],
+                          is_positive=p["flux_pos"], is_exp=p["flux_exp"],
+                          tp=p["flux_tp"])
+    out["rolloff"] = sp.rolloff(spec, threshold=p["rolloff_th"])
+    out["entropy"] = sp.entropy(spec, is_norm=p["ent_norm"])
+    out["energy"] = sp.energy(spec, is_log=p["en_log"], gamma=p["en_gamma"])
+    out["band_width"] = sp.band_width(spec, p=p["bw_p"])
+    out["sd"] = sp.sd(spec, step=p["sd_step"], is_positive=p["sd_pos"])
+    out["sf"] = sp.sf(spec, step=p["sf_step"], is_positive=p["sf_pos"])
+    out["mkl"] = sp.mkl(spec, tp=p["mkl_tp"])
+    out["broadband"] = sp.broadband(spec, threshold=p["bb_th"])
+    out["novelty"] = sp.novelty(
+        spec, step=p["nov_step"], threshold=p["nov_th"],
+        method_type=T.SpectralNoveltyMethodType(p["nov_m"]),
+        data_type=T.SpectralNoveltyDataType(p["nov_d"]))
+    out["eef"] = sp.eef(spec, is_norm=p["eef_norm"])
+    out["eer"] = sp.eer(spec, is_norm=p["eer_norm"], gamma=p["eer_gamma"])
+    for name in ("flatness", "centroid", "spread", "skewness", "kurtosis",
+                 "crest", "slope", "decrease", "rms", "hfc"):
+        out[name] = getattr(sp, name)(spec)
+    for name in ("max", "mean", "var"):
+        v, f = getattr(sp, name)(spec)
+        out[f"{name}_v"], out[f"{name}_f"] = v, f
+    for name in ("pd", "wpd", "nwpd", "cd", "rcd"):
+        out[name] = getattr(sp, name)(spec, phase)
+    save(f"_fuzzspectral{i}", **out)
+
+
+def gen_fuzz_spectral():
+    _gen_fuzz_group("_fuzzspectral", N_SPECTRAL_FUZZ, "fuzz_spectral")
+
+
 # --- fixed groups for goldens originally committed without a generator ---
 # (classic/dsp/harmonic/pitch_ffp/pitch_stft were produced by one-off
 # scripts in round 1; these reproduce them so `all` regenerates the full
@@ -1821,6 +1913,7 @@ GROUPS = {
     "fuzz_resample": lambda af: gen_fuzz_resample(),
     "fuzz_utils": gen_fuzz_utils,
     "fuzz_features": lambda af: gen_fuzz_features(),
+    "fuzz_spectral": lambda af: gen_fuzz_spectral(),
     "classic": lambda af: gen_classic(),
     "dsp": gen_dsp,
     "harmonic": gen_harmonic,
@@ -1872,6 +1965,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzmir2"):
         gen_fuzz_mir2_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzspectral"):
+        gen_fuzz_spectral_case(int(groups[0][13:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
