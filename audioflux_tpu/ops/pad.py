@@ -13,6 +13,11 @@ samples (``__calTimeAndTailLen``, stft_algorithm.c:813-835), then pads
 
 Modes: CONSTANT (value1 left / value2 right for CENTER, value1 otherwise),
 REFLECT (no edge repeat), WRAP.
+
+Quirk reproduced for parity: for LEFT/RIGHT constant padding the reference
+passes the float pad value into ``__vpad_left1/right1(..., int value)``
+(flux_vectorOp.c:641-651), so it is implicitly truncated toward zero;
+only CENTER keeps the float values.
 """
 
 from __future__ import annotations
@@ -51,7 +56,10 @@ def pad_signal(x: jnp.ndarray, fft_length: int, slide_length: int,
             out = jnp.pad(x, pad_width, mode="constant",
                           constant_values=((0, 0),) * (x.ndim - 1) + ((value1, value2),))
         else:
-            out = jnp.pad(x, pad_width, mode="constant", constant_values=value1)
+            # __vpad_left1/right1 declare the value as int: truncate
+            # toward zero (jnp.trunc matches C's float->int conversion)
+            out = jnp.pad(x, pad_width, mode="constant",
+                          constant_values=jnp.trunc(jnp.float32(value1)))
     elif mode == PaddingModeType.REFLECT:
         out = jnp.pad(x, pad_width, mode="reflect")
     elif mode == PaddingModeType.WRAP:

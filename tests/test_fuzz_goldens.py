@@ -736,3 +736,95 @@ def test_fuzz_spectral_case(goldens, i):
         err = np.abs(ours - ref)[m].max()
         assert err <= 5e-4 * max(peak, 1e-20), (
             f"{tag} band_width finite part: {err:.3e} vs peak {peak:.3e}")
+
+
+# --- STFT/ISTFT parameter sweep (fuzz_stft group) --------------------------
+
+N_STFT_FUZZ = 14
+
+
+@pytest.mark.parametrize("i", range(N_STFT_FUZZ))
+def test_fuzz_stft_case(goldens, signals, i):
+    """STFT off its fixed-golden configuration: radix2_exp x all 14
+    window types x slide (incl. slide == fft) x padding position/mode/
+    constant values x custom window data x odd signal lengths, plus
+    reconstruction through both istft methods where the overlap covers
+    the signal (reference src/stft_algorithm.c stft/istft paths)."""
+    from audioflux_tpu.transforms.stft import STFT
+    from audioflux_tpu.types import PaddingModeType, PaddingPositionType
+    g = goldens("fuzz_stft")
+    p = json.loads(str(g[f"c{i}_params"]))
+    tag = f"fuzz_stft[{i}] {p}"
+    st = STFT(radix2_exp=p["r2e"], window_type=WindowType(p["window"]),
+              slide_length=p["slide"])
+    if p["custom"]:
+        st.use_window_data_arr(g[f"c{i}_win"])
+    if p["pad"]:
+        st.enable_padding(True)
+        st.set_padding(PaddingPositionType(p["pos"]),
+                       PaddingModeType(p["mode"]), p["v1"], p["v2"])
+    x = signals["sine"][:p["n"]]
+    D = np.asarray(st.stft(x))
+    assert_close_to_golden(D.real, g[f"c{i}_re"], 5e-5, tag)
+    assert_close_to_golden(D.imag, g[f"c{i}_im"], 5e-5, tag)
+    if f"c{i}_rec" in g.files:
+        # feed the golden spectrum so the istft check is independent of
+        # forward-path float ulps; tolerance is looser than the forward
+        # check because both istft methods divide by overlapped window
+        # sums, and windows with negative lobes or near-zero edges
+        # (flattop, blackman-nuttall, ...) pass those sums near the C's
+        # <1e-6 clamp where ifft ulps are amplified ~10x
+        Dg = g[f"c{i}_re"] + 1j * g[f"c{i}_im"]
+        y = np.asarray(st.istft(Dg, method_type=p["method"]))
+        assert_close_to_golden(y, g[f"c{i}_rec"], 1e-3, tag)
+
+
+# --- DSP one-shot parameter sweep (fuzz_dsp group) --------------------------
+
+N_DSP_FUZZ = 19
+
+
+@pytest.mark.parametrize("i", range(N_DSP_FUZZ))
+def test_fuzz_dsp_case(goldens, i):
+    """hilbert/dct/xcorr vs the C symbols across sizes and knobs; czt and
+    conv vs float64 direct-definition goldens (the reference CZT's
+    2N-overread makes its output undefined — documented deviation 3)."""
+    g = goldens("fuzz_dsp")
+    p = json.loads(str(g[f"c{i}_params"]))
+    tag = f"fuzz_dsp[{i}] {p}"
+    kind = p["kind"]
+    if kind == "hilbert":
+        from audioflux_tpu.dsp.hilbert import Hilbert
+        z = np.asarray(Hilbert(radix2_exp=p["r2e"]).hilbert(g[f"c{i}_x"]))
+        assert_close_to_golden(z.real, g[f"c{i}_re"], 5e-5, tag)
+        assert_close_to_golden(z.imag, g[f"c{i}_im"], 5e-5, tag)
+    elif kind == "dct":
+        from audioflux_tpu.dsp.dct import dct
+        y = dct(g[f"c{i}_x"], is_norm=bool(p["norm"]))
+        assert_close_to_golden(y, g[f"c{i}_y"], 5e-5, tag)
+    elif kind == "xcorr":
+        from audioflux_tpu.dsp.xcorr import XcorrNormalType, xcorr
+        y = None if p["auto"] else g[f"c{i}_y"]
+        arr = xcorr(g[f"c{i}_x"], y, XcorrNormalType(p["norm"]))[0]
+        assert_close_to_golden(arr, g[f"c{i}_arr"], 5e-5, tag)
+    elif kind == "czt":
+        from audioflux_tpu.dsp.czt import czt
+        C = np.asarray(czt(g[f"c{i}_x"], p["low"], p["high"]))
+        assert_close_to_golden(C.real, g[f"c{i}_re"], 5e-4, tag)
+        assert_close_to_golden(C.imag, g[f"c{i}_im"], 5e-4, tag)
+    elif kind == "conv":
+        from audioflux_tpu.dsp.conv import ConvModeType, conv
+        full = g[f"c{i}_y"]
+        n, m = p["nx"], p["nh"]
+        mode = ConvModeType(p["mode"])
+        if mode == ConvModeType.FULL:
+            want = full
+        elif mode == ConvModeType.SAME:
+            start = m // 2 - (0 if m % 2 else 1)
+            want = full[start:start + n]
+        else:
+            want = full[m - 1:n]
+        out = conv(g[f"c{i}_x"], g[f"c{i}_h"], mode)
+        assert_close_to_golden(out, want, 5e-5, tag)
+    else:
+        raise AssertionError(f"unknown kind {kind}")

@@ -14,7 +14,7 @@ Fuzz groups (seeded parameter-space sweeps, one subprocess per case):
   fuzz_bft fuzz_cqt fuzz_nsgt fuzz_dwt fuzz_wavelet fuzz_pitch
   fuzz_onset fuzz_harmonic fuzz_chroma fuzz_core fuzz_extractor
   fuzz_resample fuzz_utils fuzz_reassign fuzz_edges fuzz_features
-  fuzz_mir2 fuzz_spectral
+  fuzz_mir2 fuzz_spectral fuzz_stft fuzz_dsp
 "all" regenerates everything.
 """
 
@@ -1875,6 +1875,154 @@ def gen_fuzz_mir2():
     _gen_fuzz_group("_fuzzmir2", len(_MIR2_FUZZ_CASES), "fuzz_mir2")
 
 
+# STFT/ISTFT parameter sweep: the fixed `stft` golden pins one config
+# (r2e=11, HANN, slide 512) plus five padding variants.  These cases walk
+# radix2_exp x window type (all 14) x slide x padding position/mode/values
+# x custom window data x odd signal lengths, and reconstruct via both
+# istft methods (weighted-window and plain OLA) where the overlap covers
+# the signal (slide <= fft/2 — larger slides leave zero-weight samples
+# the weighted method divides by).
+
+
+def _stft_fuzz_cases():
+    rng = np.random.default_rng(260819)
+    cases = []
+    for i in range(14):
+        r2e = int(rng.choice([8, 9, 10, 11, 12]))
+        fft = 1 << r2e
+        slide = int(rng.choice([fft // 4, fft // 2, fft // 4 + 36, fft]))
+        cases.append(dict(
+            r2e=r2e, slide=slide, window=int(rng.integers(14)),
+            pad=int(rng.integers(2)), pos=int(rng.integers(3)),
+            mode=int(rng.integers(3)),
+            v1=float(np.round(rng.uniform(-0.3, 0.3), 3)),
+            v2=float(np.round(rng.uniform(-0.3, 0.3), 3)),
+            n=int(rng.choice([32000, 20000, 12345])),
+            method=int(rng.integers(2)),
+            custom=int(rng.integers(4) == 0)))
+    return cases
+
+
+_STFT_FUZZ_CASES = _stft_fuzz_cases()
+
+
+def gen_fuzz_stft_case(i):
+    import json
+    af = _setup_reference()
+    p = _STFT_FUZZ_CASES[i]
+    x = signals()["sine"][:p["n"]]
+    st = af.STFT(radix2_exp=p["r2e"],
+                 window_type=af.type.WindowType(p["window"]),
+                 slide_length=p["slide"])
+    out = {"params": np.array(json.dumps(p))}
+    if p["custom"]:
+        w = (0.2 + np.random.default_rng(900 + i)
+             .random(1 << p["r2e"])).astype(np.float32)
+        st.use_window_data_arr(w)
+        out["win"] = w
+    if p["pad"]:
+        st.enable_padding(True)
+        st.set_padding(af.type.PaddingPositionType(p["pos"]),
+                       af.type.PaddingModeType(p["mode"]), p["v1"], p["v2"])
+    D = st.stft(x)
+    out["re"] = D.real.astype(np.float32)
+    out["im"] = D.imag.astype(np.float32)
+    if p["slide"] <= (1 << p["r2e"]) // 2:
+        out["rec"] = np.asarray(st.istft(D, method_type=p["method"]),
+                                np.float32)
+    save(f"_fuzzstft{i}", **out)
+
+
+def gen_fuzz_stft():
+    _gen_fuzz_group("_fuzzstft", len(_STFT_FUZZ_CASES), "fuzz_stft")
+
+
+# DSP one-shot parameter sweep: hilbert/dct/xcorr driven through the C
+# symbols (their fixed goldens pin a single size each); czt and conv have
+# no C oracle here (the reference CZT reads 2N floats from an N buffer —
+# documented deviation 3 — so its output is undefined-behavior garbage)
+# and get float64 direct-definition goldens instead.
+
+
+def _dsp_fuzz_cases():
+    rng = np.random.default_rng(260820)
+    cases = []
+    for r2e in (6, 7, 9, 10, 11):
+        cases.append(dict(kind="hilbert", r2e=r2e))
+    for n, norm in ((32, 0), (128, 1), (256, 0), (100, 1)):
+        cases.append(dict(kind="dct", n=n, norm=norm))
+    for n, norm, auto in ((128, 0, 0), (200, 1, 0), (256, 0, 1),
+                          (64, 1, 1)):
+        cases.append(dict(kind="xcorr", n=n, norm=norm, auto=auto))
+    for r2e in (7, 9, 11):
+        lw = float(np.round(rng.uniform(0.0, 0.4), 3))
+        cases.append(dict(kind="czt", r2e=r2e, low=lw,
+                          high=float(np.round(lw + rng.uniform(0.05, 0.5),
+                                              3))))
+    for nx, nh, mode in ((64, 9, 0), (100, 31, 1), (128, 17, 2)):
+        cases.append(dict(kind="conv", nx=nx, nh=nh, mode=mode))
+    return cases
+
+
+_DSP_FUZZ_CASES = _dsp_fuzz_cases()
+
+
+def gen_fuzz_dsp_case(i):
+    import json
+    p = _DSP_FUZZ_CASES[i]
+    out = {"params": np.array(json.dumps(p))}
+    r = np.random.default_rng(4000 + i)
+    kind = p["kind"]
+    if kind == "hilbert":
+        n = 1 << p["r2e"]
+        x = r.standard_normal(n).astype(np.float32)
+        lib = ctypes.cdll.LoadLibrary(REF_LIB)
+        ho = ctypes.c_void_p()
+        lib["hilbertObj_new"](ctypes.byref(ho), ctypes.c_int(p["r2e"]))
+        hr = np.zeros(n, np.float32)
+        hi = np.zeros(n, np.float32)
+        lib["hilbertObj_hilbert"](ho, _f32p(x), _f32p(hr), _f32p(hi))
+        out.update(x=x, re=hr, im=hi)
+    elif kind == "dct":
+        x = r.standard_normal(p["n"]).astype(np.float32)
+        lib = ctypes.cdll.LoadLibrary(REF_LIB)
+        do = ctypes.c_void_p()
+        lib["dctObj_new"](ctypes.byref(do), ctypes.c_int(p["n"]), None)
+        y = np.zeros(p["n"], np.float32)
+        lib["dctObj_dct"](do, _f32p(x), ctypes.c_int(p["norm"]), _f32p(y))
+        out.update(x=x, y=y)
+    elif kind == "xcorr":
+        af = _setup_reference()
+        x = r.standard_normal(p["n"]).astype(np.float32)
+        y = None if p["auto"] else r.standard_normal(p["n"]).astype(
+            np.float32)
+        arr, _val = af.Xcorr().xcorr(
+            x, y, af.type.XcorrNormalType(p["norm"]))
+        out.update(x=x, arr=np.asarray(arr, np.float32))
+        if y is not None:
+            out["y"] = y
+    elif kind == "czt":
+        # float64 direct zoom-DFT definition (no C oracle, see above)
+        n = 1 << p["r2e"]
+        x = r.standard_normal(n).astype(np.float32)
+        k = np.arange(n, dtype=np.float64)
+        w = p["low"] + (p["high"] - p["low"]) * k / n
+        E = np.exp(-2j * np.pi * np.outer(w, k))
+        y = E @ x.astype(np.float64)
+        out.update(x=x, re=y.real.astype(np.float32),
+                   im=y.imag.astype(np.float32))
+    elif kind == "conv":
+        x = r.standard_normal(p["nx"]).astype(np.float32)
+        h = r.standard_normal(p["nh"]).astype(np.float32)
+        full = np.convolve(x.astype(np.float64), h.astype(np.float64))
+        out.update(x=x, h=h, y=full.astype(np.float32))
+    save(f"_fuzzdsp{i}", **out)
+
+
+def gen_fuzz_dsp():
+    _gen_fuzz_group("_fuzzdsp", len(_DSP_FUZZ_CASES), "fuzz_dsp")
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -1920,6 +2068,8 @@ GROUPS = {
     "pitch_ffp": gen_pitch_ffp,
     "pitch_stft": gen_pitch_stft,
     "fuzz_mir2": lambda af: gen_fuzz_mir2(),
+    "fuzz_stft": lambda af: gen_fuzz_stft(),
+    "fuzz_dsp": lambda af: gen_fuzz_dsp(),
 }
 
 
@@ -1968,6 +2118,12 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzspectral"):
         gen_fuzz_spectral_case(int(groups[0][13:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzstft"):
+        gen_fuzz_stft_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzdsp"):
+        gen_fuzz_dsp_case(int(groups[0][8:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
