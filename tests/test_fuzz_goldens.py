@@ -828,3 +828,35 @@ def test_fuzz_dsp_case(goldens, i):
         assert_close_to_golden(out, want, 5e-5, tag)
     else:
         raise AssertionError(f"unknown kind {kind}")
+
+
+# --- Deep/DeepChroma parameter sweep (fuzz_deep group) ----------------------
+
+N_DEEP_FUZZ = 7
+
+
+@pytest.mark.parametrize("i", range(N_DEEP_FUZZ))
+def test_fuzz_deep_case(goldens, signals, i):
+    """Deep/DeepChroma off their fixed-golden configuration: num x
+    radix2_exp x samplate x deep_order (reference
+    python/audioflux/spectrogram.py:2655/2739 + spectrogramObj deep
+    paths)."""
+    from audioflux_tpu.transforms.deep import (DeepChromaSpectrogram,
+                                               DeepSpectrogram)
+    g = goldens("fuzz_deep")
+    p = json.loads(str(g[f"c{i}_params"]))
+    tag = f"fuzz_deep[{i}] {p}"
+    ref = g[f"c{i}_arr"]
+    x = signals["chord"]
+    if p["kind"] == "deep":
+        dp = DeepSpectrogram(num=p["num"], samplate=p["sr"],
+                             radix2_exp=p["r2e"])
+        if p["order"] != 1:
+            dp.set_deep_order(p["order"])
+        D = np.asarray(dp.spectrogram(x))
+        assert D.shape == ref.shape, tag
+        for ch in range(ref.shape[0]):
+            assert_close_to_golden(D[ch], ref[ch], 5e-5, f"{tag} ch{ch}")
+    else:
+        dc = DeepChromaSpectrogram(samplate=p["sr"], radix2_exp=p["r2e"])
+        assert_close_to_golden(dc.spectrogram(x), ref, 5e-5, tag)

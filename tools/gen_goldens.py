@@ -14,7 +14,7 @@ Fuzz groups (seeded parameter-space sweeps, one subprocess per case):
   fuzz_bft fuzz_cqt fuzz_nsgt fuzz_dwt fuzz_wavelet fuzz_pitch
   fuzz_onset fuzz_harmonic fuzz_chroma fuzz_core fuzz_extractor
   fuzz_resample fuzz_utils fuzz_reassign fuzz_edges fuzz_features
-  fuzz_mir2 fuzz_spectral fuzz_stft fuzz_dsp
+  fuzz_mir2 fuzz_spectral fuzz_stft fuzz_dsp fuzz_deep
 "all" regenerates everything.
 """
 
@@ -2023,6 +2023,45 @@ def gen_fuzz_dsp():
     _gen_fuzz_group("_fuzzdsp", len(_DSP_FUZZ_CASES), "fuzz_dsp")
 
 
+# Deep/DeepChroma parameter sweep: the fixed `deep` golden pins num=84 /
+# r2e=12 / sr=32000 (orders 1-4).  These walk num x radix2_exp x samplate
+# x deep_order (num kept <= 96: the DEEP log-scale runs C1..16 kHz, ~107
+# bins max before bands leave the spectrum).
+
+_DEEP_FUZZ_CASES = [
+    dict(kind="deep", num=48, r2e=11, sr=32000, order=1),
+    dict(kind="deep", num=84, r2e=11, sr=44100, order=2),
+    dict(kind="deep", num=96, r2e=12, sr=32000, order=3),
+    dict(kind="deep", num=60, r2e=12, sr=44100, order=4),
+    dict(kind="deep", num=84, r2e=10, sr=32000, order=1),
+    dict(kind="deepchroma", r2e=11, sr=32000),
+    dict(kind="deepchroma", r2e=12, sr=44100),
+]
+
+
+def gen_fuzz_deep_case(i):
+    import json
+    af = _setup_reference()
+    p = _DEEP_FUZZ_CASES[i]
+    x = signals()["chord"]
+    out = {"params": np.array(json.dumps(p))}
+    if p["kind"] == "deep":
+        from audioflux.spectrogram import Deep as _Deep
+        dp = _Deep(num=p["num"], samplate=p["sr"], radix2_exp=p["r2e"])
+        if p["order"] != 1:
+            dp.set_deep_order(p["order"])
+        out["arr"] = dp.spectrogram(x)
+    else:
+        from audioflux.spectrogram import DeepChroma as _DeepChroma
+        dc = _DeepChroma(samplate=p["sr"], radix2_exp=p["r2e"])
+        out["arr"] = dc.spectrogram(x)
+    save(f"_fuzzdeep{i}", **out)
+
+
+def gen_fuzz_deep():
+    _gen_fuzz_group("_fuzzdeep", len(_DEEP_FUZZ_CASES), "fuzz_deep")
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -2070,6 +2109,7 @@ GROUPS = {
     "fuzz_mir2": lambda af: gen_fuzz_mir2(),
     "fuzz_stft": lambda af: gen_fuzz_stft(),
     "fuzz_dsp": lambda af: gen_fuzz_dsp(),
+    "fuzz_deep": lambda af: gen_fuzz_deep(),
 }
 
 
@@ -2124,6 +2164,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzdsp"):
         gen_fuzz_dsp_case(int(groups[0][8:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_fuzzdeep"):
+        gen_fuzz_deep_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
