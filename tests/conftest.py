@@ -32,6 +32,34 @@ import pytest  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make the isolated-skip story self-evident in the default output.
+
+    The C-oracle fuzz rigs (test_queue_util / test_ffp_chain) are skipped
+    in-process and re-run inside child pytests by test_c_oracle.py, because
+    the reference .so corrupts the host heap.  A plain ``pytest -q`` reader
+    should not mistake that safety re-route for dropped coverage.
+    """
+    skipped = terminalreporter.stats.get("skipped", [])
+    n_iso = sum(1 for rep in skipped
+                if "runs isolated via test_c_oracle.py" in str(
+                    getattr(rep, "longrepr", "")))
+    if not n_iso:
+        return
+    passed = {rep.nodeid.split("::")[-1]
+              for rep in terminalreporter.stats.get("passed", [])
+              if "test_c_oracle" in rep.nodeid}
+    if passed:
+        terminalreporter.write_line(
+            f"note: {n_iso} C-oracle fuzz tests skipped here were re-run "
+            f"isolated by test_c_oracle.py ({len(passed)} child pytests): "
+            "PASSED")
+    else:
+        terminalreporter.write_line(
+            f"note: {n_iso} C-oracle fuzz tests are skipped in-process and "
+            "run isolated via test_c_oracle.py (not in this selection)")
+
+
 @pytest.fixture(scope="session")
 def goldens():
     def load(name):
