@@ -33,7 +33,13 @@ __all__ = ["queue_cut"]
 def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
               fre_arr2=(), db_arr2=(), height_arr2=(), length2=0,
               fre_arr3=(), db_arr3=(), height_arr3=(), ref_length=0,
-              light=0.0, valid=0):
+              light=0.0, valid=0, valid_out=None):
+    """``valid_out``: optional 1-element list mirroring the C's ``*valid``
+    out-pointer — several reject branches store 1 or 3 there, and trist3's
+    later cascade stages (fast with refLength>5, direct) gate on it
+    (_queue.c:5132, :5529)."""
+    if valid_out is None:
+        valid_out = [0]
     f, d, h = fre_arr, db_arr, height_arr
     f2, d2, h2 = fre_arr2, db_arr2, height_arr2
     f3, d3, h3 = fre_arr3, db_arr3, height_arr3
@@ -812,7 +818,8 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                 return _g(f, index1) / 2
         if index1 == 1 and 240 < _g(f, 1) < 255:
             return _g(f, 2) / 2
-        return 0.0  # C sets *valid=1 here
+        valid_out[0] = 1  # *valid=1 (_queue.c:3352)
+        return 0.0
 
     if (uk1 == 1 and uk2 == 3 and uk3 == 6
             and vk1 == 1 and vk2 == 2 and vk3 == 3):
@@ -950,7 +957,8 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if (index1 == 3 and 230 < _g(f, index1) < 260
                 and _g(d, 2) > _g(d, 0) and _g(d, 2) > _g(d, 1)):
             return _g(f, 2) / 2
-        return 0.0  # C sets *valid=1 here
+        valid_out[0] = 1  # *valid=1 (_queue.c:3689)
+        return 0.0
 
     if (uk1 == 1 and uk2 == 2 and uk3 == 3
             and vk1 == 2 and vk2 == 3 and vk3 == 7):
@@ -1224,9 +1232,11 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
                         and _g(cf, 0) > 220):
                     return _g(cf, 2) / 2
                 if 2 * uk1 == uk3 and ref_length > 5:
-                    return 0.0  # C sets *valid=3
+                    valid_out[0] = 3  # *valid=3 (_queue.c:4262)
+                    return 0.0
             if uk1 == 4 and uk3 == 6 and ref_length > 5:
-                return 0.0  # C sets *valid=3
+                valid_out[0] = 3  # *valid=3 (_queue.c:4272)
+                return 0.0
     else:
         if uk1 == 2 and uk2 == 3 and uk3 == 6:
             if (_g(cd, 1) > _g(cd, 2) and _g(cd, 2) > _g(cd, 0)
@@ -1236,7 +1246,8 @@ def queue_cut(fre_arr, db_arr, height_arr, index_arr, length,
         if uk1 == 2 and uk2 == 3 and uk3 == 6 and ref_length > 5:
             if _max_index(cd, n) == 1:
                 if _g(cd, 1) > _g(cd, 2) and _g(cd, 2) > _g(cd, 0):
-                    return 0.0  # C sets *valid=1
+                    valid_out[0] = 1  # *valid=1 (_queue.c:4302)
+                    return 0.0
 
     if not fre and ref_length < 5:
         if vk1 == 2 and vk2 == 3 and vk3 == 6:

@@ -1440,9 +1440,11 @@ def queue_slide(fre_arr, db_arr, height_arr, index_arr, length,
     return fre, status
 
 
-def trist_dispatch(fre_arr, db_arr, height_arr, length, light=0.0):
+def trist_dispatch(fre_arr, db_arr, height_arr, length, light=0.0, valid=0):
     """__trist (_trist3.c:291): direct -> slide -> weak over one candidate
     set (frequency-ascending), with the C's dB-rank index array.
+    ``valid`` carries the cascade's accumulated *valid out-value (cut's
+    reject stores); direct gates on it (_queue.c:5529).
     Returns (flag, fre): flag 3/4/5 by winning strategy, 0 if none."""
     if not length:
         return 0, 0.0
@@ -1451,15 +1453,15 @@ def trist_dispatch(fre_arr, db_arr, height_arr, length, light=0.0):
     for rank, j in enumerate(order):
         index_arr[j] = rank
     fre = queue_direct(fre_arr, db_arr, height_arr, index_arr, length,
-                       light, 0)
+                       light, valid)
     if fre:
         return 3, fre
     fre, _status = queue_slide(fre_arr, db_arr, height_arr, index_arr,
-                               length, light, 0)
+                               length, light, valid)
     if fre:
         return 4, fre
     fre = queue_weak(fre_arr, db_arr, height_arr, index_arr, length,
-                     light, 0)
+                     light, valid)
     if fre:
         return 5, fre
     return 0, 0.0
@@ -1670,22 +1672,26 @@ def trist3_resolve(fre1, db1, h1, len1, fre2, db2, h2, len2,
                              fre1, db1, h1, len1, light, 0)
         if fre:
             return 6, fre
+    # the C threads one `valid` out-pointer through the whole cascade
+    # (_trist3.c:44-91): cut's reject branches store 1/3 there, and the
+    # later fast (refLength>5) and direct stages gate on it
+    vcell = [0]
     if len3:
         from audioflux_tpu.mir._queue_cut import queue_cut
         idx3 = rank_index(db3, len3)
         fre = queue_cut(fre3, db3, h3, idx3, len3,
                         fre2, db2, h2, len2,
-                        fre1, db1, h1, len1, light, 0)
+                        fre1, db1, h1, len1, light, 0, valid_out=vcell)
         if fre:
             return 1, fre
     if len2:
         idx2 = rank_index(db2, len2)
         fre = queue_fast(fre2, db2, h2, idx2, len2,
-                         fre1, db1, h1, len1, light, 0)
+                         fre1, db1, h1, len1, light, vcell[0])
         if fre:
             return 2, fre
     if len1:
-        return trist_dispatch(fre1, db1, h1, len1, light)
+        return trist_dispatch(fre1, db1, h1, len1, light, vcell[0])
     return 0, 0.0
 
 

@@ -1,0 +1,419 @@
+"""Sequence-parallel paths for the full-signal-FFT transforms.
+
+The STFT family shards cleanly over frame blocks (``parallel/sharded.py``),
+but CWT/ST/NSGT compute one FFT of the whole 2**radix2_exp-sample signal and
+then per-band inverse transforms (reference ``cwt_algorithm.c:418-456``,
+``st_algorithm.c:262-286``, ``nsgt_algorithm.c:542-620``), and CQT runs a
+multirate octave recursion over the whole signal (``cqt_algorithm.c:993-1000``).
+Their TPU-first decomposition follows where the FLOPs are:
+
+* the forward FFT is one L*log(L) pass over a signal that is at most
+  2**radix2_exp samples — replicating it costs less than communicating it;
+* the per-band inverse transforms are ``num`` independent L-point IFFTs —
+  an embarrassingly parallel batch, partitioned across the mesh;
+* the result is redistributed to time-sharding with one all-to-all on ICI.
+
+Everything is expressed as ``jax.lax.with_sharding_constraint`` annotations
+on the existing op graphs — XLA GSPMD inserts the all_gather / all_to_all
+collectives (the scaling-book recipe: pick a mesh, annotate, let XLA place
+the collectives).  Because the partitioned graphs are the *same* graphs as
+the single-chip transforms, outputs match the unsharded transforms to float
+rounding; the only reduction whose order changes is the synsq bin
+accumulation (<= num terms per bin).
+
+For recordings much longer than 2**radix2_exp samples, ``sharded_ccwt_fn``
+is the genuinely time-sharded path: it distributes the reference's ccwt
+window splice (``python/audioflux/cwt.py:280-320``) across the mesh with a
+``ppermute`` halo exchange, each shard computing only its own windows —
+input, compute, and output all stay sharded over time, so signals that do
+not fit one chip's HBM stream through the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audioflux_tpu.ops import fft as afft
+from audioflux_tpu.ops.frame import frame_signal
+from audioflux_tpu.ops.pad import pad_signal
+from audioflux_tpu.types import (PaddingModeType, PaddingPositionType,
+                                 SpectralFilterBankScaleType)
+
+__all__ = ["sharded_cwt_fn", "sharded_synsq_fn", "sharded_st_fn",
+           "sharded_nsgt_fn", "sharded_cqt_fn", "sharded_ccwt_fn",
+           "sharded_batch_fn"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _ns(mesh: Mesh, *spec):
+    return NamedSharding(mesh, P(*spec))
+
+
+# ---------------------------------------------------------------------------
+# CWT: band-parallel IFFT bank, time-sharded output
+# ---------------------------------------------------------------------------
+
+def _cwt_body(obj, x, bank, det, batch_axis, time_axis, mesh):
+    """The CWT._run graph with GSPMD partitioning annotations."""
+    x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
+    p = obj.pad_length
+    if p:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)], mode="symmetric")
+    F = afft.fft(x, axis=-1)
+    prod = bank * F[..., None, :]
+    if det:
+        prod = prod * 1j
+    # band axis partitioned: num independent L-point IFFTs spread over the
+    # mesh (this is where the FLOPs are)
+    prod = jax.lax.with_sharding_constraint(
+        prod, _ns(mesh, batch_axis, time_axis, None))
+    out = afft.ifft(prod, axis=-1)
+    if p:
+        out = out[..., p:p + obj.data_length]
+    return jnp.flip(out, axis=-2)
+
+
+def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                   time_axis: str = "time", det: bool = False):
+    """Mesh-parallel CWT: (B, 2**radix2_exp) -> complex64 (B, num, L).
+
+    Input arrives sharded (batch over ``batch_axis``, samples over
+    ``time_axis``); the output's time axis is sharded over ``time_axis``.
+    Equal to ``obj.cwt`` / ``obj.cwt_det`` to float rounding.
+    """
+    if det:
+        obj.enable_det(True)
+    bank = jnp.asarray(obj._det_bank if det else obj._bank)
+
+    def run(x):
+        out = _cwt_body(obj, x, bank, det, batch_axis, time_axis, mesh)
+        return jax.lax.with_sharding_constraint(
+            out, _ns(mesh, batch_axis, None, time_axis))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
+                     batch_axis: str = "data", time_axis: str = "time"):
+    """Mesh-parallel CWT + synchrosqueeze: (B, L) -> complex64 (B, num, L).
+
+    One jit shares the forward FFT between the plain and the derivative
+    bank; the phase/unwrap/scatter pipeline stays band-partitioned (the
+    unwrap ``lax.scan`` carries a (B, num) state — elementwise over bands),
+    and the bin accumulation contracts over the sharded band axis (XLA
+    inserts the psum).  Matches ``Synsq.synsq(cwt, ..)`` up to the
+    reduction-order of each output bin's <= num-term sum.
+    """
+    from audioflux_tpu.transforms.synsq import _synsq_impl
+    cwt_obj.enable_det(True)
+    bank = jnp.asarray(cwt_obj._bank)
+    det_bank = jnp.asarray(cwt_obj._det_bank)
+    S = SpectralFilterBankScaleType
+    st = S(cwt_obj.scale_type)
+    kind = ("log" if st in (S.OCTAVE, S.LOG)
+            else "linear" if st in (S.LINEAR, S.LINSPACE) else "nearest")
+    fre_arr = jnp.asarray(cwt_obj.fre_band_arr, jnp.float32)
+
+    def run(x):
+        W = _cwt_body(cwt_obj, x, bank, False, batch_axis, time_axis, mesh)
+        out = _synsq_impl(W, fre_arr, scale_kind=kind, num=synsq_obj.num,
+                          samplate=float(synsq_obj.samplate),
+                          thresh=synsq_obj.thresh, order=synsq_obj.order)
+        return jax.lax.with_sharding_constraint(
+            out, _ns(mesh, batch_axis, None, time_axis))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+# ---------------------------------------------------------------------------
+# ST: bin-parallel gaussian-window IFFTs
+# ---------------------------------------------------------------------------
+
+def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                  time_axis: str = "time"):
+    """Mesh-parallel Stockwell transform: (B, L) -> (B, nbins, L).
+
+    The per-bin shifted-spectrum IFFTs (``st_algorithm.c:262-286``) are
+    partitioned over the bin axis; output time axis re-sharded over
+    ``time_axis``.  Equal to ``obj.st`` to float rounding.
+    """
+    L = obj.fft_length
+    windows = jnp.asarray(obj._windows)
+    bins = jnp.asarray(obj.bin_arr)
+
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
+        F = afft.fft(x, axis=-1)
+        F2 = jnp.concatenate([F, F], axis=-1)
+        idx = bins[:, None] + jnp.arange(L)[None, :]
+        shifted = F2[..., idx] * windows
+        shifted = jax.lax.with_sharding_constraint(
+            shifted, _ns(mesh, batch_axis, time_axis, None))
+        out = afft.ifft(shifted, axis=-1)
+        mean = jnp.mean(x, axis=-1, keepdims=True)[..., None]
+        out = jnp.where((bins == 0)[:, None], mean.astype(out.dtype), out)
+        return jax.lax.with_sharding_constraint(
+            out, _ns(mesh, batch_axis, None, time_axis))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+# ---------------------------------------------------------------------------
+# NSGT: uniform Bluestein band IDFTs (SPMD needs one shape for all bands)
+# ---------------------------------------------------------------------------
+
+def _nsgt_bluestein_consts(obj):
+    """Per-band constants turning the ragged band IDFTs into one uniform
+    batched pipeline.
+
+    The single-chip NSGT buckets bands by window length and runs one
+    ``ifft`` per distinct length — ragged shapes that SPMD cannot
+    partition.  Rewriting each band's ln-point IDFT as a Bluestein chirp-z
+    at one common power-of-two length gives every band the same shape, so
+    the band axis becomes a plain batch axis for the mesh.
+    """
+    num = obj.num
+    L = obj.fft_length
+    lens = np.asarray(obj._lens, np.int64)
+    max_ln = int(lens.max())
+    Lc = 1
+    while Lc < 2 * max_ln - 1:
+        Lc *= 2
+
+    # inverse-DFT Bluestein: e^{+2pi i km/ln} = chirp[k] chirp[m] b[m-k]
+    # with chirp[k] = e^{+i pi k^2/ln}, b[j] = e^{-i pi j^2/ln}; so
+    # cell = (chirp/ln) * ifft(fft(v * chirp, Lc) * fft(b_circ))[:max_ln]
+    gather = np.zeros((num, max_ln), np.int64)
+    weight = np.zeros((num, max_ln), np.float32)
+    chirp = np.zeros((num, max_ln), np.complex64)
+    post = np.zeros((num, max_ln), np.complex64)
+    Bf = np.zeros((num, Lc), np.complex64)
+    for i in range(num):
+        ln = int(lens[i])
+        off = obj._offsets[i]
+        k = np.arange(ln)
+        rolled = (k + ln // 2) % ln  # fold the center-to-bin-0 roll in
+        gather[i, :ln] = np.clip(off + rolled, 0, L - 1)
+        weight[i, :ln] = np.asarray(obj._windows[i])[rolled]
+        c = np.exp(1j * np.pi * k * k / ln)
+        chirp[i, :ln] = c
+        post[i, :ln] = c / ln
+        b = np.zeros(Lc, np.complex128)
+        b[k] = np.conj(np.exp(1j * np.pi * k * k / ln))
+        b[Lc - k[1:]] = b[k[1:]]  # b[-j] = b[j]
+        Bf[i] = np.fft.fft(b).astype(np.complex64)
+    expand = np.asarray(obj._expand, np.int64)
+    return (jnp.asarray(gather), jnp.asarray(weight), jnp.asarray(chirp),
+            jnp.asarray(post), jnp.asarray(Bf), jnp.asarray(expand),
+            max_ln, Lc)
+
+
+def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                    time_axis: str = "time"):
+    """Mesh-parallel NSGT: (B, 2**radix2_exp) -> (B, num, max_time_length).
+
+    Band IDFTs run as uniform Bluestein chirp-z transforms partitioned over
+    the band axis (see ``_nsgt_bluestein_consts``); the previous-sample-hold
+    expansion (``nsgt_algorithm.c:578-600``) is a batched gather.  Matches
+    ``obj.nsgt`` to Bluestein-vs-FFT float rounding (~1e-6 relative).
+    """
+    (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
+        _nsgt_bluestein_consts(obj)
+
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
+        F = afft.fft(x, axis=-1)
+        v = F[..., gather] * weight          # (B, num, max_ln)
+        u = v * chirp
+        u = jax.lax.with_sharding_constraint(
+            u, _ns(mesh, batch_axis, time_axis, None))
+        U = afft.fft(u, n=Lc, axis=-1)
+        # materialize in default layout: the XLA:CPU fft thunk RET_CHECKs on
+        # the non-dim0-major layout GSPMD picks for the sharded Bf slice
+        W = jax.lax.optimization_barrier(U * Bf)
+        conv = afft.ifft(W, axis=-1)[..., :max_ln]
+        cells = conv * post                  # (B, num, max_ln)
+        rows = jnp.take_along_axis(
+            cells, jnp.broadcast_to(expand, cells.shape[:-2] + expand.shape),
+            axis=-1)
+        return jax.lax.with_sharding_constraint(
+            rows, _ns(mesh, batch_axis, time_axis, None))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, time_axis, None))
+
+
+# ---------------------------------------------------------------------------
+# CQT: frame-parallel octave recursion
+# ---------------------------------------------------------------------------
+
+def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                   time_axis: str = "time"):
+    """Mesh-parallel CQT/VQT: (B, n) -> complex64 (B, num, T).
+
+    The multirate downsample chain (log2(octaves) sequential resamples of
+    the whole signal) is replicated — it is a tiny sinc filter; the per-
+    octave frame rfft + complex kernel einsum, where the FLOPs live, is
+    partitioned over the frame axis.  Output time axis sharded over
+    ``time_axis``.  Equal to ``obj.cqt`` to float rounding (the einsum is
+    batched per frame, so partitioning does not reorder any reduction).
+    """
+    if obj.is_continue:
+        raise ValueError("sharded_cqt_fn does not support is_continue mode")
+    scale_vec = jnp.asarray(obj._scale_vec())
+    kernels = [jnp.asarray(k) for k in obj._kernels]
+
+    def octave_spec(x, slide, kernel):
+        xp = pad_signal(x, obj.fft_length, slide,
+                        PaddingPositionType.CENTER, PaddingModeType.CONSTANT)
+        frames = frame_signal(xp, obj.fft_length, slide)
+        frames = jax.lax.with_sharding_constraint(
+            frames, _ns(mesh, batch_axis, time_axis, None))
+        S = afft.rfft(frames, axis=-1)
+        re = (jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.real(kernel),
+                         precision=_HIGHEST)
+              - jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.imag(kernel),
+                           precision=_HIGHEST))
+        im = (jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.real(kernel),
+                         precision=_HIGHEST)
+              + jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.imag(kernel),
+                           precision=_HIGHEST))
+        return re + 1j * im
+
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
+        T = x.shape[-1] // obj.slide_length + 1
+        slide = obj.slide_length
+        blocks = [None] * obj.octave_num
+        for i in range(obj.octave_num - 1, -1, -1):
+            spec = octave_spec(x, slide, kernels[i])
+            cur_T = spec.shape[-2]
+            if cur_T < T:
+                spec = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
+                               + [(0, T - cur_T), (0, 0)])
+            blocks[i] = spec[..., :T, :]
+            if i > 0:
+                x = obj._resampler.resample(x)
+                x = jax.lax.with_sharding_constraint(
+                    x, _ns(mesh, batch_axis, None))
+                slide //= 2
+        out = jnp.concatenate(blocks, axis=-1) * scale_vec
+        out = jnp.swapaxes(out, -1, -2)
+        return jax.lax.with_sharding_constraint(
+            out, _ns(mesh, batch_axis, None, time_axis))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+# ---------------------------------------------------------------------------
+# ccwt: genuinely time-sharded long-recording CWT (ppermute halo windows)
+# ---------------------------------------------------------------------------
+
+def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                    time_axis: str = "time"):
+    """Time-sharded continuous CWT over long recordings.
+
+    The reference splices half-overlapped fft-length CWT windows
+    (``python/audioflux/cwt.py:280-320``; ``ccwt`` here mirrors it).  Each
+    time shard owns a contiguous block of ``m = block/step`` windows; the
+    two windows straddling its block edges need ``step = fft/2`` samples of
+    left halo and ``fft - step`` of right halo, fetched over ICI with
+    ``ppermute`` — input, per-window CWT compute, and the (num, n) output
+    all stay sharded over time.  Bit-equal to ``obj.ccwt`` (the same
+    windows are computed, just distributed; edge shards recompute one
+    window instead of branching).
+
+    Constraint: the per-shard block length n // P must be a multiple of
+    ``step``.
+    """
+    L = obj.fft_length
+    win_len = L // 4
+    step = win_len * 2
+    n_time = int(mesh.shape[time_axis])
+    bank = jnp.asarray(obj._bank)
+
+    def local(x_loc):  # (B?, M)
+        M = x_loc.shape[-1]
+        if M % step:
+            raise ValueError(f"per-shard length {M} must be a multiple of "
+                             f"fft_length//2 = {step}")
+        m = M // step
+        # halos: window jm-1 starts one step left of the block; window
+        # jm+m-1 extends fft-step past its right edge
+        perm_l = [((i + 1) % n_time, i) for i in range(n_time)]
+        perm_r = [(i, (i + 1) % n_time) for i in range(n_time)]
+        left = jax.lax.ppermute(x_loc[..., -step:], time_axis, perm_r)
+        right = jax.lax.ppermute(x_loc[..., :L - step], time_axis, perm_l)
+        ext = jnp.concatenate([left, x_loc, right], axis=-1)  # (B?, M + L)
+
+        j = jax.lax.axis_index(time_axis)
+        jm = j * m
+        wc = n_time * m - 1  # global window count (ccwt: n // step - 1)
+        t_idx = jnp.arange(m + 1)
+        g = jnp.clip(jm - 1 + t_idx, 0, wc - 1)  # global window ids
+        offs = (g - (jm - 1)) * step             # start in ext
+
+        # gather the m+1 windows: (B?, m+1, L)
+        base = offs[:, None] + jnp.arange(L)[None, :]
+        frames = ext[..., base]
+        spec = obj._run(frames, bank, det=False)  # (B?, m+1, num, L)
+
+        first = jnp.where(j == 0, spec[..., 0, :, 0:win_len],
+                          spec[..., 0, :, 2 * win_len:3 * win_len])
+        last = jnp.where(j == n_time - 1,
+                         spec[..., m, :, 3 * win_len:4 * win_len],
+                         spec[..., m, :, win_len:2 * win_len])
+        mid = spec[..., 1:m, :, win_len:3 * win_len]  # (B?, m-1, num, 2win)
+        mid = jnp.moveaxis(mid, -3, -2)               # (B?, num, m-1, 2win)
+        mid = mid.reshape(mid.shape[:-2] + (-1,))     # (B?, num, (m-1)*2win)
+        return jnp.concatenate([first, mid, last], axis=-1)  # (B?, num, M)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(batch_axis, time_axis),
+        out_specs=P(batch_axis, None, time_axis))
+
+    return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# generic batch-of-files data parallelism
+# ---------------------------------------------------------------------------
+
+def sharded_batch_fn(fn, mesh: Mesh, batch_axis: str = "data"):
+    """Shard any leading-batch transform over the ``data`` mesh axis.
+
+    ``fn`` maps (B, ...) -> pytree of arrays whose leading axis is B (every
+    transform and MIR pipeline here is batched by construction).  The
+    returned callable runs it with the batch partitioned across
+    ``batch_axis`` — the batch-of-files configuration (SURVEY §2.10 row 1).
+    Bit-equal to the unsharded ``fn``: partitioning a batch axis reorders
+    nothing.
+    """
+    def run(x):
+        x = jax.lax.with_sharding_constraint(
+            x, _ns(mesh, *([batch_axis] + [None] * (x.ndim - 1))))
+        out = fn(x)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, _ns(mesh, *([batch_axis] + [None] * (a.ndim - 1)))), out)
+
+    return jax.jit(run)

@@ -2062,6 +2062,110 @@ def gen_fuzz_deep():
     _gen_fuzz_group("_fuzzdeep", len(_DEEP_FUZZ_CASES), "fuzz_deep")
 
 
+# ---------------------------------------------------------------------------
+# Real-recording goldens (SURVEY §4): run the reference on the bundled sample
+# WAVs at /root/reference/python/audioflux/utils/sample_data (present on every
+# build machine; the audio itself is NOT committed — only derived fixtures).
+# One subprocess per file: the reference corrupts its allocator across calls.
+
+_SAMPLE_DIR = os.path.join("/root/reference/python/audioflux/utils",
+                           "sample_data")
+_REAL_FILES = ["voice", "220", "880", "guitar_chord1", "guitar_chord2",
+               "chord_metronome1", "chord_metronome2"]
+_REAL_PITCH = {"voice", "guitar_chord1", "guitar_chord2"}
+_REAL_HPSS = {"chord_metronome1", "chord_metronome2"}
+
+
+def _read_wav_f32(path):
+    """Mono float32 from 16/32-bit PCM WAV — same int->float convention as
+    audioflux_tpu.io.wave (int16/32768, int32/2^31), soundfile-compatible."""
+    import wave as _wave
+    w = _wave.open(path, "rb")
+    try:
+        sw, n = w.getsampwidth(), w.getnframes()
+        raw = w.readframes(n)
+        sr = w.getframerate()
+    finally:
+        w.close()
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported width {sw}")
+    return x, sr
+
+
+def gen_real_case(i):
+    af = _setup_reference()
+    name = _REAL_FILES[i]
+    x, sr = _read_wav_f32(os.path.join(_SAMPLE_DIR, f"{name}.wav"))
+    assert sr == 32000
+    out = {"n_samples": np.int64(len(x))}
+
+    # mel spectrogram + FLUX onset (BFT path, like gen_mir)
+    bft = af.BFT(num=128, radix2_exp=11, samplate=sr, slide_length=512,
+                 scale_type=af.type.SpectralFilterBankScaleType.MEL,
+                 data_type=af.type.SpectralDataType.POWER)
+    spec = np.abs(bft.bft(x, result_type=1))
+    out["mel"] = spec.astype(np.float32)
+    on = af.Onset(time_length=spec.shape[-1], fre_length=128,
+                  slide_length=512, samplate=sr,
+                  novelty_type=af.type.NoveltyType.FLUX)
+    point_arr, evn_arr, time_arr, value_arr = on.onset(spec)
+    out["onset_points"] = np.asarray(point_arr, np.int64)
+    out["onset_env"] = np.asarray(evn_arr, np.float32)
+
+    # CQT (class-level) + chroma fold
+    cq = af.CQT(num=84, samplate=sr)
+    C = cq.cqt(x)
+    out["cqt_re"] = np.real(C).astype(np.float32)
+    out["cqt_im"] = np.imag(C).astype(np.float32)
+    out["cqt_chroma"] = np.asarray(cq.chroma(C), np.float32)
+
+    if name in _REAL_PITCH:
+        yin = af.PitchYIN(samplate=sr, radix2_exp=12, slide_length=1024)
+        fre, v1, v2 = yin.pitch(x)
+        out["yin_fre"], out["yin_v1"] = fre, v1
+        ffp = af.PitchFFP(samplate=sr, radix2_exp=12, slide_length=1024)
+        ffre, fdb = ffp.pitch(x)
+        out["ffp_fre"], out["ffp_db"] = ffre, fdb
+        # TuneTrack via raw ctypes (no wrapper class in the reference pkg)
+        lib = ctypes.cdll.LoadLibrary(REF_LIB)
+        FP = ctypes.POINTER(ctypes.c_float)
+        obj = ctypes.c_void_p()
+        lib.tuneTrackObj_new(
+            ctypes.byref(obj), ctypes.byref(ctypes.c_int(sr)), None, None,
+            ctypes.byref(ctypes.c_int(12)), ctypes.byref(ctypes.c_int(1024)),
+            None)
+        T = lib.tuneTrackObj_calTimeLength(obj, ctypes.c_int(len(x)))
+        fre_c = np.zeros(T + 8, np.float32)
+        lib.tuneTrackObj_tune(obj, x.ctypes.data_as(FP),
+                              ctypes.c_int(len(x)), fre_c.ctypes.data_as(FP))
+        out["tune_fre"] = fre_c[:T]
+
+    if name in _REAL_HPSS:
+        hp = af.HPSS(radix2_exp=11, window_type=af.type.WindowType.HAMM,
+                     slide_length=512, h_order=21, p_order=31)
+        h, p = hp.hpss(x)
+        out["hpss_h"] = np.asarray(h, np.float32)
+        out["hpss_p"] = np.asarray(p, np.float32)
+
+    save(f"real_{name}", **out)
+
+
+def gen_real():
+    import subprocess
+    for i, name in enumerate(_REAL_FILES):
+        path = os.path.join(GOLDEN_DIR, f"real_{name}.npz")
+        if os.path.exists(path):
+            os.remove(path)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"_realcase{i}"])
+        if not os.path.exists(path):
+            raise RuntimeError(f"real case {name} failed")
+
+
 GROUPS = {
     "windows": lambda af: gen_windows(),
     "filterbanks": lambda af: gen_filterbanks(),
@@ -2110,6 +2214,7 @@ GROUPS = {
     "fuzz_stft": lambda af: gen_fuzz_stft(),
     "fuzz_dsp": lambda af: gen_fuzz_dsp(),
     "fuzz_deep": lambda af: gen_fuzz_deep(),
+    "real": lambda af: gen_real(),
 }
 
 
@@ -2167,6 +2272,9 @@ def main():
         return
     if len(groups) == 1 and groups[0].startswith("_fuzzdeep"):
         gen_fuzz_deep_case(int(groups[0][9:]))
+        return
+    if len(groups) == 1 and groups[0].startswith("_realcase"):
+        gen_real_case(int(groups[0][9:]))
         return
     if len(groups) > 1:
         # Run each group in its own subprocess: the reference C library has
