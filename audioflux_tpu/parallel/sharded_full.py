@@ -232,6 +232,14 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     """
     (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
         _nsgt_bluestein_consts(obj)
+    # The Bluestein inverse step needs only the first max_ln of the Lc
+    # circular-convolution outputs, so it is a thin (Lc, max_ln) inverse-DFT
+    # contraction — one MXU matmul on TPU instead of a second FFT pass (and
+    # XLA:CPU's fft thunk RET_CHECKs on the layouts GSPMD feeds a chained
+    # fft->elementwise->fft anyway).
+    jk = np.arange(Lc)[:, None] * np.arange(max_ln)[None, :]
+    inv_dft = jnp.asarray(
+        np.exp(2j * np.pi * jk / Lc).astype(np.complex64) / Lc)
 
     def run(x):
         x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
@@ -241,10 +249,8 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         u = jax.lax.with_sharding_constraint(
             u, _ns(mesh, batch_axis, time_axis, None))
         U = afft.fft(u, n=Lc, axis=-1)
-        # materialize in default layout: the XLA:CPU fft thunk RET_CHECKs on
-        # the non-dim0-major layout GSPMD picks for the sharded Bf slice
-        W = jax.lax.optimization_barrier(U * Bf)
-        conv = afft.ifft(W, axis=-1)[..., :max_ln]
+        conv = jnp.einsum("...l,lk->...k", U * Bf, inv_dft,
+                          precision=_HIGHEST)
         cells = conv * post                  # (B, num, max_ln)
         rows = jnp.take_along_axis(
             cells, jnp.broadcast_to(expand, cells.shape[:-2] + expand.shape),
@@ -314,13 +320,13 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
                 slide //= 2
         out = jnp.concatenate(blocks, axis=-1) * scale_vec
         out = jnp.swapaxes(out, -1, -2)
+        # constraint (not out_shardings): CQT frame counts are rarely
+        # divisible by the mesh; GSPMD pads internally, jit out_shardings
+        # would reject the shape
         return jax.lax.with_sharding_constraint(
             out, _ns(mesh, batch_axis, None, time_axis))
 
-    return jax.jit(
-        run,
-        in_shardings=_ns(mesh, batch_axis, time_axis),
-        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+    return jax.jit(run, in_shardings=_ns(mesh, batch_axis, time_axis))
 
 
 # ---------------------------------------------------------------------------

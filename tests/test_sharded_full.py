@@ -98,7 +98,7 @@ def test_sharded_nsgt_equals_unsharded(data, time):
 def test_sharded_cqt_equals_unsharded(data, time):
     mesh = make_mesh(data=data, time=time)
     x = _sig(8192, seed=6)
-    cq = af.CQT(num=24, samplate=SR, bin_per_octave=12)
+    cq = af.CQT(num=24, samplate=SR, bin_per_octave=12, low_fre=220.0)
     want = np.asarray(cq.cqt(x))
     got = np.asarray(sharded_cqt_fn(cq, mesh)(x))
     np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
@@ -156,4 +156,6 @@ def test_sharded_batch_mir_pipeline():
     got = jax.tree_util.tree_map(
         np.asarray, sharded_batch_fn(pipeline, mesh)(x))
     np.testing.assert_array_equal(got["spec"], want["spec"])
-    np.testing.assert_array_equal(got["flux"], want["flux"])
+    # the flux reduction's vectorization differs under GSPMD
+    np.testing.assert_allclose(got["flux"], want["flux"],
+                               rtol=1e-6, atol=1e-6 * want["flux"].max())
