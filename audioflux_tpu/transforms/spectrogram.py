@@ -47,6 +47,22 @@ __all__ = [
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+@partial(jax.jit, static_argnames=("fft_length", "slide_length"))
+def _small_t_mel_cc(x, window, fb, dct, *, fft_length, slide_length):
+    """Short-clip (T < 8) mel+cc: batched rfft + two MXU einsums.
+
+    At T=1 the frames ARE the clips, so there is no framing relayout at
+    all — the whole batch is one matrix pipeline."""
+    frames = frame_signal(x, fft_length, slide_length)
+    S = afft.rfft(frames * window, axis=-1)
+    re, im = jnp.real(S), jnp.imag(S)
+    P = re * re + im * im
+    mel = jnp.einsum("...tf,nf->...tn", P, fb, precision=_HIGHEST)
+    cc = jnp.einsum("...tn,kn->...tk", jnp.log10(jnp.maximum(mel, 1e-8)),
+                    dct, precision=_HIGHEST)
+    return jnp.swapaxes(mel, -1, -2), jnp.swapaxes(cc, -1, -2)
+
+
 def dct_matrix(n: int, dtype=np.float32) -> np.ndarray:
     """Orthonormal DCT-II matrix (row k applied to length-n frames).
 
@@ -396,6 +412,19 @@ class Spectrogram:
                 or self.norm_value != 1):
             raise ValueError("fused path needs a plain POWER filterbank "
                              "spectrogram; use .spectrogram()")
+        n_frames = (data_arr.shape[-1] - self.fft_length) \
+            // self.slide_length + 1
+        if n_frames < 8:
+            # small-clip plan: the fs4 kernel needs >=8-frame tiles for MXU
+            # utilization (pair packing, 128-lane DFT); short clips are a
+            # pure batched matrix pipeline — one rfft + two MXU einsums over
+            # the stacked batch, no framing relayout at T=1
+            return _small_t_mel_cc(jnp.asarray(data_arr, jnp.float32),
+                                   jnp.asarray(self.window),
+                                   jnp.asarray(self.filter_bank),
+                                   jnp.asarray(self._dct[:cc_num]),
+                                   fft_length=self.fft_length,
+                                   slide_length=self.slide_length)
         from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
                                                           fused_mel_mfcc)
         key = ("_fused_plan", cc_num)

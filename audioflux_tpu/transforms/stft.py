@@ -56,15 +56,39 @@ def _istft_impl(D, window, *, fft_length, slide_length, method_type):
 
     T = frames.shape[-2]
     out_len = cal_data_length(T, fft_length, slide_length)
-    idx = (np.arange(T)[:, None] * slide_length
-           + np.arange(fft_length)[None, :]).reshape(-1)
 
-    contrib = (frames * win1).reshape(frames.shape[:-2] + (-1,))
-    y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
-    y = y.at[..., idx].add(contrib)
+    contrib = frames * win1
+    if fft_length % slide_length == 0:
+        # TPU-friendly OLA: with fft = k*slide, chunk j of frame t lands at
+        # output block t + j, so the overlap-add is k shifted adds of the
+        # chunked frame tensor — no scatter (TPU scatter-add serializes
+        # duplicate indices; this path is the HPSS resynthesis hot spot,
+        # hpss_algorithm.c:233-325).  The window-energy norm goes through
+        # the same shifted adds on the broadcast window.
+        k = fft_length // slide_length
+        n_blocks = T + k - 1
 
-    norm = jnp.zeros((out_len,), frames.dtype)
-    norm = norm.at[idx].add(jnp.tile(win2, T))
+        def ola(ch):  # (..., T, k, slide) -> (..., n_blocks * slide)
+            y = jnp.zeros(ch.shape[:-3] + (n_blocks, slide_length), ch.dtype)
+            pad_cfg = [(0, 0)] * (ch.ndim - 3)
+            for j in range(k):
+                y = y + jnp.pad(ch[..., :, j, :],
+                                pad_cfg + [(j, k - 1 - j), (0, 0)])
+            return y.reshape(ch.shape[:-3] + (n_blocks * slide_length,))
+
+        y = ola(contrib.reshape(contrib.shape[:-2] + (T, k, slide_length))
+                )[..., :out_len]
+        norm = ola(jnp.broadcast_to(
+            win2.reshape(k, slide_length), (T, k, slide_length))
+            )[:out_len]
+    else:
+        idx_np = (np.arange(T)[:, None] * slide_length
+                  + np.arange(fft_length)[None, :]).reshape(-1)
+        flat = contrib.reshape(frames.shape[:-2] + (-1,))
+        y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+        y = y.at[..., idx_np].add(flat)
+        norm = jnp.zeros((out_len,), frames.dtype)
+        norm = norm.at[idx_np].add(jnp.tile(win2, T))
     norm = jnp.where(norm < 1e-6, 1.0, norm)
     return y / norm
 

@@ -305,8 +305,33 @@ def baseline_configs(rows):
         return fre_arr, h
 
     el = _time(mir_pipeline, xs, reps=5)
-    _emit("mir yin+onset+hpss audio-hours/sec/chip (8x 30s, local-C base)",
-          el, B * 30 / 3600.0, B * 6.8315, rows)
+    row = _emit("mir yin+onset+hpss audio-hours/sec/chip (8x 30s, local-C base)",
+                el, B * 30 / 3600.0, B * 6.8315, rows)
+
+    # per-stage breakdown (VERDICT r2 item 3): time each stage as its own
+    # jit so the row records where the wall goes
+    flux_fn = jax.jit(lambda x: sp.flux(
+        mel.spectrogram(x), step=param.step, p=param.p,
+        is_positive=bool(param.is_positive), is_exp=bool(param.is_exp),
+        tp=param.tp))
+    stages = {
+        "yin_s": _time(jax.jit(lambda x: yin._run(x)[0]), xs, reps=3),
+        "onset_flux_s": _time(flux_fn, xs, reps=3),
+        "hpss_s": _time(jax.jit(hp.hpss), xs, reps=3),
+    }
+    env_np = np.asarray(flux_fn(xs), np.float32)
+    t0 = time.perf_counter()
+    for r_ in env_np:
+        r_ = r_ - r_.min()
+        mx = r_.max()
+        if mx > 0:
+            r_ = r_ / mx
+        peak_pick(r_, on.pre_max, on.post_max, on.pre_avg,
+                  on.post_avg, on.wait, on.delta)
+    stages["peak_pick_host_s"] = time.perf_counter() - t0
+    del row
+    if rows:
+        rows[-1]["breakdown"] = {k: round(v, 5) for k, v in stages.items()}
 
 
 # perf-regression gate: fail the bench if the headline throughput drops
