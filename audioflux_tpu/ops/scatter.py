@@ -38,6 +38,11 @@ def columnar_scatter_add(values, fi, out_size: int):
     contracts a one-hot membership tensor on the MXU.  Intended for
     moderate ``out_size`` (the one-hot is out_size x n per column).
     """
+    # NOTE (measured, don't retry): a bf16 one-hot + bf16x3 value split
+    # looks cheaper on paper (3 MXU passes vs HIGHEST's 6) but the dtype
+    # convert breaks XLA's producer fusion of the one-hot into the dot —
+    # the (out, in, T) one-hot materializes to HBM and the synsq bench row
+    # got 3x SLOWER.  The f32 HIGHEST einsum keeps the one-hot fused.
     hp = jax.lax.Precision.HIGHEST
     oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
     if jnp.iscomplexobj(values):

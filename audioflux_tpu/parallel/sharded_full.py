@@ -74,7 +74,7 @@ def _cwt_body(obj, x, bank, det, batch_axis, time_axis, mesh):
     out = afft.ifft(prod, axis=-1)
     if p:
         out = out[..., p:p + obj.data_length]
-    return jnp.flip(out, axis=-2)
+    return out  # bank rows pre-flipped to ascending frequency at build
 
 
 def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",

@@ -224,7 +224,10 @@ class CWT:
             num, data_length, samplate, self.pad_length, wavelet_type,
             gamma, beta, scale_type, self.low_fre, self.high_fre,
             bin_per_octave)
-        self._bank = bank
+        # store rows ascending in frequency: folding the wrapper's output
+        # flip (cwt.py:277) into the constant bank saves a full copy of
+        # the (num, L) complex matrix per call
+        self._bank = np.ascontiguousarray(bank[::-1])
         self.fre_band_arr = fre
         self.bin_band_arr = bins
         self._det_bank = None
@@ -259,6 +262,20 @@ class CWT:
             pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
             x = jnp.pad(x, pad, mode="symmetric")
         F = afft.fft(x, axis=-1)  # (..., L)
+
+        from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
+        w_len = x.shape[-1]
+        if (jax.default_backend() == "tpu"
+                and supports(w_len, p, self.data_length)):
+            # fused bank-multiply + four-step matmul IFFT in VMEM
+            # (ops/pallas_cwt.py): one HBM pass instead of XLA's log2(N)
+            # fft sweeps over the (num, N) product; bf16x3 MXU accuracy
+            # ~1e-5 relative (inside the golden tolerance class)
+            lead = F.shape[:-1]
+            out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
+                                pad=p, length=self.data_length, det=det)
+            return out.reshape(lead + out.shape[1:])
+
         B = jnp.asarray(bank)
         prod = B * F[..., None, :]
         if det:
@@ -266,7 +283,7 @@ class CWT:
         out = afft.ifft(prod, axis=-1)
         if p:
             out = out[..., p:p + self.data_length]
-        return jnp.flip(out, axis=-2)  # ascending frequency
+        return out  # rows already ascending (bank pre-flipped at build)
 
     def cwt(self, data_arr):
         return self._cwt_run(data_arr, self._bank, det=False)

@@ -45,6 +45,9 @@ def _c_unwrap(x):
     t = t + (mod > np.pi)
     k = jnp.where(sub < np.pi, 0.0,
                   jnp.where(x[..., 1:] > x[..., :-1], -t, t))
+    # plain cumsum: associative_scan measured 2.5x SLOWER here (its
+    # odd/even interleaving lowers to strided relayouts, the known
+    # 1/6-HBM-bandwidth path on this backend)
     c = jnp.cumsum(k, axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
     return x + c * two_pi
