@@ -113,15 +113,36 @@ def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
             T_loc = frames.shape[-2]
             mask = _frame_mask(T_loc, t_orig, time_axis).astype(frames.dtype)
             out_len = T_loc * slide_length + halo
-            idx = (np.arange(T_loc)[:, None] * slide_length
-                   + np.arange(fft_length)[None, :]).reshape(-1)
-            contrib = (frames * win1 * mask[:, None]).reshape(
-                frames.shape[:-2] + (-1,))
-            y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
-            y = y.at[..., idx].add(contrib)
-            norm = jnp.zeros((out_len,), frames.dtype)
-            norm = norm.at[idx].add(
-                (jnp.asarray(win2)[None, :] * mask[:, None]).reshape(-1))
+            contrib = frames * win1 * mask[:, None]
+            normc = jnp.asarray(win2)[None, :] * mask[:, None]
+            if fft_length % slide_length == 0:
+                # k shifted adds instead of a duplicate-index scatter
+                # (TPU scatter-add serializes; same trick as the
+                # single-chip _istft_impl)
+                k = fft_length // slide_length
+
+                def ola(ch):  # (..., T, fft) -> (..., T*slide + halo)
+                    c3 = ch.reshape(ch.shape[:-2]
+                                    + (T_loc, k, slide_length))
+                    y_ = jnp.zeros(ch.shape[:-2]
+                                   + (T_loc + k - 1, slide_length), ch.dtype)
+                    pc = [(0, 0)] * (c3.ndim - 3)
+                    for j in range(k):
+                        y_ = y_ + jnp.pad(c3[..., :, j, :],
+                                          pc + [(j, k - 1 - j), (0, 0)])
+                    return y_.reshape(ch.shape[:-2]
+                                      + ((T_loc + k - 1) * slide_length,))
+
+                y = ola(contrib)[..., :out_len]
+                norm = ola(normc)[:out_len]
+            else:
+                idx = (np.arange(T_loc)[:, None] * slide_length
+                       + np.arange(fft_length)[None, :]).reshape(-1)
+                y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+                y = y.at[..., idx].add(
+                    contrib.reshape(frames.shape[:-2] + (-1,)))
+                norm = jnp.zeros((out_len,), frames.dtype)
+                norm = norm.at[idx].add(normc.reshape(-1))
 
             # halo add-back: my tail overlaps the right neighbor's head
             n = jax.lax.axis_size(time_axis)

@@ -220,12 +220,25 @@ def _synth_sample(name: str, sr: int = 32000) -> np.ndarray:
     return np.clip(x, -1.0, 1.0).astype(np.float32)
 
 
+_REF_SAMPLE_DIR = "/root/reference/python/audioflux/utils/sample_data"
+
+
 def sample_path(name: str = "220") -> str:
-    """Path to a sample WAV (synthesized stand-in, generated on first
-    use; see :func:`_synth_sample`).  Mirrors ``utils.sample_path``
-    (``python/audioflux/utils/sample.py:9``)."""
+    """Path to a sample WAV.  Mirrors ``utils.sample_path``
+    (``python/audioflux/utils/sample.py:9``).
+
+    The reference's actual recordings are served when its package tree is
+    present on this machine (they are not redistributed in this repo —
+    the real-audio golden layer in ``tests/test_real_audio.py`` pins the
+    MIR stack against them); otherwise a synthesized stand-in with the
+    same broad character is generated on first use
+    (see :func:`_synth_sample`)."""
     import os
     import wave as _wave
+
+    ref = os.path.join(_REF_SAMPLE_DIR, f"{name}.wav")
+    if os.path.exists(ref):
+        return ref
 
     base = os.path.join(os.path.dirname(__file__), "sample_data")
     os.makedirs(base, exist_ok=True)

@@ -257,6 +257,26 @@ def baseline_configs(rows):
     fre = cwt.get_fre_band_arr()
     sq = Synsq(num=84, radix2_exp=15, samplate=SR)
 
+    # accuracy gate for the fused Pallas CWT path (ops/pallas_cwt.py):
+    # compare against the jnp fft path on one clip before timing
+    import audioflux_tpu.ops.pallas_cwt as _pc
+    if _pc.supports(2 * (1 << 15), 1 << 14, 1 << 15):
+        Wk = jnp.abs(cwt.cwt(xs[:1]))
+        _sup = _pc.supports
+        _pc.supports = lambda *a: False
+        try:
+            cwt_ref = CWT(num=84, radix2_exp=15, samplate=SR,
+                          wavelet_type=WaveletContinueType.MORLET,
+                          scale_type=S.OCTAVE)
+            Wr = jnp.abs(cwt_ref.cwt(xs[:1]))
+        finally:
+            _pc.supports = _sup
+        rel = float(jnp.max(jnp.abs(Wk - Wr)) / jnp.max(Wr))
+        if rel > 1e-4:
+            print(f"cwt kernel accuracy gate failed: {rel:.3e}",
+                  file=sys.stderr)
+            sys.exit(1)
+
     @jax.jit
     def cwt_synsq(x):
         # magnitude: the axon backend cannot fetch complex64 to the host
@@ -340,6 +360,35 @@ def baseline_configs(rows):
 HEADLINE_FLOOR = 60.0  # audio-h/s (fs4 kernel measures 64-66)
 
 
+def compare_librosa(rows):
+    """--compare: live librosa numbers for the base mel row (mirrors
+    /root/reference/benchmark/run_librosa.py).  librosa is not part of
+    this image's frozen environment; when absent the row says so instead
+    of silently vanishing (BASELINE.md carries the reference's recorded
+    librosa anchors)."""
+    try:
+        import librosa.feature
+    except ImportError:
+        print(json.dumps({"metric": "librosa comparison",
+                          "value": None, "unit": "skipped",
+                          "vs_baseline": None,
+                          "note": "librosa not installed in this image; "
+                                  "recorded anchors in BASELINE.md"}))
+        return
+    import numpy as _np
+    clip_len = TIME_STEP * SLIDE + (1 << R2E) - SLIDE
+    x = _np.random.default_rng(0).standard_normal(clip_len).astype(_np.float32)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        librosa.feature.melspectrogram(y=x, sr=SR, n_mels=NUM,
+                                       n_fft=1 << R2E, hop_length=SLIDE,
+                                       center=False)
+    el = (time.perf_counter() - t0) / 20 * N_SAMPLES
+    audio_hours = N_SAMPLES * clip_len / SR / 3600.0
+    _emit("librosa mel audio-hours/sec (1000x T=1000, this host)", el,
+          audio_hours, BASELINE_MEL_S[1000], rows)
+
+
 def main():
     want_matrix = "--matrix" in sys.argv
     rows = [] if want_matrix else None
@@ -347,6 +396,8 @@ def main():
     if want_matrix:
         matrix(rows)
         baseline_configs(rows)
+        if "--compare" in sys.argv:
+            compare_librosa(rows)
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
     if row["value"] < 0.85 * HEADLINE_FLOOR:
