@@ -39,14 +39,15 @@ def columnar_scatter_add(values, fi, out_size: int):
     moderate ``out_size`` (the one-hot is out_size x n per column).
     """
     # NOTE (measured, don't retry): a bf16 one-hot + bf16x3 value split
-    # looks cheaper on paper (3 MXU passes vs 6) but the dtype convert
-    # breaks XLA's producer fusion of the one-hot into the dot — the
-    # (out, in, T) one-hot materializes to HBM and the synsq bench row got
-    # 3x SLOWER.  A fused f32 einsum recomputes the one-hot per bf16 pass
-    # (VPU-bound), so the pass count matters: HIGH (3 passes) carries the
-    # same error class as HIGHEST here — the one-hot side is 0/1, exact in
-    # bf16, and both represent the value side as a 3-term bf16 sum.
-    hp = jax.lax.Precision.HIGH
+    # looks cheaper on paper (3 MXU passes vs HIGHEST's 6) but the dtype
+    # convert breaks XLA's producer fusion of the one-hot into the dot —
+    # the (out, in, T) one-hot materializes to HBM and the synsq bench row
+    # got 3x SLOWER.  Dropping to Precision.HIGH (BF16_3X: 2-term splits
+    # of BOTH operands, ~2^-16 relative) was also measured: it saved only
+    # ~0.1 ms end-to-end (the one-hot generation VPU work dominates, not
+    # the MXU passes) while costing ~7 bits of accumulation accuracy the
+    # CPU-forced tests cannot see — keep full HIGHEST.
+    hp = jax.lax.Precision.HIGHEST
     oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
     if jnp.iscomplexobj(values):
         ohf = oh.astype(jnp.float32)

@@ -37,10 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audioflux_tpu.ops import fft as afft
-from audioflux_tpu.ops.frame import frame_signal
-from audioflux_tpu.ops.pad import pad_signal
-from audioflux_tpu.types import (PaddingModeType, PaddingPositionType,
-                                 SpectralFilterBankScaleType)
+from audioflux_tpu.types import SpectralFilterBankScaleType
 
 __all__ = ["sharded_cwt_fn", "sharded_synsq_fn", "sharded_st_fn",
            "sharded_nsgt_fn", "sharded_cqt_fn", "sharded_ccwt_fn",
@@ -104,17 +101,16 @@ def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
                      batch_axis: str = "data", time_axis: str = "time"):
     """Mesh-parallel CWT + synchrosqueeze: (B, L) -> complex64 (B, num, L).
 
-    One jit shares the forward FFT between the plain and the derivative
-    bank; the phase/unwrap/scatter pipeline stays band-partitioned (the
-    unwrap ``lax.scan`` carries a (B, num) state — elementwise over bands),
-    and the bin accumulation contracts over the sharded band axis (XLA
+    One jit runs the band-partitioned CWT and the synsq pipeline — the
+    phase rate comes from the CWT matrix itself (finite-difference
+    unwrap, like the reference ``synsq_algorithm.c``; no derivative bank
+    is involved), stays band-partitioned (elementwise over bands), and
+    the bin accumulation contracts over the sharded band axis (XLA
     inserts the psum).  Matches ``Synsq.synsq(cwt, ..)`` up to the
     reduction-order of each output bin's <= num-term sum.
     """
     from audioflux_tpu.transforms.synsq import _synsq_impl
-    cwt_obj.enable_det(True)
     bank = jnp.asarray(cwt_obj._bank)
-    det_bank = jnp.asarray(cwt_obj._det_bank)
     S = SpectralFilterBankScaleType
     st = S(cwt_obj.scale_type)
     kind = ("log" if st in (S.OCTAVE, S.LOG)
@@ -147,23 +143,19 @@ def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
     partitioned over the bin axis; output time axis re-sharded over
     ``time_axis``.  Equal to ``obj.st`` to float rounding.
     """
-    L = obj.fft_length
+    from audioflux_tpu.transforms.st import _st_body
     windows = jnp.asarray(obj._windows)
     bins = jnp.asarray(obj.bin_arr)
 
+    specs = {"in": (batch_axis, None),
+             "bands": (batch_axis, time_axis, None),
+             "out": (batch_axis, None, time_axis)}
+
+    def annot(a, tag):
+        return jax.lax.with_sharding_constraint(a, _ns(mesh, *specs[tag]))
+
     def run(x):
-        x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
-        F = afft.fft(x, axis=-1)
-        F2 = jnp.concatenate([F, F], axis=-1)
-        idx = bins[:, None] + jnp.arange(L)[None, :]
-        shifted = F2[..., idx] * windows
-        shifted = jax.lax.with_sharding_constraint(
-            shifted, _ns(mesh, batch_axis, time_axis, None))
-        out = afft.ifft(shifted, axis=-1)
-        mean = jnp.mean(x, axis=-1, keepdims=True)[..., None]
-        out = jnp.where((bins == 0)[:, None], mean.astype(out.dtype), out)
-        return jax.lax.with_sharding_constraint(
-            out, _ns(mesh, batch_axis, None, time_axis))
+        return _st_body(x, windows, bins, obj.fft_length, annot=annot)
 
     return jax.jit(
         run,
@@ -281,52 +273,27 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     """
     if obj.is_continue:
         raise ValueError("sharded_cqt_fn does not support is_continue mode")
-    scale_vec = jnp.asarray(obj._scale_vec())
-    kernels = [jnp.asarray(k) for k in obj._kernels]
 
-    def octave_spec(x, slide, kernel):
-        xp = pad_signal(x, obj.fft_length, slide,
-                        PaddingPositionType.CENTER, PaddingModeType.CONSTANT)
-        frames = frame_signal(xp, obj.fft_length, slide)
-        frames = jax.lax.with_sharding_constraint(
-            frames, _ns(mesh, batch_axis, time_axis, None))
-        S = afft.rfft(frames, axis=-1)
-        re = (jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.real(kernel),
-                         precision=_HIGHEST)
-              - jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.imag(kernel),
-                           precision=_HIGHEST))
-        im = (jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.real(kernel),
-                         precision=_HIGHEST)
-              + jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.imag(kernel),
-                           precision=_HIGHEST))
-        return re + 1j * im
+    # the exact single-chip graph (CQTBase._cqt_impl), annotated: the
+    # per-octave frame rfft + kernel einsum (where the FLOPs live)
+    # partitions over the frame axis; the tiny resample chain replicates.
+    # Output sharded by constraint, not out_shardings — CQT frame counts
+    # are rarely divisible by the mesh (GSPMD pads internally).
+    specs = {"signal": (batch_axis, None),
+             "frames": (batch_axis, time_axis, None),
+             "out": (batch_axis, None, time_axis)}
 
-    def run(x):
-        x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
-        T = x.shape[-1] // obj.slide_length + 1
-        slide = obj.slide_length
-        blocks = [None] * obj.octave_num
-        for i in range(obj.octave_num - 1, -1, -1):
-            spec = octave_spec(x, slide, kernels[i])
-            cur_T = spec.shape[-2]
-            if cur_T < T:
-                spec = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
-                               + [(0, T - cur_T), (0, 0)])
-            blocks[i] = spec[..., :T, :]
-            if i > 0:
-                x = obj._resampler.resample(x)
-                x = jax.lax.with_sharding_constraint(
-                    x, _ns(mesh, batch_axis, None))
-                slide //= 2
-        out = jnp.concatenate(blocks, axis=-1) * scale_vec
-        out = jnp.swapaxes(out, -1, -2)
-        # constraint (not out_shardings): CQT frame counts are rarely
-        # divisible by the mesh; GSPMD pads internally, jit out_shardings
-        # would reject the shape
-        return jax.lax.with_sharding_constraint(
-            out, _ns(mesh, batch_axis, None, time_axis))
+    def annot(a, tag):
+        return jax.lax.with_sharding_constraint(a, _ns(mesh, *specs[tag]))
 
-    return jax.jit(run, in_shardings=_ns(mesh, batch_axis, time_axis))
+    jitted = jax.jit(
+        lambda x, sv: obj._cqt_impl(x, sv, annot=annot),
+        in_shardings=(_ns(mesh, batch_axis, time_axis), None))
+
+    # scale_vec enters as a traced operand evaluated per call, so a later
+    # obj.set_scale() toggle is honored exactly like CQT.cqt (no retrace)
+    return lambda x: jitted(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(obj._scale_vec()))
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +329,13 @@ def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
             raise ValueError(f"per-shard length {M} must be a multiple of "
                              f"fft_length//2 = {step}")
         m = M // step
+        if n_time * m < 2:
+            # match ccwt's own minimum (cwt.py ccwt: win_count >= 1 needs
+            # n >= 2*step); clipping below would silently splice the
+            # wrap-around halo instead
+            raise ValueError(
+                f"signal too short for sharded ccwt: {n_time * M} samples "
+                f"< {2 * step}")
         # halos: window jm-1 starts one step left of the block; window
         # jm+m-1 extends fft-step past its right edge
         perm_l = [((i + 1) % n_time, i) for i in range(n_time)]

@@ -257,16 +257,20 @@ class CQTBase:
         self.is_scale = bool(flag)
 
     # ------------------------------------------------------------------
-    def _octave_spec(self, x, slide, kernel):
+    def _octave_spec(self, x, slide, kernel, annot=None):
         """Padded rect-window STFT + complex kernel dot -> (..., T', bpo).
 
         Continue mode pads RIGHT instead of CENTER, like the C cqtObj's
-        internal stft (cqt_algorithm.c:1303-1320)."""
+        internal stft (cqt_algorithm.c:1303-1320).  ``annot(arr, tag)``
+        lets the mesh-parallel path insert sharding constraints without
+        duplicating this body."""
         pos = (PaddingPositionType.RIGHT if self.is_continue
                else PaddingPositionType.CENTER)
         xp = pad_signal(x, self.fft_length, slide,
                         pos, PaddingModeType.CONSTANT)
         frames = frame_signal(xp, self.fft_length, slide)
+        if annot is not None:
+            frames = annot(frames, "frames")
         S = afft.rfft(frames, axis=-1)
         Kt = jnp.asarray(kernel)
         re = (jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.real(Kt),
@@ -305,7 +309,7 @@ class CQTBase:
         return self._cqt_run(jnp.asarray(data_arr, jnp.float32),
                              jnp.asarray(self._scale_vec()))
 
-    def _cqt_impl(self, x, scale_vec):
+    def _cqt_impl(self, x, scale_vec, annot=None):
         if self.is_continue:
             # x is the carried buffer: (len - fft) // slide + 1 frames
             T = (x.shape[-1] - self.fft_length) // self.slide_length + 1
@@ -313,10 +317,13 @@ class CQTBase:
             T = x.shape[-1] // self.slide_length + 1
         bpo = self.bin_per_octave
         slide = self.slide_length
+        if annot is not None:
+            x = annot(x, "signal")
 
         blocks = [None] * self.octave_num
         for i in range(self.octave_num - 1, -1, -1):
-            spec = self._octave_spec(x, slide, self._kernels[i])
+            spec = self._octave_spec(x, slide, self._kernels[i],
+                                     annot=annot)
             cur_T = spec.shape[-2]
             if cur_T < T:
                 spec = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
@@ -324,10 +331,15 @@ class CQTBase:
             blocks[i] = spec[..., :T, :]
             if i > 0:
                 x = self._resampler.resample(x)
+                if annot is not None:
+                    x = annot(x, "signal")
                 slide //= 2
         out = jnp.concatenate(blocks, axis=-1)  # (..., T, num)
         out = out * scale_vec
-        return jnp.swapaxes(out, -1, -2)
+        out = jnp.swapaxes(out, -1, -2)
+        if annot is not None:
+            out = annot(out, "out")
+        return out
 
     # -- postprocessing ------------------------------------------------------
     def chroma(self, m_cqt_data, chroma_num: int = 12,

@@ -33,18 +33,28 @@ def _st_windows(fft_length: int, factor: float, norm: float,
     return w.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("fft_length",))
-def _st_impl(x, windows, bins, *, fft_length):
+def _st_body(x, windows, bins, fft_length, annot=None):
+    """The ST op graph; ``annot(arr, tag)`` lets the mesh-parallel path
+    (parallel/sharded_full.py) insert sharding constraints without
+    duplicating this body."""
+    if annot is None:
+        annot = lambda a, tag: a  # noqa: E731
     L = fft_length
+    x = annot(x, "in")
     F = afft.fft(x, axis=-1)
     F2 = jnp.concatenate([F, F], axis=-1)
     # (..., nbins, L): circularly shifted spectrum per bin
     idx = bins[:, None] + jnp.arange(L)[None, :]
-    shifted = F2[..., idx]
-    out = afft.ifft(shifted * windows, axis=-1)
+    shifted = annot(F2[..., idx] * windows, "bands")
+    out = afft.ifft(shifted, axis=-1)
     mean = jnp.mean(x, axis=-1, keepdims=True)[..., None]
     zero_row = (bins == 0)[:, None]
-    return jnp.where(zero_row, mean.astype(out.dtype), out)
+    return annot(jnp.where(zero_row, mean.astype(out.dtype), out), "out")
+
+
+@partial(jax.jit, static_argnames=("fft_length",))
+def _st_impl(x, windows, bins, *, fft_length):
+    return _st_body(x, windows, bins, fft_length)
 
 
 class ST:

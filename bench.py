@@ -396,8 +396,9 @@ def main():
     if want_matrix:
         matrix(rows)
         baseline_configs(rows)
-        if "--compare" in sys.argv:
-            compare_librosa(rows)
+    if "--compare" in sys.argv:
+        compare_librosa(rows)
+    if want_matrix:
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
     if row["value"] < 0.85 * HEADLINE_FLOOR:

@@ -2082,6 +2082,7 @@ def _read_wav_f32(path):
     import wave as _wave
     w = _wave.open(path, "rb")
     try:
+        assert w.getnchannels() == 1, f"{path}: expected mono"
         sw, n = w.getsampwidth(), w.getnframes()
         raw = w.readframes(n)
         sr = w.getframerate()
