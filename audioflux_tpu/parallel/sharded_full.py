@@ -39,9 +39,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from audioflux_tpu.ops import fft as afft
 from audioflux_tpu.types import SpectralFilterBankScaleType
 
-__all__ = ["sharded_cwt_fn", "sharded_synsq_fn", "sharded_st_fn",
-           "sharded_nsgt_fn", "sharded_cqt_fn", "sharded_ccwt_fn",
-           "sharded_batch_fn"]
+__all__ = ["sharded_cwt_fn", "sharded_synsq_fn", "sharded_wsst_fn",
+           "sharded_st_fn", "sharded_nsgt_fn", "sharded_cqt_fn",
+           "sharded_ccwt_fn", "sharded_batch_fn"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -129,6 +129,45 @@ def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
         run,
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+def sharded_wsst_fn(wsst_obj, mesh: Mesh,
+                    batch_axis: str = "data", time_axis: str = "time"):
+    """Mesh-parallel WSST: (B, L) -> (squeezed, cwt), both (B, num, L).
+
+    One jit shares the forward FFT between the plain and the derivative
+    wavelet banks (the WSST's instantaneous frequency is the analytic
+    Im(dCWT/CWT), ``wsst_algorithm.c``), keeps the whole squeeze pipeline
+    band-partitioned, and re-shards both outputs over time.  Matches
+    ``wsst_obj.wsst`` up to each output bin's reduction order.
+    """
+    from audioflux_tpu.transforms.wsst import _squeeze
+    cwt_obj = wsst_obj._cwt
+    cwt_obj.enable_det(True)
+    bank = jnp.asarray(cwt_obj._bank)
+    det_bank = jnp.asarray(cwt_obj._det_bank)
+    S = SpectralFilterBankScaleType
+    st = S(wsst_obj.scale_type)
+    kind = ("log" if st in (S.OCTAVE, S.LOG)
+            else "linear" if st in (S.LINEAR, S.LINSPACE) else "nearest")
+    fre_arr = jnp.asarray(cwt_obj.fre_band_arr, jnp.float32)
+
+    def run(x):
+        D = _cwt_body(cwt_obj, x, bank, False, batch_axis, time_axis, mesh)
+        dD = _cwt_body(cwt_obj, x, det_bank, True, batch_axis, time_axis,
+                       mesh)
+        sq = _squeeze(D, dD, fre_arr, scale_kind=kind, num=wsst_obj.num,
+                      samplate=float(wsst_obj.samplate),
+                      thresh=wsst_obj.thresh, order=wsst_obj.order)
+        out_s = _ns(mesh, batch_axis, None, time_axis)
+        return (jax.lax.with_sharding_constraint(sq, out_s),
+                jax.lax.with_sharding_constraint(D, out_s))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=(_ns(mesh, batch_axis, None, time_axis),
+                       _ns(mesh, batch_axis, None, time_axis)))
 
 
 # ---------------------------------------------------------------------------

@@ -159,3 +159,20 @@ def test_sharded_batch_mir_pipeline():
     # the flux reduction's vectorization differs under GSPMD
     np.testing.assert_allclose(got["flux"], want["flux"],
                                rtol=1e-6, atol=1e-6 * want["flux"].max())
+
+
+def test_sharded_wsst_equals_unsharded():
+    from audioflux_tpu.parallel import sharded_wsst_fn
+    mesh = make_mesh(data=2, time=4)
+    x = _sig(2048, seed=9)
+    ws = af.WSST(num=28, radix2_exp=11, samplate=SR,
+                 wavelet_type=WaveletContinueType.MORSE,
+                 scale_type=SpectralFilterBankScaleType.OCTAVE)
+    sq_w, D_w = ws.wsst(x)
+    sq_g, D_g = sharded_wsst_fn(ws, mesh)(x)
+    peak = np.abs(np.asarray(D_w)).max()
+    np.testing.assert_allclose(np.asarray(D_g), np.asarray(D_w),
+                               atol=2e-5 * peak)
+    peak_s = np.abs(np.asarray(sq_w)).max()
+    np.testing.assert_allclose(np.asarray(sq_g), np.asarray(sq_w),
+                               atol=2e-5 * peak_s)
