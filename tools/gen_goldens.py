@@ -2152,6 +2152,43 @@ def gen_real_case(i):
         out["hpss_h"] = np.asarray(h, np.float32)
         out["hpss_p"] = np.asarray(p, np.float32)
 
+    if name == "voice":
+        # spectral-feature stack on a real voice recording
+        mel = af.MelSpectrogram(num=128, samplate=sr, radix2_exp=11,
+                                slide_length=512)
+        spec = mel.spectrogram(x)
+        fre = mel.get_fre_band_arr()
+        sp = af.Spectral(num=128, fre_band_arr=fre)
+        sp.set_time_length(spec.shape[-1])
+        out["sp_spec"] = np.asarray(spec, np.float32)
+        for meth in ("flatness", "flux", "centroid", "spread", "rolloff",
+                     "rms", "entropy", "slope"):
+            out[f"sp_{meth}"] = np.asarray(getattr(sp, meth)(spec),
+                                           np.float32)
+
+    if name == "guitar_chord1":
+        # wavelet stack: CWT (morlet, octave) + synchrosqueeze on a real
+        # plucked-string second (exactly 2**14 samples)
+        seg = x[:1 << 14]
+        cwt = af.CWT(num=28, radix2_exp=14, samplate=sr,
+                     wavelet_type=af.type.WaveletContinueType.MORLET,
+                     scale_type=af.type.SpectralFilterBankScaleType.OCTAVE)
+        W = cwt.cwt(seg)
+        out["cwt_re"] = np.real(W).astype(np.float32)
+        out["cwt_im"] = np.imag(W).astype(np.float32)
+        sq = af.Synsq(num=28, radix2_exp=14, samplate=sr)
+        Sq = sq.synsq(W, af.type.SpectralFilterBankScaleType.OCTAVE,
+                      cwt.get_fre_band_arr())
+        out["synsq_re"] = np.real(Sq).astype(np.float32)
+        out["synsq_im"] = np.imag(Sq).astype(np.float32)
+
+    if name == "220":
+        cep = af.Cepstrogram(radix2_exp=12, samplate=sr, slide_length=1024)
+        c1, c2, c3 = cep.cepstrogram(x)
+        out["cep_coef"] = np.asarray(c1, np.float32)
+        out["cep_env"] = np.asarray(c2, np.float32)
+        out["cep_tone"] = np.asarray(c3, np.float32)
+
     save(f"real_{name}", **out)
 
 
