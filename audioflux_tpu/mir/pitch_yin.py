@@ -32,11 +32,12 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
     frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
 
     # autocorrelation via circular convolution with the reversed prefix
-    # (_pitch_yin.c:351-369); no aliasing in the taken range
-    A = afft.fft(frames, axis=-1)
+    # (_pitch_yin.c:351-369); no aliasing in the taken range.  Real
+    # signals: rfft/irfft does half the transform work of the complex fft
+    A = afft.rfft(frames, axis=-1)
     rev = jnp.flip(frames[..., :auto_length + 1], axis=-1)
-    B = afft.fft(rev, n=fft_length, axis=-1)
-    acf_full = jnp.real(afft.ifft(A * B, axis=-1))
+    B = afft.rfft(rev, n=fft_length, axis=-1)
+    acf_full = afft.irfft(A * B, n=fft_length, axis=-1)
     acf = acf_full[..., auto_length:]
     acf = jnp.where(jnp.abs(acf) >= 1e-6, acf, 0.0)  # (..., T, diff)
 

@@ -304,6 +304,10 @@ def baseline_configs(rows):
     param = NoveltyParam()
     on = Onset(time_length=1, fre_length=NUM, slide_length=512, samplate=SR)
 
+    # NOTE (measured, don't retry): routing the mel through the fused
+    # Pallas kernel wins standalone (31 -> 7 ms) but LOSES 62 ms inside
+    # this combined jit — the pallas_call serializes against the yin/hpss
+    # work XLA otherwise overlaps with the exact mel path.
     @jax.jit
     def mir_device(x):
         fre_arr = yin._run(x)[0]
