@@ -27,6 +27,24 @@ __all__ = ["BFT"]
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _pick_tile(n_frames: int, tile: int):
+    """Choose (tile, padded_frames) for the fused kernel: tile must be a
+    multiple of 8 dividing the padded frame count.  Scans a few padded
+    counts and keeps the one whose largest admissible tile wastes the
+    least (tiles >= ~100 are perf-flat per the r2 tile sweep, so prefer
+    minimal padding over maximal tile)."""
+    t8 = -(-n_frames // 8) * 8
+    tile = max(8, min(tile, t8))
+    fallback = None
+    for t_pad in range(t8, t8 + 129, 8):
+        cand = next(c for c in range(tile, 7, -8) if t_pad % c == 0)
+        if fallback is None:
+            fallback = (cand, t_pad)
+        if cand >= min(96, tile):
+            return cand, t_pad
+    return fallback
+
+
 class BFT:
     """API mirrors ``python/audioflux/bft.py:142-509``."""
 
@@ -196,19 +214,25 @@ class BFT:
         filterbank [-> log-DCT]) through the fused kernel
         (``ops.pallas_spectrogram``), the same fast path ``bench.py``
         measures.  Requires the plain real/POWER configuration
-        (result_type 1, POWER data, norm 1, no reassign, matmul scale).
+        (result_type 1, POWER data, norm 1, no reassign).  LINEAR scale
+        runs with an exact 0/1 bin-selection bank (0/1 is exact in the
+        kernel's bf16 splits, so the linear power spectrogram carries the
+        same ~2e-6 relative error as the mel path).  Inputs whose frame
+        count is not a tile multiple are zero-padded and the output is
+        sliced back — any (..., n >= fft) batch works.
         Returns (spec (..., num, T), cc (..., cc_num, T)); numerics are
         bf16x3 (~2e-6 relative) vs the exact ``bft`` path.
         """
         S = SpectralFilterBankScaleType
         if (self.data_type != SpectralDataType.POWER
-                or self.norm_value != 1 or self.is_reassign
-                or self.scale_type == S.LINEAR or self.filter_bank is None):
-            raise ValueError("bft_fused needs POWER data, norm 1, no "
-                             "reassign and a matmul filterbank; use .bft()")
+                or self.norm_value != 1 or self.is_reassign):
+            raise ValueError("bft_fused needs POWER data, norm 1 and no "
+                             "reassign; use .bft()")
         from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
                                                           fused_mel_mfcc)
         from audioflux_tpu.transforms.spectrogram import dct_matrix
+        cc_keep = cc_num
+        cc_num = max(cc_num, 1)  # zero-width DCT blocks are illegal
         key = ("_fused_plan", cc_num)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
@@ -218,11 +242,28 @@ class BFT:
             from audioflux_tpu.ops.window import get_fft_window
             win = get_fft_window(self.window_type,
                                  1 << self.radix2_exp)
-            plan = FusedMelPlan(win, self.filter_bank,
-                                dct_matrix(self.num)[:cc_num],
+            fb = self.filter_bank
+            if fb is None:  # LINEAR: selection of bins low..high (exact)
+                fb = np.zeros((self.num, self.fft_length // 2 + 1),
+                              np.float32)
+                fb[np.arange(self.num),
+                   self.low_index + np.arange(self.num)] = 1.0
+            plan = FusedMelPlan(win, fb, dct_matrix(self.num)[:cc_num],
                                 self.slide_length)
             cache[key] = plan
-        return fused_mel_mfcc(plan, data_arr, tile=tile)
+        x = jnp.asarray(data_arr, jnp.float32)
+        n = x.shape[-1]
+        n_frames = (n - self.fft_length) // self.slide_length + 1
+        tile, t_pad = _pick_tile(n_frames, tile)
+        need = (t_pad - 1) * self.slide_length + self.fft_length
+        if need > n:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
+            x = jnp.pad(x, pad)
+        spec, cc = fused_mel_mfcc(plan, x, tile=tile)
+        if t_pad != n_frames:
+            spec = spec[..., :n_frames]
+            cc = cc[..., :n_frames]
+        return spec, cc[..., :cc_keep, :]
 
     def get_temporal_data(self):
         if self._temp is None:

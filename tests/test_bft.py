@@ -107,3 +107,23 @@ def test_bft_fused_matches_exact():
     assert spec.shape == ref.shape
     assert np.max(np.abs(spec - ref)) <= 1e-4 * np.max(np.abs(ref))
     assert np.asarray(cc).shape == (2, 5, ref.shape[-1])
+
+
+def test_bft_fused_linear_ragged_frames():
+    # LINEAR scale (exact 0/1 bin-selection bank) + a frame count that is
+    # not a tile multiple (auto-pad + slice-back inside bft_fused)
+    from audioflux_tpu.transforms.bft import BFT
+    from audioflux_tpu.types import (SpectralDataType,
+                                     SpectralFilterBankScaleType)
+    import numpy as np
+    bft = BFT(num=513, radix2_exp=10, samplate=32000, slide_length=256,
+              scale_type=SpectralFilterBankScaleType.LINEAR,
+              data_type=SpectralDataType.POWER)
+    rng = np.random.default_rng(7)
+    n = 13 * 256 + 1024 + 128          # 14 frames + ragged tail
+    x = (0.2 * rng.standard_normal((2, n))).astype(np.float32)
+    ref = np.asarray(bft.bft(x, result_type=1))
+    spec, _ = bft.bft_fused(x, cc_num=0, tile=8)
+    spec = np.asarray(spec)
+    assert spec.shape == ref.shape == (2, 513, 14)
+    assert np.max(np.abs(spec - ref)) <= 1e-4 * np.max(np.abs(ref))
