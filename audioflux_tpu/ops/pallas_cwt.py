@@ -13,13 +13,23 @@ N = R*C entirely in VMEM:
     out[n1 + R*n2] = sum_k2 E2[k2, n2] * (T[n1, k2]
                      * sum_k1 E1[n1, k1] * X[k1*C + k2])
 
-* stage 1 and stage 2 are (R x R) @ (R x C) and (R x C) @ (C x C')
+* stage 1 and stage 2 are (R x H) @ (H x C) and (R x C) @ (C x C')
   MXU matmuls — Karatsuba complex products (3 real matmuls), each a
   bf16x3 triplet (~2e-6 relative accuracy, the fs-kernel contract);
 * the twiddle T is one VPU elementwise complex multiply;
 * the symmetric-padding slice [p : p+L) is folded into stage 2: with
   R | p it is a pure n2-column subrange of E2, halving that stage;
-* HBM traffic is input-spectrum + bank + output only (one pass).
+* HBM traffic is input-spectrum + bank + output only (one pass);
+* **support slicing**: the wavelet bank is analytic (zero for omega <= 0,
+  ``cwt_filterBank.c`` keeps x > 0 only) and each band is a contiguous
+  bump [1, hi_j] — in the (R, C) row-major reshape only the first
+  ``ceil((hi_j+1)/C)`` rows of X are nonzero, so stage 1 contracts just
+  those rows.  ``band_row_counts`` measures the exact f32 support per
+  band; bands are bucketed by the power-of-two-quantized row count and
+  each bucket runs as its own pallas_call with H = its quantum.  Only
+  exact zeros are dropped, so the result is bit-identical to the full
+  contraction.  At the bench config (84 morlet octave bands, N = 65536)
+  this cuts executed MXU FLOPs ~2.3x (stage 1: 1410 -> ~210 MMAC).
 
 Gated to the TPU backend for N >= 2**14 with R | p; everything else
 uses the jnp path (CPU goldens are unaffected).
@@ -35,7 +45,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cwt_ifft_bank", "supports"]
+__all__ = ["cwt_ifft_bank", "supports", "band_row_counts"]
+
+
+def band_row_counts(bank, n: int):
+    """Static per-band stage-1 row counts for the support-sliced kernel.
+
+    ``bank`` is the (num, n) float32 frequency-domain bank as built on the
+    host; returns a tuple of per-band leading-row counts (multiples of 8)
+    in the kernel's (R, C) reshape covering every nonzero entry.  Bands
+    whose support is not a leading prefix fall back to all R rows (still
+    exact — slicing only ever drops exact zeros).
+    """
+    bank = np.asarray(bank)
+    e = n.bit_length() - 1
+    R = 1 << ((e + 1) // 2)
+    C = n // R
+    b3 = bank.reshape(bank.shape[0], R, C)
+    nz = (b3 != 0).any(axis=2)                    # (num, R)
+    any_ = nz.any(axis=1)
+    last = R - 1 - np.argmax(nz[:, ::-1], axis=1)  # last nonzero row
+    rows = np.where(any_, last + 1, 1)
+    return tuple(int(v) for v in np.minimum(-(-rows // 8) * 8, R))
+
+
+def _quantize_rows(row_h, R: int):
+    """Power-of-two quantization (8, 16, 32, ... R) of per-band row
+    counts; keeps bucket count small while padding <2x."""
+    out = []
+    for h in row_h:
+        q = 8
+        while q < h:
+            q *= 2
+        out.append(min(q, R))
+    return out
 
 
 def supports(n: int, pad: int, length: int) -> bool:
@@ -136,12 +179,17 @@ def _kernel(fr_ref, fi_ref, bank_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "length", "det",
-                                             "interpret"))
+                                             "row_h", "interpret"))
 def cwt_ifft_bank(F, bank, *, pad: int, length: int, det: bool = False,
-                  interpret: bool = False):
+                  row_h: tuple = None, interpret: bool = False):
     """(B, N) complex spectrum x (num, N) real bank -> (B, num, length)
     complex64: per-band ``ifft(bank * F)[pad : pad+length]`` (times ``i``
-    when ``det``), as one fused Pallas pass."""
+    when ``det``), as one fused Pallas pass per support bucket.
+
+    ``row_h`` (static, from :func:`band_row_counts`) gives each band's
+    stage-1 row count; consecutive bands with the same power-of-two
+    quantum share one pallas_call.  ``None`` means the full R rows.
+    """
     B, n = F.shape
     num = bank.shape[0]
     R, C, C2, e1, e2, twr, twi = _consts(n, pad, length)
@@ -150,29 +198,46 @@ def cwt_ifft_bank(F, bank, *, pad: int, length: int, det: bool = False,
     fi = jnp.imag(F).astype(jnp.float32).reshape(B, R, C)
     bank3 = jnp.asarray(bank, jnp.float32).reshape(num, R, C)
 
+    qrows = _quantize_rows(row_h, R) if row_h is not None else [R] * num
+    # consecutive-band buckets of equal quantum
+    buckets = []
+    for j, q in enumerate(qrows):
+        if buckets and buckets[-1][2] == q:
+            buckets[-1][1] = j + 1
+        else:
+            buckets.append([j, j + 1, q])
+
     def _const(arr):
         return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim)
 
-    consts = [jnp.asarray(c) for c in (*e1, twr, twi, *e2)]
-    outr, outi = pl.pallas_call(
-        functools.partial(_kernel, R=R, C=C, C2=C2, det=det),
-        grid=(B, num),
-        in_specs=[
-            pl.BlockSpec((1, R, C), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, R, C), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, R, C), lambda i, j: (j, 0, 0)),
-        ] + [_const(c) for c in consts],
-        out_specs=[
-            pl.BlockSpec((1, 1, C2, R), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, C2, R), lambda i, j: (i, j, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, num, C2, R), jnp.float32),
-            jax.ShapeDtypeStruct((B, num, C2, R), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
-    )(fr, fi, bank3, *consts)
-    out = outr + 1j * outi
-    return out.reshape(B, num, C2 * R)
+    tw = [jnp.asarray(twr), jnp.asarray(twi)]
+    e2c = [jnp.asarray(c) for c in e2]
+    parts = []
+    for g0, g1, H in buckets:
+        ng = g1 - g0
+        e1c = [jnp.asarray(np.ascontiguousarray(c[:, :H])) for c in e1]
+        consts = [*e1c, *tw, *e2c]
+        outr, outi = pl.pallas_call(
+            functools.partial(_kernel, R=R, C=C, C2=C2, det=det),
+            grid=(B, ng),
+            in_specs=[
+                pl.BlockSpec((1, H, C), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, H, C), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, H, C), lambda i, j: (j, 0, 0)),
+            ] + [_const(c) for c in consts],
+            out_specs=[
+                pl.BlockSpec((1, 1, C2, R), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, C2, R), lambda i, j: (i, j, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, ng, C2, R), jnp.float32),
+                jax.ShapeDtypeStruct((B, ng, C2, R), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(fr, fi, bank3[g0:g1], *consts)
+        parts.append((outr + 1j * outi).reshape(B, ng, C2 * R))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=1)

@@ -231,6 +231,13 @@ class CWT:
         self.fre_band_arr = fre
         self.bin_band_arr = bins
         self._det_bank = None
+        self._row_h = self._det_row_h = None
+        w_len = data_length + 2 * self.pad_length
+        if w_len & (w_len - 1) == 0:
+            from audioflux_tpu.ops.pallas_cwt import band_row_counts
+            # static stage-1 support rows for the fused kernel (exact:
+            # only f32-zero bank rows are dropped)
+            self._row_h = band_row_counts(self._bank, w_len)
         # whole filterbank convolution under one jit (eager per-op
         # dispatch over the axon tunnel costs more than the transform)
         self._cwt_run = jax.jit(self._run, static_argnames=("det",))
@@ -251,6 +258,9 @@ class CWT:
             w[:half + 1] = np.arange(half + 1) * 2 * np.pi / L
             w[half + 1:] = -w[1:L - half][::-1]
             self._det_bank = (self._bank * w[None, :]).astype(np.float32)
+            if L & (L - 1) == 0:
+                from audioflux_tpu.ops.pallas_cwt import band_row_counts
+                self._det_row_h = band_row_counts(self._det_bank, L)
 
     def _run(self, data_arr, bank, det: bool):
         x = jnp.asarray(data_arr, jnp.float32)
@@ -273,7 +283,9 @@ class CWT:
             # ~1e-5 relative (inside the golden tolerance class)
             lead = F.shape[:-1]
             out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
-                                pad=p, length=self.data_length, det=det)
+                                pad=p, length=self.data_length, det=det,
+                                row_h=(self._det_row_h if det
+                                       else self._row_h))
             return out.reshape(lead + out.shape[1:])
 
         B = jnp.asarray(bank)

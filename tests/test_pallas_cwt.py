@@ -42,6 +42,34 @@ def test_cwt_ifft_bank_det_rotation():
     assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max()
 
 
+def test_cwt_ifft_bank_support_buckets():
+    # analytic-style sparse bank: contiguous bumps [1, hi_j] of growing
+    # width -> several row-count buckets; support slicing must be exact
+    from audioflux_tpu.ops.pallas_cwt import band_row_counts
+    n, length = 16384, 8192
+    pad = length // 2
+    rng = np.random.default_rng(2)
+    F = (rng.standard_normal((2, n))
+         + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    bank = np.zeros((6, n), np.float32)
+    for j, hi in enumerate([40, 300, 700, 1500, 3000, 6000]):
+        bank[j, 1:hi] = np.abs(rng.standard_normal(hi - 1))
+    row_h = band_row_counts(bank, n)
+    assert row_h[0] == 8 and row_h[-1] > row_h[0]
+    want = np.fft.ifft(bank[None] * F[:, None, :],
+                       axis=-1)[..., pad:pad + length]
+    got = np.asarray(cwt_ifft_bank(jnp.asarray(F), jnp.asarray(bank),
+                                   pad=pad, length=length, row_h=row_h,
+                                   interpret=True))
+    assert np.abs(got - want).max() <= 2e-5 * np.abs(want).max()
+    # sliced == unsliced to a few ulps: only exact zeros are dropped, but
+    # the shorter contraction uses a different f32 summation tree
+    full = np.asarray(cwt_ifft_bank(jnp.asarray(F), jnp.asarray(bank),
+                                    pad=pad, length=length,
+                                    interpret=True))
+    assert np.abs(got - full).max() <= 1e-6 * np.abs(full).max()
+
+
 def test_supports_gate():
     assert not supports(8192, 2048, 4096)      # below the size floor
     assert not supports(16384 + 4, 8192, 8192)  # not a power of two
