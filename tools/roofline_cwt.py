@@ -41,11 +41,33 @@ def main():
     C2 = C // 2  # pad slice keeps half the output columns
     rows = a.batch * a.bands
 
-    # per row: stage 1 (R,R)@(R,C) + stage 2 (R,C)@(C,C2), Karatsuba
-    # complex (3 real matmuls) x bf16x3 (3 passes) = 9 bf16 passes each
-    mac_s1 = R * R * C
-    mac_s2 = R * C * C2
-    executed = rows * (mac_s1 + mac_s2) * 9 * 2  # FLOP = 2*MAC
+    # per row: stage 1 (R,H)@(H,C) + stage 2 (R,C)@(C,C2), Karatsuba
+    # complex (3 real matmuls) x bf16x3 (3 passes) = 9 bf16 passes each.
+    # Stage-1 H is the per-band support row count (power-of-two bucketed,
+    # ops/pallas_cwt.py band_row_counts); build the actual bench bank to
+    # sum it, falling back to the full R if the import is unavailable.
+    try:
+        import os
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from audioflux_tpu.ops.pallas_cwt import (band_row_counts,
+                                                  _quantize_rows)
+        from audioflux_tpu.transforms.cwt import CWT
+        from audioflux_tpu.types import (WaveletContinueType,
+                                         SpectralFilterBankScaleType)
+        cwt = CWT(num=a.bands, radix2_exp=e - 1, samplate=32000,
+                  wavelet_type=WaveletContinueType.MORLET,
+                  scale_type=SpectralFilterBankScaleType.OCTAVE)
+        h_sum = sum(_quantize_rows(band_row_counts(cwt._bank, a.n), R))
+        print(f"stage-1 support rows (bucketed): {h_sum} of {a.bands * R}")
+    except Exception as ex:  # pragma: no cover - accounting fallback
+        print(f"(bank build unavailable: {ex}; assuming full R rows)")
+        h_sum = a.bands * R
+    mac_s1 = a.batch * h_sum * R * C  # summed over bands already
+    mac_s2 = rows * R * C * C2
+    executed = (mac_s1 + mac_s2) * 9 * 2  # FLOP = 2*MAC
     useful = rows * 5 * a.n * (e)                # split-radix complex ifft
 
     tflops = executed / a.seconds / 1e12
