@@ -59,14 +59,25 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order):
     # 1-3. phase (atan2(REAL, IMAG) — reference argument order,
     # synsq_algorithm.c:155), C unwrap, forward diff / 2pi
     phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
-    ph = _c_unwrap(phase)
-    # backward diff stored at j, first column 0 (__mdiff2 axis=1
-    # semantics); the C then overwrites the LAST column with the
-    # second-to-last (synsq_algorithm.c:191-193), so the final two
-    # phase-rate columns are identical
-    d = ph[..., 1:] - ph[..., :-1]
-    d = jnp.concatenate([jnp.zeros_like(d[..., :1]),
-                         d[..., :-1], d[..., -2:-1]], axis=-1) / (2 * np.pi)
+    from audioflux_tpu.ops.pallas_unwrap import supports, unwrap_diff
+    rows = int(np.prod(phase.shape[:-1]))
+    if jax.default_backend() == "tpu" and supports(rows, T):
+        # fused unwrap+diff kernel (ops/pallas_unwrap.py): one HBM pass,
+        # bit-equal to the cumsum formulation below (same f32 phrases,
+        # exact integer prefix sums on the MXU)
+        e = unwrap_diff(phase.reshape(rows, T)).reshape(phase.shape)
+        d = jnp.concatenate([e[..., :-1], e[..., -2:-1]],
+                            axis=-1) / (2 * np.pi)
+    else:
+        ph = _c_unwrap(phase)
+        # backward diff stored at j, first column 0 (__mdiff2 axis=1
+        # semantics); the C then overwrites the LAST column with the
+        # second-to-last (synsq_algorithm.c:191-193), so the final two
+        # phase-rate columns are identical
+        d = ph[..., 1:] - ph[..., :-1]
+        d = jnp.concatenate([jnp.zeros_like(d[..., :1]),
+                             d[..., :-1], d[..., -2:-1]],
+                            axis=-1) / (2 * np.pi)
 
     v = jnp.abs(d)
     f = fre_arr / samplate
