@@ -47,6 +47,11 @@ def columnar_scatter_add(values, fi, out_size: int):
     # ~0.1 ms end-to-end (the one-hot generation VPU work dominates, not
     # the MXU passes) while costing ~7 bits of accumulation accuracy the
     # CPU-forced tests cannot see — keep full HIGHEST.
+    # NOTE (measured, don't retry): contracting re/im in ONE einsum over a
+    # trailing component axis ("...fit,...itc->...ftc" on stacked values)
+    # to share the one-hot generation made the synsq bench row 1.5x
+    # SLOWER (19.6 -> 30.4 ms) — the stack/relayout plus the 2-wide
+    # batched dot cost more than the saved second one-hot pass.
     hp = jax.lax.Precision.HIGHEST
     oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
     if jnp.iscomplexobj(values):
