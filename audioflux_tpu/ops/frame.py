@@ -49,6 +49,22 @@ def frame_signal(x: jnp.ndarray, fft_length: int, slide_length: int,
     if n_frames <= 0:
         raise ValueError(
             f"signal too short to frame: n={n} fft_length={fft_length}")
+    k, rem = divmod(fft_length, slide_length)
+    if rem == 0 and k >= 1:
+        # slide | fft: frame t is rows t..t+k-1 of the (n/slide, slide)
+        # row reshape, so framing is k contiguous slices + one concat —
+        # full-bandwidth ops, where the generic gather below runs at the
+        # ~1/6-HBM-bandwidth strided path on this backend (same elements,
+        # bit-identical output)
+        rows = n_frames + k - 1
+        usable = rows * slide_length
+        if usable <= n:
+            r = x[..., :usable].reshape(
+                x.shape[:-1] + (rows, slide_length))
+            if k == 1:
+                return r
+            return jnp.concatenate(
+                [r[..., i:i + n_frames, :] for i in range(k)], axis=-1)
     idx = (np.arange(n_frames)[:, None] * slide_length
            + np.arange(fft_length)[None, :])
     return x[..., idx]
