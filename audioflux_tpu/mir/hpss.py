@@ -19,7 +19,7 @@ from audioflux_tpu.ops.filter import median_filter
 from audioflux_tpu.ops.pallas_median import median_filter_last_axis
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
 from audioflux_tpu.ops.window import get_fft_window
-from audioflux_tpu.transforms.stft import _istft_impl
+from audioflux_tpu.transforms.stft import _istft_tm
 from audioflux_tpu.types import WindowType
 
 __all__ = ["HPSS", "HPSSNMF"]
@@ -43,9 +43,10 @@ def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
     Pm = p2 / denom * mag
 
     def resynth(m):
-        spec = jnp.swapaxes(m * phase, -1, -2)  # (..., m, T)
-        return _istft_impl(spec, window, fft_length=fft_length,
-                           slide_length=slide_length, method_type=0)
+        # masks are already time-major: go straight to the OLA without
+        # the band-major round trip (two strided relayouts saved)
+        return _istft_tm(m * phase, window, fft_length=fft_length,
+                         slide_length=slide_length, method_type=0)
 
     return resynth(Hm), resynth(Pm)
 
@@ -87,9 +88,8 @@ def _hpss_nmf_impl(x, window, W0, H0, *, fft_length, slide_length, k,
     Pm = jnp.swapaxes(p2 / denom, -1, -2) * mag
 
     def resynth(m_):
-        spec = jnp.swapaxes(m_ * phase, -1, -2)
-        return _istft_impl(spec, window, fft_length=fft_length,
-                           slide_length=slide_length, method_type=0)
+        return _istft_tm(m_ * phase, window, fft_length=fft_length,
+                         slide_length=slide_length, method_type=0)
 
     return resynth(Hm), resynth(Pm)
 

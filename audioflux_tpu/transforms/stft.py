@@ -47,7 +47,16 @@ def _stft_impl(x, window, *, fft_length, slide_length, is_pad,
 @partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
 def _istft_impl(D, window, *, fft_length, slide_length, method_type):
     # D: (..., fft//2+1, T) complex -> (..., (T-1)*slide + fft) real
-    spec = jnp.swapaxes(D, -1, -2)  # (..., T, F/2+1)
+    return _istft_tm(jnp.swapaxes(D, -1, -2), window,
+                     fft_length=fft_length, slide_length=slide_length,
+                     method_type=method_type)
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
+def _istft_tm(spec, window, *, fft_length, slide_length, method_type):
+    """ISTFT from a time-major (..., T, F/2+1) spectrum — callers whose
+    masks already live frames-first (HPSS) skip a band-major round trip
+    (two full strided relayouts of the complex matrix)."""
     frames = afft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
 
     e = 1.0 if method_type == 0 else 0.0  # 0='weighted OLA', 1='OLA'
