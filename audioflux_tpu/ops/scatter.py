@@ -51,7 +51,14 @@ def columnar_scatter_add(values, fi, out_size: int):
     # trailing component axis ("...fit,...itc->...ftc" on stacked values)
     # to share the one-hot generation made the synsq bench row 1.5x
     # SLOWER (19.6 -> 30.4 ms) — the stack/relayout plus the 2-wide
-    # batched dot cost more than the saved second one-hot pass.
+    # batched dot cost more than the saved second one-hot pass.  A radix
+    # split (f = 8*hi + lo, "...hit,...qit->...hqt" with a lo-masked
+    # value tensor) promises 4x less one-hot generation but measured 2x
+    # SLOWER (16.1 vs 8.6 ms/payload): the (B, 8, in, T) masked
+    # intermediate materializes and only one of the two data-dependent
+    # producers fuses into the dot.  The current form runs at ~half VPU
+    # peak on the compare/select generation — near-roofline for this
+    # algorithm.
     hp = jax.lax.Precision.HIGHEST
     oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
     if jnp.iscomplexobj(values):
