@@ -253,6 +253,9 @@ class BFT:
             cache[key] = plan
         x = jnp.asarray(data_arr, jnp.float32)
         n = x.shape[-1]
+        if n < self.fft_length:
+            raise ValueError(f"input too short: n={n} < fft="
+                             f"{self.fft_length}")
         n_frames = (n - self.fft_length) // self.slide_length + 1
         tile, t_pad = _pick_tile(n_frames, tile)
         need = (t_pad - 1) * self.slide_length + self.fft_length
