@@ -7,11 +7,17 @@
 // host->device transfer. Built as libafio.so, bound via ctypes
 // (audioflux_tpu/io/native.py).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -208,6 +214,130 @@ int afio_load_batch(const char* paths_joined, int count, float* out,
   int good = 0;
   for (int v : ok) good += v;
   return good;
+}
+
+// ---------------------------------------------------------------------------
+// Async prefetch pool: persistent worker threads decode whole batches in the
+// background so the host can overlap disk decode with device compute (the
+// input-pipeline half of a serving loop).  Submit returns a job id at once;
+// wait blocks until that batch's buffer is fully written.  Bound via ctypes
+// (audioflux_tpu/io/native.py PrefetchLoader).
+
+namespace {
+
+struct PoolJob {
+  std::vector<std::string> paths;
+  float* out = nullptr;
+  long length = 0;
+  std::atomic<int> next{0};
+  std::atomic<int> remaining{0};
+  std::atomic<int> good{0};
+};
+
+struct Pool {
+  std::mutex mu;
+  std::condition_variable cv;       // workers: work available / stop
+  std::condition_variable done_cv;  // waiters: a job finished
+  std::deque<std::shared_ptr<PoolJob>> active;  // jobs with unclaimed tasks
+  std::unordered_map<int, std::shared_ptr<PoolJob>> jobs;
+  int next_id = 1;
+  bool stop = false;
+  std::vector<std::thread> workers;
+};
+
+void pool_worker(Pool* pool) {
+  for (;;) {
+    std::shared_ptr<PoolJob> job;
+    int index = -1;
+    {
+      std::unique_lock<std::mutex> lk(pool->mu);
+      pool->cv.wait(lk, [&] { return pool->stop || !pool->active.empty(); });
+      if (pool->stop) return;
+      job = pool->active.front();
+      index = job->next++;
+      if (job->next >= static_cast<int>(job->paths.size()))
+        pool->active.pop_front();
+    }
+    float* row = job->out + static_cast<long>(index) * job->length;
+    memset(row, 0, sizeof(float) * job->length);
+    long n = afio_wav_read(job->paths[index].c_str(), row, job->length, 1);
+    if (n > 0) job->good++;
+    if (--job->remaining == 0) {
+      std::lock_guard<std::mutex> lk(pool->mu);
+      pool->done_cv.notify_all();
+    }
+  }
+}
+
+}  // namespace
+
+// Create a pool of `num_threads` persistent decode workers.
+void* afio_pool_create(int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  Pool* pool = new Pool();
+  for (int t = 0; t < num_threads; t++)
+    pool->workers.emplace_back(pool_worker, pool);
+  return pool;
+}
+
+// Queue a batch decode (newline-joined paths -> out[count * length], mono,
+// truncate/zero-pad).  `out` must stay alive until afio_pool_wait returns.
+// Returns a job id (> 0), or -1 on bad arguments.
+int afio_pool_submit(void* handle, const char* paths_joined, int count,
+                     float* out, long length) {
+  Pool* pool = static_cast<Pool*>(handle);
+  if (!pool || !out || count < 1 || length < 1) return -1;
+  auto job = std::make_shared<PoolJob>();
+  const char* p = paths_joined;
+  for (int i = 0; i < count; i++) {
+    const char* nl = strchr(p, '\n');
+    size_t len = nl ? static_cast<size_t>(nl - p) : strlen(p);
+    job->paths.emplace_back(p, len);
+    if (!nl) break;
+    p = nl + 1;
+  }
+  job->out = out;
+  job->length = length;
+  job->remaining = static_cast<int>(job->paths.size());
+  int id;
+  {
+    std::lock_guard<std::mutex> lk(pool->mu);
+    id = pool->next_id++;
+    pool->jobs[id] = job;
+    pool->active.push_back(job);
+  }
+  pool->cv.notify_all();
+  return id;
+}
+
+// Block until job `id` completes; returns its decoded-file count, or -1 for
+// an unknown id.  The job's buffer is fully written on return.
+int afio_pool_wait(void* handle, int id) {
+  Pool* pool = static_cast<Pool*>(handle);
+  if (!pool) return -1;
+  std::shared_ptr<PoolJob> job;
+  {
+    std::unique_lock<std::mutex> lk(pool->mu);
+    auto it = pool->jobs.find(id);
+    if (it == pool->jobs.end()) return -1;
+    job = it->second;
+    pool->done_cv.wait(lk, [&] { return job->remaining.load() == 0; });
+    pool->jobs.erase(id);
+  }
+  return job->good.load();
+}
+
+// Join and free the pool.  Call only after waiting on all submitted jobs.
+void afio_pool_destroy(void* handle) {
+  Pool* pool = static_cast<Pool*>(handle);
+  if (!pool) return;
+  {
+    std::lock_guard<std::mutex> lk(pool->mu);
+    pool->stop = true;
+  }
+  pool->cv.notify_all();
+  for (auto& th : pool->workers) th.join();
+  delete pool;
 }
 
 }  // extern "C"

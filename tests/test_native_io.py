@@ -57,3 +57,26 @@ def test_batch_loader_missing_file(wav_files, tmp_path):
     batch, good = native.load_batch(paths, length=1000)
     assert good == 3
     np.testing.assert_array_equal(batch[-1], 0)
+
+
+def test_prefetch_loader(wav_files, tmp_path):
+    # 7 files (incl. one missing) in batches of 2, depth 2: every yielded
+    # batch must equal the synchronous load_batch of the same chunk
+    paths = wav_files * 2 + [str(tmp_path / "missing.wav")]
+    got = list(native.PrefetchLoader(paths, batch_size=2, length=12000,
+                                     num_threads=3, depth=2))
+    assert len(got) == 4
+    for i, (batch, good) in enumerate(got):
+        chunk = paths[2 * i:2 * i + 2]
+        ref, ref_good = native.load_batch(chunk, length=12000)
+        assert good == ref_good
+        np.testing.assert_array_equal(batch, ref)
+
+
+def test_prefetch_loader_close_midstream(wav_files):
+    # closing with jobs still pending must drain them safely
+    ld = native.PrefetchLoader(wav_files * 4, batch_size=3, length=8000,
+                               depth=3)
+    it = iter(ld)
+    next(it)
+    ld.close()
