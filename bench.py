@@ -286,6 +286,27 @@ def baseline_configs(rows):
                   file=sys.stderr)
             sys.exit(1)
 
+    # accuracy gate for the fused unwrap+diff kernel (ops/pallas_unwrap.py):
+    # kernel path vs the XLA cumsum formulation on one clip — bounded
+    # knife-edge bin flips only (the documented libm tolerance class)
+    import audioflux_tpu.ops.pallas_unwrap as _pu
+    if _pu.supports(8 * 84, 1 << 15):
+        W1 = cwt.cwt(xs[:8])
+        y_k = jnp.abs(sq.synsq(W1, S.OCTAVE, fre))
+        _su = _pu.supports
+        _pu.supports = lambda *a: False
+        try:
+            y_x = jnp.abs(sq.synsq(W1, S.OCTAVE, fre))
+        finally:
+            _pu.supports = _su
+        peak = float(jnp.max(y_x))
+        flips = float(jnp.mean(jnp.abs(y_k - y_x) > 1e-5 * peak))
+        mass = abs(float(jnp.sum(y_k)) / max(float(jnp.sum(y_x)), 1e-30) - 1)
+        if flips > 5e-3 or mass > 1e-4:
+            print(f"synsq unwrap gate failed: flips {flips:.2e} "
+                  f"mass {mass:.2e}", file=sys.stderr)
+            sys.exit(1)
+
     @jax.jit
     def cwt_synsq(x):
         # magnitude: the axon backend cannot fetch complex64 to the host
