@@ -48,16 +48,22 @@ def _load():
         lib.afio_wav_read.restype = ctypes.c_long
         lib.afio_wav_write.restype = ctypes.c_int
         lib.afio_load_batch.restype = ctypes.c_int
-        lib.afio_pool_create.restype = ctypes.c_void_p
-        lib.afio_pool_create.argtypes = [ctypes.c_int]
-        lib.afio_pool_submit.restype = ctypes.c_int
-        lib.afio_pool_submit.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long]
-        lib.afio_pool_wait.restype = ctypes.c_int
-        lib.afio_pool_wait.argtypes = [ctypes.c_void_p, ctypes.c_int]
-        lib.afio_pool_destroy.restype = None
-        lib.afio_pool_destroy.argtypes = [ctypes.c_void_p]
+        try:
+            # pool API: absent from pre-pool prebuilt .so deployments —
+            # only PrefetchLoader degrades, not the whole native layer
+            lib.afio_pool_create.restype = ctypes.c_void_p
+            lib.afio_pool_create.argtypes = [ctypes.c_int]
+            lib.afio_pool_submit.restype = ctypes.c_int
+            lib.afio_pool_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+            lib.afio_pool_wait.restype = ctypes.c_int
+            lib.afio_pool_wait.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.afio_pool_destroy.restype = None
+            lib.afio_pool_destroy.argtypes = [ctypes.c_void_p]
+            lib._afio_has_pool = True
+        except AttributeError:
+            lib._afio_has_pool = False
         _LIB = lib
     except Exception:
         _LIB = None
@@ -138,8 +144,8 @@ class PrefetchLoader:
     def __init__(self, paths, batch_size: int, length: int,
                  num_threads: int = 4, depth: int = 2):
         lib = _load()
-        if lib is None:
-            raise IOError("native IO unavailable")
+        if lib is None or not getattr(lib, "_afio_has_pool", False):
+            raise IOError("native pool API unavailable")
         if batch_size < 1 or length < 1 or depth < 1:
             raise ValueError("batch_size, length and depth must be >= 1")
         self._lib = lib

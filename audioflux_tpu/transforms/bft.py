@@ -34,7 +34,7 @@ def _pick_tile(n_frames: int, tile: int):
     least (tiles >= ~100 are perf-flat per the r2 tile sweep, so prefer
     minimal padding over maximal tile)."""
     t8 = -(-n_frames // 8) * 8
-    tile = max(8, min(tile, t8))
+    tile = max(8, min(tile, t8)) // 8 * 8  # kernel tiles must be 8-aligned
     fallback = None
     for t_pad in range(t8, t8 + 129, 8):
         cand = next(c for c in range(tile, 7, -8) if t_pad % c == 0)

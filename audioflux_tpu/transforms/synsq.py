@@ -53,18 +53,25 @@ def _c_unwrap(x):
     return x + c * two_pi
 
 
-@partial(jax.jit, static_argnames=("scale_kind", "num", "order"))
-def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order):
+@partial(jax.jit, static_argnames=("scale_kind", "num", "order",
+                                   "force_xla_unwrap"))
+def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
+                force_xla_unwrap: bool = False):
+    # ``force_xla_unwrap`` pins the cumsum unwrap even on TPU; it is a
+    # STATIC arg so accuracy gates get a genuinely separate compilation
+    # (monkeypatching ``supports`` cannot evict the jit cache).
     T = D.shape[-1]
     # 1-3. phase (atan2(REAL, IMAG) — reference argument order,
     # synsq_algorithm.c:155), C unwrap, forward diff / 2pi
     phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
     from audioflux_tpu.ops.pallas_unwrap import supports, unwrap_diff
     rows = int(np.prod(phase.shape[:-1]))
-    if jax.default_backend() == "tpu" and supports(rows, T):
+    if (not force_xla_unwrap and jax.default_backend() == "tpu"
+            and supports(rows, T)):
         # fused unwrap+diff kernel (ops/pallas_unwrap.py): one HBM pass,
-        # bit-equal to the cumsum formulation below (same f32 phrases,
-        # exact integer prefix sums on the MXU)
+        # same f32 phrases as the cumsum formulation below with exact
+        # integer prefix sums on the MXU (possible FMA-contraction ulps
+        # are bounded by the bench gate)
         e = unwrap_diff(phase.reshape(rows, T)).reshape(phase.shape)
         d = jnp.concatenate([e[..., :-1], e[..., -2:-1]],
                             axis=-1) / (2 * np.pi)
@@ -134,9 +141,11 @@ class Synsq:
         self.order = max(int(order), 1)
         self.thresh = float(thresh)
 
-    def synsq(self, m_data_arr, filter_bank_type, fre_arr):
+    def synsq(self, m_data_arr, filter_bank_type, fre_arr,
+              force_xla_unwrap: bool = False):
         """m_data_arr: complex (..., num, time) CWT-family output;
-        fre_arr: (num,) ascending band frequencies."""
+        fre_arr: (num,) ascending band frequencies.
+        ``force_xla_unwrap`` pins the cumsum unwrap (accuracy gates)."""
         S = SpectralFilterBankScaleType
         st = S(filter_bank_type)
         if st > S.LOG:
@@ -151,4 +160,5 @@ class Synsq:
                            jnp.asarray(fre_arr, jnp.float32),
                            scale_kind=kind, num=self.num,
                            samplate=float(self.samplate),
-                           thresh=self.thresh, order=self.order)
+                           thresh=self.thresh, order=self.order,
+                           force_xla_unwrap=force_xla_unwrap)

@@ -293,12 +293,9 @@ def baseline_configs(rows):
     if _pu.supports(8 * 84, 1 << 15):
         W1 = cwt.cwt(xs[:8])
         y_k = jnp.abs(sq.synsq(W1, S.OCTAVE, fre))
-        _su = _pu.supports
-        _pu.supports = lambda *a: False
-        try:
-            y_x = jnp.abs(sq.synsq(W1, S.OCTAVE, fre))
-        finally:
-            _pu.supports = _su
+        # force_xla_unwrap is a STATIC jit arg -> genuinely separate
+        # compilation (a supports() monkeypatch cannot evict the cache)
+        y_x = jnp.abs(sq.synsq(W1, S.OCTAVE, fre, force_xla_unwrap=True))
         peak = float(jnp.max(y_x))
         flips = float(jnp.mean(jnp.abs(y_k - y_x) > 1e-5 * peak))
         mass = abs(float(jnp.sum(y_k)) / max(float(jnp.sum(y_x)), 1e-30) - 1)

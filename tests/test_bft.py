@@ -127,3 +127,8 @@ def test_bft_fused_linear_ragged_frames():
     spec = np.asarray(spec)
     assert spec.shape == ref.shape == (2, 513, 14)
     assert np.max(np.abs(spec - ref)) <= 1e-4 * np.max(np.abs(ref))
+    # non-multiple-of-8 tile request is quantized, not crashed (the tile
+    # picker must never emit a misaligned tile or raise StopIteration)
+    spec2, _ = bft.bft_fused(x, cc_num=0, tile=100)
+    assert np.array_equal(np.asarray(spec2), spec) or \
+        np.max(np.abs(np.asarray(spec2) - ref)) <= 1e-4 * np.max(np.abs(ref))
