@@ -18,13 +18,16 @@ single pass:
   across sequential time blocks, giving the global recurrence;
 * the unwrapped y = x + c * 2pi and the backward diff e[j] = y[j] -
   y[j-1] (e[0] = 0) use the same float32 phrases as the XLA path; the
-  wrap counts agree exactly, but the compiler may contract the final
-  mul/add into an FMA (measured in interpret mode), so individual cells
-  can differ from the cumsum formulation by <= 1 ulp OF THE UNWRAPPED
-  PHASE — the same knife-edge tolerance class as the documented
-  cross-libm scatter-bin drift (bitcast and optimization_barrier fences
-  are both unavailable/ineffective in Mosaic, so this is accepted and
-  bounded by the tests rather than fenced).
+  wrap counts agree exactly, but a compiler may contract the final
+  mul/add into an FMA, making individual cells differ from the cumsum
+  formulation by <= 1 ulp OF THE UNWRAPPED PHASE — the same knife-edge
+  tolerance class as the documented cross-libm scatter-bin drift.
+  Measured: the XLA:CPU interpret path DOES contract (the tests bound
+  it); the real-chip Mosaic lowering does NOT — bench.py's synsq gate
+  compares a genuinely separate ``force_xla_unwrap=True`` compilation
+  and observes bit-equality (flips 0, mass error 0).  bitcast and
+  optimization_barrier fences are unavailable/ineffective in Mosaic, so
+  the bound is asserted rather than fenced.
 
 HBM traffic: read phase + write diff (2 passes total) instead of the
 ~log2(T)+3 passes of the cumsum formulation.
