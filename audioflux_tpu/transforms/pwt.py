@@ -82,6 +82,13 @@ class PWT:
         self._bank = fb
         self.fre_band_arr = fre
         self.bin_band_arr = bins
+        self._row_h = None
+        if w_length & (w_length - 1) == 0:
+            from audioflux_tpu.ops.pallas_cwt import band_row_counts
+            # stage-1 support rows for the fused kernel (pseudo auditory
+            # banks live on the positive-frequency half, so the same
+            # leading-prefix slicing as CWT applies)
+            self._row_h = band_row_counts(fb, w_length)
         # whole pad->FFT->bank->IFFT pipeline under one jit (eager
         # per-op dispatch over the axon tunnel costs more than the math)
         self._pwt_run = jax.jit(self._pwt_impl)
@@ -105,6 +112,18 @@ class PWT:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
                         mode="symmetric")
         F = afft.fft(x, axis=-1)
+        from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
+        w_len = x.shape[-1]
+        if (jax.default_backend() == "tpu"
+                and supports(w_len, p, self.data_length)):
+            # same fused bank-multiply + four-step matmul IFFT as CWT
+            # (ops/pallas_cwt.py) — PWT is the identical
+            # ifft(bank * F)[p : p+L] pipeline, pwt_algorithm.c
+            lead = F.shape[:-1]
+            out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
+                                pad=p, length=self.data_length,
+                                row_h=self._row_h)
+            return out.reshape(lead + out.shape[1:])
         out = afft.ifft(bank * F[..., None, :], axis=-1)
         if p:
             out = out[..., p:p + self.data_length]
