@@ -400,7 +400,8 @@ class Spectrogram:
         -> log-DCT pipeline (``ops.pallas_spectrogram``); the throughput
         path for bulk extraction.  Requires a plain power-domain filterbank
         config (POWER data type, no chroma fold, norm_value 1), slide
-        dividing fft, 128 | slide, and frame count divisible by ``tile``.
+        dividing fft and 128 | slide; any frame count works (zero-padded
+        to a tile multiple and sliced back).
         ``fast=True`` uses bf16x3 MXU dots (~2e-6 relative error);
         ``fast=False`` is full fp32 (~2e-7).  Returns
         ((..., num, T), (..., cc_num, T)).
