@@ -39,9 +39,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from audioflux_tpu.ops import fft as afft
 from audioflux_tpu.types import SpectralFilterBankScaleType
 
-__all__ = ["sharded_cwt_fn", "sharded_synsq_fn", "sharded_wsst_fn",
-           "sharded_st_fn", "sharded_nsgt_fn", "sharded_cqt_fn",
-           "sharded_ccwt_fn", "sharded_batch_fn"]
+__all__ = ["sharded_cwt_fn", "sharded_pwt_fn", "sharded_synsq_fn",
+           "sharded_wsst_fn", "sharded_st_fn", "sharded_nsgt_fn",
+           "sharded_cqt_fn", "sharded_ccwt_fn", "sharded_batch_fn"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -88,6 +88,29 @@ def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
 
     def run(x):
         out = _cwt_body(obj, x, bank, det, batch_axis, time_axis, mesh)
+        return jax.lax.with_sharding_constraint(
+            out, _ns(mesh, batch_axis, None, time_axis))
+
+    return jax.jit(
+        run,
+        in_shardings=_ns(mesh, batch_axis, time_axis),
+        out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+def sharded_pwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                   time_axis: str = "time"):
+    """Mesh-parallel PWT: (B, data_length) -> complex64 (B, num, L).
+
+    The PWT is the same full-signal pad -> FFT -> bank multiply ->
+    per-band IFFT pipeline as the CWT (``pwt_algorithm.c``), so it
+    shares ``_cwt_body``: bands partition over the mesh for the IFFT
+    flops, the output time axis arrives sharded over ``time_axis``.
+    Equal to ``obj.pwt`` to float rounding.
+    """
+    bank = jnp.asarray(obj._bank)
+
+    def run(x):
+        out = _cwt_body(obj, x, bank, False, batch_axis, time_axis, mesh)
         return jax.lax.with_sharding_constraint(
             out, _ns(mesh, batch_axis, None, time_axis))
 

@@ -176,3 +176,15 @@ def test_sharded_wsst_equals_unsharded():
     peak_s = np.abs(np.asarray(sq_w)).max()
     np.testing.assert_allclose(np.asarray(sq_g), np.asarray(sq_w),
                                atol=2e-5 * peak_s)
+
+
+def test_sharded_pwt_equals_unsharded():
+    from audioflux_tpu.parallel import sharded_pwt_fn
+    from audioflux_tpu.transforms.pwt import PWT
+    from audioflux_tpu.types import SpectralFilterBankScaleType as S
+    mesh = make_mesh(data=2, time=4)
+    obj = PWT(num=24, radix2_exp=11, samplate=SR, scale_type=S.MEL)
+    x = _sig(2048, seed=9)
+    want = np.asarray(obj.pwt(x))
+    got = np.asarray(sharded_pwt_fn(obj, mesh)(x))
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
