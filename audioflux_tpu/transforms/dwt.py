@@ -24,8 +24,13 @@ __all__ = ["DWT", "WPT", "SWT"]
 
 def _periodic_pad(x, half: int):
     """Periodic pad of ``half`` samples each side (modulo indexing —
-    dwt_algorithm.c:__periodPadding)."""
+    dwt_algorithm.c:__periodPadding).  For the common ``half <= n`` case
+    this is three contiguous slices (full-bandwidth) instead of a
+    strided gather."""
     n = x.shape[-1]
+    if half <= n:
+        return jnp.concatenate(
+            [x[..., n - half:], x, x[..., :half]], axis=-1)
     idx = np.arange(-half, n + half) % n
     return x[..., idx]
 
