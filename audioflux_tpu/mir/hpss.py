@@ -19,7 +19,7 @@ from audioflux_tpu.ops.filter import median_filter
 from audioflux_tpu.ops.pallas_median import median_filter_last_axis
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
 from audioflux_tpu.ops.window import get_fft_window
-from audioflux_tpu.transforms.stft import _istft_tm
+from audioflux_tpu.transforms.stft import _istft_tm_pair
 from audioflux_tpu.types import WindowType
 
 __all__ = ["HPSS", "HPSSNMF"]
@@ -42,13 +42,11 @@ def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
     Hm = h2 / denom * mag
     Pm = p2 / denom * mag
 
-    def resynth(m):
-        # masks are already time-major: go straight to the OLA without
-        # the band-major round trip (two strided relayouts saved)
-        return _istft_tm(m * phase, window, fft_length=fft_length,
-                         slide_length=slide_length, method_type=0)
-
-    return resynth(Hm), resynth(Pm)
+    # masks are already time-major (no band-major round trip), and both
+    # resyntheses ride ONE complex ISTFT: ifft(Hfull + i*Pfull) = h + i*p
+    return _istft_tm_pair(Hm * phase, Pm * phase, window,
+                          fft_length=fft_length, slide_length=slide_length,
+                          method_type=0)
 
 
 def _flatness(x, axis):
@@ -87,11 +85,9 @@ def _hpss_nmf_impl(x, window, W0, H0, *, fft_length, slide_length, k,
     Hm = jnp.swapaxes(h2 / denom, -1, -2) * mag    # (T, m)
     Pm = jnp.swapaxes(p2 / denom, -1, -2) * mag
 
-    def resynth(m_):
-        return _istft_tm(m_ * phase, window, fft_length=fft_length,
-                         slide_length=slide_length, method_type=0)
-
-    return resynth(Hm), resynth(Pm)
+    return _istft_tm_pair(Hm * phase, Pm * phase, window,
+                          fft_length=fft_length, slide_length=slide_length,
+                          method_type=0)
 
 
 class HPSSNMF:

@@ -58,7 +58,46 @@ def _istft_tm(spec, window, *, fft_length, slide_length, method_type):
     masks already live frames-first (HPSS) skip a band-major round trip
     (two full strided relayouts of the complex matrix)."""
     frames = afft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
+    return _ola_frames(frames, window, fft_length=fft_length,
+                       slide_length=slide_length, method_type=method_type)
 
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
+def _istft_tm_pair(spec_a, spec_b, window, *, fft_length, slide_length,
+                   method_type):
+    """TWO ISTFTs for the price of one full complex ifft.
+
+    For real outputs a = istft(A) and b = istft(B), linearity gives
+    ifft(Afull + i*Bfull) = a_frames + i*b_frames, where Xfull is the
+    Hermitian extension of the half-spectrum X.  The combined full
+    spectrum is built directly from the two (..., T, F/2+1) halves:
+    bins 0..N/2 are A + iB; bin N-j (j=1..N/2-1) is
+    conj(A[j]) + i*conj(B[j]) = conj(A[j] - i*B[j]).  The OLA then runs
+    once on the complex frames (real-linear throughout) and the pair is
+    recovered as (Re, Im).  This mirrors the fs4 frame-pair packing and
+    halves HPSS's resynthesis cost (reference runs two full ISTFTs,
+    hpss_algorithm.c:300,325).
+    """
+    # irfft drops the imaginary parts of the DC and Nyquist bins
+    # (Hermitian-consistency convention, verified vs jnp.fft.irfft);
+    # force them real so the packed ifft matches _istft_tm bit-for-bit
+    # on arbitrary (even inconsistent) inputs.
+    edge = jnp.zeros(spec_a.shape[-1], bool).at[0].set(True).at[-1].set(True)
+    spec_a = jnp.where(edge, jnp.real(spec_a).astype(spec_a.dtype), spec_a)
+    spec_b = jnp.where(edge, jnp.real(spec_b).astype(spec_b.dtype), spec_b)
+    zl = spec_a + 1j * spec_b                          # bins 0..N/2
+    zh = jnp.conj(spec_a - 1j * spec_b)[..., 1:fft_length // 2]
+    zfull = jnp.concatenate([zl, jnp.flip(zh, axis=-1)], axis=-1)
+    frames = afft.ifft(zfull, axis=-1)                 # a_frames + i*b_frames
+    y = _ola_frames(frames, window, fft_length=fft_length,
+                    slide_length=slide_length, method_type=method_type)
+    return jnp.real(y), jnp.imag(y)
+
+
+def _ola_frames(frames, window, *, fft_length, slide_length, method_type):
+    """Window + overlap-add + window-energy normalization of (..., T, F)
+    frames.  Real-linear: works identically on complex frames (used by
+    ``_istft_tm_pair`` to resynthesize two signals at once)."""
     e = 1.0 if method_type == 0 else 0.0  # 0='weighted OLA', 1='OLA'
     win1 = jnp.power(window, e)
     win2 = jnp.power(window, e + 1.0)

@@ -59,7 +59,9 @@ def test_hpss_batched(goldens):
     hp = HPSS(radix2_exp=11, slide_length=512)
     h, p = hp.hpss(np.stack([g["in_x"], g["in_x"]]))
     hs, _ = hp.hpss(g["in_x"])
-    np.testing.assert_allclose(np.asarray(h)[0], np.asarray(hs), atol=1e-6)
+    # 3e-6: batched vs single ifft pick different XLA FFT decompositions
+    # (1-ulp class) since the pair-packed complex ISTFT landed
+    np.testing.assert_allclose(np.asarray(h)[0], np.asarray(hs), atol=3e-6)
 
 
 def test_hpss_nmf():
