@@ -41,7 +41,8 @@ from audioflux_tpu.types import SpectralFilterBankScaleType
 
 __all__ = ["sharded_cwt_fn", "sharded_pwt_fn", "sharded_synsq_fn",
            "sharded_wsst_fn", "sharded_st_fn", "sharded_nsgt_fn",
-           "sharded_cqt_fn", "sharded_ccwt_fn", "sharded_batch_fn"]
+           "sharded_cqt_fn", "sharded_ccwt_fn", "sharded_cst_fn",
+           "sharded_batch_fn"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -362,28 +363,25 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
 # ccwt: genuinely time-sharded long-recording CWT (ppermute halo windows)
 # ---------------------------------------------------------------------------
 
-def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                    time_axis: str = "time"):
-    """Time-sharded continuous CWT over long recordings.
+def _spliced_sharded_fn(transform, L, mesh: Mesh, batch_axis: str,
+                        time_axis: str):
+    """Time-sharded half-overlap window splice (the ccwt scheme), generic
+    over the per-window transform.
 
-    The reference splices half-overlapped fft-length CWT windows
-    (``python/audioflux/cwt.py:280-320``; ``ccwt`` here mirrors it).  Each
-    time shard owns a contiguous block of ``m = block/step`` windows; the
-    two windows straddling its block edges need ``step = fft/2`` samples of
-    left halo and ``fft - step`` of right halo, fetched over ICI with
-    ``ppermute`` — input, per-window CWT compute, and the (num, n) output
-    all stay sharded over time.  Equal to ``obj.ccwt`` up to float
-    rounding (the same windows are computed, just distributed; edge
-    shards recompute one window instead of branching).
+    ``transform`` maps windows (B?, W, L) -> (B?, W, num, L); the splice
+    keeps each window's middle half (first head / last tail).  Each time
+    shard owns ``m = block/step`` windows; the two windows straddling its
+    block edges need ``step = L/2`` samples of left halo and ``L - step``
+    of right halo, fetched over ICI with ``ppermute`` — input, per-window
+    compute, and the (num, n) output all stay sharded over time, so
+    recordings that do not fit one chip's HBM stream through the mesh.
 
     Constraint: the per-shard block length n // P must be a multiple of
     ``step``.
     """
-    L = obj.fft_length
     win_len = L // 4
     step = win_len * 2
     n_time = int(mesh.shape[time_axis])
-    bank = jnp.asarray(obj._bank)
 
     def local(x_loc):  # (B?, M)
         M = x_loc.shape[-1]
@@ -416,7 +414,7 @@ def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         # gather the m+1 windows: (B?, m+1, L)
         base = offs[:, None] + jnp.arange(L)[None, :]
         frames = ext[..., base]
-        spec = obj._run(frames, bank, det=False)  # (B?, m+1, num, L)
+        spec = transform(frames)  # (B?, m+1, num, L)
 
         first = jnp.where(j == 0, spec[..., 0, :, 0:win_len],
                           spec[..., 0, :, 2 * win_len:3 * win_len])
@@ -432,10 +430,49 @@ def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         local, mesh=mesh,
         in_specs=P(batch_axis, time_axis),
         out_specs=P(batch_axis, None, time_axis),
-        check_vma=False)  # the per-window CWT may run the Pallas IFFT
+        check_vma=False)  # the per-window transform may run a Pallas
         # kernel on TPU, whose outputs carry no vma info
 
     return jax.jit(smapped)
+
+
+def sharded_ccwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                    time_axis: str = "time"):
+    """Time-sharded continuous CWT over long recordings.
+
+    The reference splices half-overlapped fft-length CWT windows
+    (``python/audioflux/cwt.py:280-320``; ``ccwt`` here mirrors it) —
+    see ``_spliced_sharded_fn`` for the distribution scheme.  Equal to
+    ``obj.ccwt`` up to float rounding (the same windows are computed,
+    just distributed; edge shards recompute one window instead of
+    branching).
+    """
+    bank = jnp.asarray(obj._bank)
+    return _spliced_sharded_fn(
+        lambda frames: obj._run(frames, bank, det=False),
+        obj.fft_length, mesh, batch_axis, time_axis)
+
+
+def sharded_cst_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                   time_axis: str = "time"):
+    """Time-sharded continuous Stockwell transform over long recordings.
+
+    The exact single-window ST is inherently global — its gaussian
+    frequency windows act on the FFT of the *whole* window
+    (``st_algorithm.c:31-39``), so a lone ST window cannot be computed
+    from a fragment of it.  For recordings longer than one window this
+    applies the same half-overlap splice as the long-signal CWT to the
+    fft-length ST (``ST.cst``), distributed so input, per-window compute,
+    and output all stay time-sharded — an S-transform for recordings
+    larger than one chip's HBM.  Equal to ``obj.cst`` up to float
+    rounding; the bin-0 mean row is the per-window mean (cst semantics).
+    """
+    from audioflux_tpu.transforms.st import _st_body
+    windows = jnp.asarray(obj._windows)
+    bins = jnp.asarray(obj.bin_arr)
+    return _spliced_sharded_fn(
+        lambda frames: _st_body(frames, windows, bins, obj.fft_length),
+        obj.fft_length, mesh, batch_axis, time_axis)
 
 
 # ---------------------------------------------------------------------------

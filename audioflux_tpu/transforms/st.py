@@ -100,6 +100,36 @@ class ST:
         return _st_impl(x, jnp.asarray(self._windows),
                         jnp.asarray(self.bin_arr), fft_length=self.fft_length)
 
+    def cst(self, data_arr):
+        """Continuous ST over long signals: run the fft-length ST every
+        fft/2 samples and splice the middle halves (first window keeps
+        its head, the last its tail) — the same half-overlap splice the
+        reference uses for long-signal CWT (``python/audioflux/cwt.py``
+        ccwt; the C ST itself is single-window, st_algorithm.c:31-39).
+        Length must be >= 2*(fft_length//2); the bin-0 mean row is the
+        per-window mean.  This is the single-chip reference for the
+        time-sharded ``parallel.sharded_cst_fn``."""
+        data_arr = jnp.asarray(data_arr, jnp.float32)
+        data_len = data_arr.shape[-1]
+        win_len = self.fft_length // 4
+        step = win_len * 2
+        win_count = (data_len // step) - 1
+        if win_count < 1:
+            raise ValueError(
+                f"data length {data_len} too short for cst "
+                f"(needs >= {2 * step})")
+        parts = []
+        for i in range(win_count):
+            seg = data_arr[..., i * step:i * step + self.fft_length]
+            if seg.shape[-1] != self.fft_length:
+                break
+            spec = self.st(seg)
+            start = 0 if i == 0 else win_len
+            end = (self.fft_length if i == win_count - 1
+                   else win_len * 3)
+            parts.append(spec[..., start:end])
+        return jnp.concatenate(parts, axis=-1)
+
     def get_fre_band_arr(self):
         """Frequencies of the selected bin range (reference st.py:160)."""
         return (np.arange(self.min_index, self.max_index + 1,

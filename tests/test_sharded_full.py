@@ -117,6 +117,35 @@ def test_sharded_ccwt_equals_unsharded(cwt_obj, data, time):
     np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("data,time", [(1, 2), (2, 4), (1, 8)])
+def test_sharded_cst_equals_unsharded(data, time):
+    """Time-sharded long-recording S-transform == single-chip splice."""
+    from audioflux_tpu.parallel import sharded_cst_fn
+    mesh = make_mesh(data=data, time=time)
+    st = af.ST(radix2_exp=10, samplate=SR, min_index=1, max_index=64)
+    step = st.fft_length // 2
+    n = time * 2 * step  # 2 windows per shard
+    x = _sig(n, seed=9)
+    want = np.asarray(st.cst(x))
+    got = np.asarray(sharded_cst_fn(st, mesh)(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6 * np.abs(want).max())
+
+
+def test_cst_matches_windowed_st():
+    """The splice's interior windows are verbatim middle halves of plain
+    ST windows (head/tail kept at the edges)."""
+    st = af.ST(radix2_exp=9, samplate=SR, min_index=1, max_index=32)
+    L = st.fft_length
+    step = L // 2
+    x = _sig(4 * step, seed=10)
+    out = np.asarray(st.cst(x))
+    w1 = np.asarray(st.st(x[..., step:step + L]))
+    np.testing.assert_array_equal(
+        out[..., step + L // 4: step + 3 * (L // 4)],
+        w1[..., L // 4:3 * (L // 4)])
+
+
 def test_sharded_ccwt_unaligned_block_raises(cwt_obj):
     """Per-shard blocks must be step-aligned; a clear error, not garbage."""
     mesh = make_mesh(data=1, time=4)
