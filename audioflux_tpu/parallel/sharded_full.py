@@ -40,9 +40,9 @@ from audioflux_tpu.ops import fft as afft
 from audioflux_tpu.types import SpectralFilterBankScaleType
 
 __all__ = ["sharded_cwt_fn", "sharded_pwt_fn", "sharded_synsq_fn",
-           "sharded_wsst_fn", "sharded_st_fn", "sharded_nsgt_fn",
-           "sharded_cqt_fn", "sharded_ccwt_fn", "sharded_cst_fn",
-           "sharded_batch_fn"]
+           "sharded_wsst_fn", "sharded_st_fn", "sharded_fst_fn",
+           "sharded_nsgt_fn", "sharded_cqt_fn", "sharded_ccwt_fn",
+           "sharded_cst_fn", "sharded_batch_fn"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -224,6 +224,48 @@ def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
         run,
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
+
+
+# ---------------------------------------------------------------------------
+# FST: band-partitioned expansion (segment chain replicated by design)
+# ---------------------------------------------------------------------------
+
+def sharded_fst_fn(obj, mesh: Mesh, batch_axis: str = "data",
+                   time_axis: str = "time", min_index: int = None,
+                   max_index: int = None):
+    """Mesh-parallel fast S-transform: (B, L) -> (B, nbins, L).
+
+    Where the bytes are: the FST's compute is two FFT passes whose ragged
+    dyadic segments SUM to L samples (``fst_algorithm.c:16-18`` — the
+    2*radix2_exp segment lengths are 1,2,4,..,2^(R-1); total = L), so the
+    whole segment chain is ~L complex values — replicating it costs less
+    than one collective over it, and a uniform-length Bluestein rewrite
+    (the NSGT treatment) would inflate its FLOPs by ~radix2_exp x (every
+    segment padded to 2^(R-1)) to parallelize work that is already
+    negligible.  The memory giant is the (nbins, L) reassignment
+    expansion — its rows are independent band gathers, so THAT is what
+    partitions over the mesh: each shard expands only its own bands, and
+    the output arrives band-sharded over ``time_axis``.  Equal to
+    ``obj.fst`` to float rounding (gather rows are disjoint; nothing
+    reorders).
+    """
+    if min_index is None:
+        min_index = obj.min_index
+    if max_index is None:
+        max_index = obj.max_index
+
+    specs = {"in": (batch_axis, None),
+             "out": (batch_axis, time_axis, None)}
+
+    def annot(a, tag):
+        return jax.lax.with_sharding_constraint(a, _ns(mesh, *specs[tag]))
+
+    def run(x):
+        return obj._fst_impl(x, min_index=min_index, max_index=max_index,
+                             annot=annot)
+
+    return jax.jit(run, in_shardings=_ns(mesh, batch_axis, time_axis),
+                   out_shardings=_ns(mesh, batch_axis, time_axis, None))
 
 
 # ---------------------------------------------------------------------------

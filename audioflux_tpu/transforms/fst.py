@@ -94,10 +94,13 @@ class FST:
             raise ValueError(f"data length must be {L}")
         return self._fst_run(x, min_index=min_index, max_index=max_index)
 
-    def _fst_impl(self, x, *, min_index, max_index):
+    def _fst_impl(self, x, *, min_index, max_index, annot=None):
+        if annot is None:
+            annot = lambda a, tag: a  # noqa: E731
         L = self.fft_length
         R = self.radix2_exp
         # ifftshift -> fft -> fftshift -> /sqrt(L)
+        x = annot(x, "in")
         xs = jnp.concatenate([x[..., L // 2:], x[..., :L // 2]], axis=-1)
         F = afft.fft(xs, axis=-1)
         F = jnp.concatenate([F[..., L // 2:], F[..., :L // 2]], axis=-1)
@@ -122,7 +125,7 @@ class FST:
 
         rows = np.arange(L // 2 - min_index, L // 2 - max_index - 1, -1)
         gather = self._index[rows]  # (nbins, L)
-        return flat[..., jnp.asarray(gather)]
+        return annot(flat[..., jnp.asarray(gather)], "out")
 
     def get_fre_band_arr(self):
         """Frequencies of the ctor band range (reference fst.py:110)."""

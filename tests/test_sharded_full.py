@@ -118,6 +118,19 @@ def test_sharded_ccwt_equals_unsharded(cwt_obj, data, time):
 
 
 @pytest.mark.parametrize("data,time", [(1, 2), (2, 4), (1, 8)])
+def test_sharded_fst_equals_unsharded(data, time):
+    """Band-partitioned FST expansion == single-chip FST."""
+    from audioflux_tpu.parallel import sharded_fst_fn
+    mesh = make_mesh(data=data, time=time)
+    fs = af.FST(radix2_exp=9, samplate=SR, min_index=1, max_index=200)
+    x = _sig(512, seed=11)
+    want = np.asarray(fs.fst(x))
+    got = np.asarray(sharded_fst_fn(fs, mesh)(x))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)  # disjoint gathers: bit-equal
+
+
+@pytest.mark.parametrize("data,time", [(1, 2), (2, 4), (1, 8)])
 def test_sharded_cst_equals_unsharded(data, time):
     """Time-sharded long-recording S-transform == single-chip splice."""
     from audioflux_tpu.parallel import sharded_cst_fn
