@@ -1,20 +1,31 @@
 """Pallas TPU kernel: columnar reassignment scatter-add.
 
-The synchrosqueezing scatter ``out[f, t] = sum_i [fi[i,t]==f] * v[i,t]``
-(synsq_algorithm.c:201-217) is the one measured bottleneck left on the
-cwt+synsq bench row.  The XLA formulation (``ops/scatter.py
-columnar_scatter_add``) contracts a fused one-hot on the MXU but pays the
-one-hot *generation* twice on the VPU — once fused into each of the re/im
-einsums — and runs at ~half VPU peak.
+**MEASURED DEAD END — NOT ROUTED** (r4; kept as evidence + CPU-testable
+reference).  The synchrosqueezing scatter ``out[f, t] = sum_i
+[fi[i,t]==f] * v[i,t]`` (synsq_algorithm.c:201-217) runs as an XLA
+one-hot einsum (``ops/scatter.py columnar_scatter_add``) at ~half VPU
+peak on the one-hot generation, and the hypothesis was that a VMEM-
+resident kernel sharing one mask between the re/im accumulations would
+beat it.  Three kernel formulations were benchmarked on the real v5e at
+the bench shape (B=16, R=F=84, T=32768), against XLA's 17.8 ms
+standalone:
 
-This kernel flips the loop to the input rows: for each band i (static,
-unrolled — R is ~84), one ``(F, Tb)`` compare of the f-iota against
-``fi[i, :]`` yields the membership mask, and BOTH the re and im rows
-accumulate through that one mask into VMEM-resident ``(F, Tb)``
-accumulators.  Per element the work is 1 compare + 2 select-adds (shared
-mask), versus XLA's 2 compares + 2 converts + 2 dot passes — and no
-intermediate can fall out to HBM, so the bf16-fusion-break failure mode
-of the einsum form cannot occur.
+* THIS kernel (input-row loop, sublane-broadcast of ``fi[i,:]`` against
+  an f-iota): 22.7 ms — the per-row sublane broadcasts are relayouts
+  that eat the shared-mask saving;
+* output-bin loop (scalar ``fi == f`` compares, full-width selects,
+  sublane-reduce, per-row stores): 22.2 ms — the 84 cross-sublane
+  reductions serialize on the VPU;
+* same with 8-row grouped stores: 21.8 ms.
+
+All ≥22 % slower than the XLA einsum: the MXU dot amortizes the one-hot
+contraction better than any VPU-side reduce, and the generation work
+(out_size × in × T compares, irreducible for a dense one-hot — radix
+splits measured slower still, see ops/scatter.py) is the shared floor.
+~Half VPU peak on generation IS the ceiling for this algorithm shape on
+this hardware; only an algorithm with sub-dense compare count could
+beat it, and both known candidates (radix split, shared-one-hot einsum)
+measured slower in XLA form too.
 
 Dropped cells are encoded as ``fi == out_size`` (matches no iota value),
 exactly like the XLA path's trash bin.

@@ -58,7 +58,9 @@ def columnar_scatter_add(values, fi, out_size: int):
     # intermediate materializes and only one of the two data-dependent
     # producers fuses into the dot.  The current form runs at ~half VPU
     # peak on the compare/select generation — near-roofline for this
-    # algorithm.
+    # algorithm.  (r4) Three Pallas VMEM-resident kernel forms also
+    # measured 22-27% SLOWER than this einsum on the real chip — see
+    # ops/pallas_scatter.py's dead-end note; this path is final.
     hp = jax.lax.Precision.HIGHEST
     oh = (fi[..., None, :, :] == jnp.arange(out_size)[:, None, None])
     if jnp.iscomplexobj(values):

@@ -54,10 +54,9 @@ def _c_unwrap(x):
 
 
 @partial(jax.jit, static_argnames=("scale_kind", "num", "order",
-                                   "force_xla_unwrap", "force_xla_scatter"))
+                                   "force_xla_unwrap"))
 def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
-                force_xla_unwrap: bool = False,
-                force_xla_scatter: bool = False):
+                force_xla_unwrap: bool = False):
     # ``force_xla_unwrap`` pins the cumsum unwrap even on TPU; it is a
     # STATIC arg so accuracy gates get a genuinely separate compilation
     # (monkeypatching ``supports`` cannot evict the jit cache).
@@ -117,18 +116,10 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
     power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
     ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
     if num <= 512:
-        fi_d = jnp.where(ok, fi, num)  # out-of-range drops
-        from audioflux_tpu.ops import pallas_scatter as _psc
-        R = D.shape[-2]
-        if (not force_xla_scatter and jax.default_backend() == "tpu"
-                and _psc.supports(R, num, T)):
-            # fused Pallas scatter: the one-hot mask is generated once in
-            # VMEM and shared by the re/im accumulations (XLA's einsum
-            # form regenerates it per component); force_xla_scatter is a
-            # STATIC arg so accuracy gates get a real second compilation
-            return _psc.columnar_scatter_pallas(D, fi_d, num)
         # columnar reassignment: one-hot MXU contraction beats TPU
-        # scatter-add (which serializes duplicate bins)
+        # scatter-add (which serializes duplicate bins).  Pallas kernel
+        # forms measured SLOWER (ops/pallas_scatter.py dead-end note).
+        fi_d = jnp.where(ok, fi, num)  # out-of-range drops
         return columnar_scatter_add(D, fi_d, num)
     j = jnp.broadcast_to(jnp.arange(T), fi.shape)
     flat_idx = jnp.where(ok, fi * T + j, num * T)
@@ -152,12 +143,10 @@ class Synsq:
         self.thresh = float(thresh)
 
     def synsq(self, m_data_arr, filter_bank_type, fre_arr,
-              force_xla_unwrap: bool = False,
-              force_xla_scatter: bool = False):
+              force_xla_unwrap: bool = False):
         """m_data_arr: complex (..., num, time) CWT-family output;
         fre_arr: (num,) ascending band frequencies.
-        ``force_xla_unwrap``/``force_xla_scatter`` pin the XLA cumsum
-        unwrap / einsum scatter paths (accuracy gates)."""
+        ``force_xla_unwrap`` pins the cumsum unwrap (accuracy gates)."""
         S = SpectralFilterBankScaleType
         st = S(filter_bank_type)
         if st > S.LOG:
@@ -173,5 +162,4 @@ class Synsq:
                            scale_kind=kind, num=self.num,
                            samplate=float(self.samplate),
                            thresh=self.thresh, order=self.order,
-                           force_xla_unwrap=force_xla_unwrap,
-                           force_xla_scatter=force_xla_scatter)
+                           force_xla_unwrap=force_xla_unwrap)

@@ -57,14 +57,10 @@ def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
     power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
     ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
     if num <= 512:
-        fi_d = jnp.where(ok, fi, num)
-        from audioflux_tpu.ops import pallas_scatter as _psc
-        if jax.default_backend() == "tpu" and _psc.supports(
-                D.shape[-2], num, T):
-            # fused Pallas scatter (see synsq.py note)
-            return _psc.columnar_scatter_pallas(D, fi_d, num)
         # columnar reassignment: one-hot MXU contraction beats TPU
-        # scatter-add (which serializes duplicate bins)
+        # scatter-add (which serializes duplicate bins).  Pallas kernel
+        # forms measured SLOWER (ops/pallas_scatter.py dead-end note).
+        fi_d = jnp.where(ok, fi, num)
         return columnar_scatter_add(D, fi_d, num)
     j = jnp.broadcast_to(jnp.arange(T), fi.shape)
     flat_idx = jnp.where(ok, fi * T + j, num * T)
