@@ -30,12 +30,17 @@ def _use_matmul(n: int) -> bool:
     return n < _MIN_NATIVE and jax.default_backend() == "tpu"
 
 
+# The caches hold NUMPY arrays, never jnp arrays: a jnp constant built
+# during one jit trace is a Tracer, and caching it leaks it into every
+# later trace (UnexpectedTracerError on the second jit that hits the
+# same length — found by an on-chip profiling harness in r4).  numpy
+# constants fold into each trace independently.
+
 @functools.lru_cache(maxsize=None)
 def _rfft_mats(n: int):
     k = np.arange(n // 2 + 1)
     ang = -2.0 * np.pi * np.outer(np.arange(n), k) / n
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -48,14 +53,13 @@ def _irfft_mats(n: int):
         w[-1] = 1.0
     cr = np.cos(ang) * w / n
     ci = -np.sin(ang) * w / n  # applied to Im(X)
-    return jnp.asarray(cr, jnp.float32), jnp.asarray(ci, jnp.float32)
+    return cr.astype(np.float32), ci.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
 def _fft_mats(n: int):
     ang = -2.0 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 def _along_last(x, axis, f):

@@ -93,6 +93,27 @@ def test_resample_ratio_2_3(signals):
     assert abs(f_peak - 440) < 10
 
 
+def test_resample_banded_matmul_matches_conv(signals):
+    """The TPU banded-matmul FIR path (dsp/resample.py _banded_fir)
+    computes the same products as the strided conv path — forced on here
+    (CPU) and compared against the conv form for 2:1 and 2:3 ratios."""
+    from audioflux_tpu.dsp.resample import _poly_resample
+    import jax.numpy as jnp
+    x = np.stack([signals["chirp"][:9000], signals["sine"][:9000]])
+    for src, dst in ((2, 1), (48000, 32000)):
+        rs = Resample(ResampleQualityType.BEST)
+        rs.set_samplate(src, dst)
+        plan = rs._plan()
+        out_len = int(np.floor(x.shape[-1] * rs.ratio))
+        kw = dict(p=plan.p, q=plan.q, out_len=out_len, max_l=plan.max_l,
+                  bases=tuple(plan.base))
+        conv = np.asarray(_poly_resample(
+            jnp.asarray(x), jnp.asarray(plan.filts), **kw))
+        band = np.asarray(_poly_resample(
+            jnp.asarray(x), jnp.asarray(plan.filts), force_matmul=True, **kw))
+        np.testing.assert_allclose(band, conv, atol=2e-6, rtol=2e-6)
+
+
 def test_resample_streaming_continue(signals):
     """is_continue: per-chunk q-multiple truncation (C-exact lengths) and
     the tail_carry=True corrected mode (seamless, matches whole-shot)."""
