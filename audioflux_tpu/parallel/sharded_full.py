@@ -326,6 +326,15 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     the band axis (see ``_nsgt_bluestein_consts``); the previous-sample-hold
     expansion (``nsgt_algorithm.c:578-600``) is a batched gather.  Matches
     ``obj.nsgt`` to Bluestein-vs-FFT float rounding (~1e-6 relative).
+
+    Input replication is by design, not a residue: the NSGT consumes at
+    most ``2**radix2_exp`` samples per call (its whole-signal FFT fixes
+    that), i.e. <= 4 MB of f32 at the largest radix this backend's FFT
+    takes — replicating it costs less than one collective over it, while
+    the (B, num, max_ln) band matrix, which is num x larger, is what
+    partitions.  Recordings longer than one window go through
+    ``sharded_batch_fn`` over windows or the spliced schemes
+    (``sharded_ccwt_fn``/``sharded_cst_fn``).
     """
     (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
         _nsgt_bluestein_consts(obj)
@@ -375,6 +384,13 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     partitioned over the frame axis.  Output time axis sharded over
     ``time_axis``.  Equal to ``obj.cqt`` to float rounding (the einsum is
     batched per frame, so partitioning does not reorder any reduction).
+
+    Signal replication is deliberate: per chip it costs n f32 samples
+    (an hour of 32 kHz audio = 0.46 GB against 16 GB v5e HBM), while the
+    framed expansion — fft_length/slide_length x larger, the actual
+    memory giant — stays sharded.  Communicating the signal instead
+    would trade one broadcast for per-octave halo exchanges at every
+    level of the downsample chain.
     """
     if obj.is_continue:
         raise ValueError("sharded_cqt_fn does not support is_continue mode")
