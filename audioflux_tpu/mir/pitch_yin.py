@@ -24,20 +24,36 @@ __all__ = ["PitchYIN"]
 
 
 @partial(jax.jit, static_argnames=("fft_length", "slide_length",
-                                   "auto_length", "min_index", "max_index"))
+                                   "auto_length", "min_index", "max_index",
+                                   "packed_fft"))
 def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
-              max_index, samplate, thresh):
+              max_index, samplate, thresh, packed_fft=None):
     diff_length = fft_length - auto_length
     yin_length = max_index - min_index + 1
     frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
 
     # autocorrelation via circular convolution with the reversed prefix
-    # (_pitch_yin.c:351-369); no aliasing in the taken range.  Real
-    # signals: rfft/irfft does half the transform work of the complex fft
-    A = afft.rfft(frames, axis=-1)
+    # (_pitch_yin.c:351-369); no aliasing in the taken range.
     rev = jnp.flip(frames[..., :auto_length + 1], axis=-1)
-    B = afft.rfft(rev, n=fft_length, axis=-1)
-    acf_full = afft.irfft(A * B, n=fft_length, axis=-1)
+    if packed_fft is None:
+        packed_fft = jax.default_backend() == "tpu"
+    if packed_fft:
+        # TPU: both real transforms ride ONE complex fft.  For z = x + iy,
+        # ifft(fft(z)^2) = z (*) z = (x (*) x - y (*) y) + 2i (x (*) y), so
+        # Im(ifft(Z^2))/2 is exactly the x (*) rev circular convolution the
+        # two-rfft form computes — 2 transforms instead of 3, no spectrum
+        # reversal.  Same products to float rounding (~1e-6 rel); the
+        # trough threshold sits at 0.1 so knife-edge flips are the
+        # documented cross-libm class.  CPU keeps the rfft form so the
+        # golden fixtures stay exact.
+        rev = jnp.pad(rev, [(0, 0)] * (rev.ndim - 1)
+                      + [(0, fft_length - rev.shape[-1])])
+        Z = afft.fft(jax.lax.complex(frames, rev), axis=-1)
+        acf_full = 0.5 * jnp.imag(afft.ifft(Z * Z, axis=-1))
+    else:
+        A = afft.rfft(frames, axis=-1)
+        B = afft.rfft(rev, n=fft_length, axis=-1)
+        acf_full = afft.irfft(A * B, n=fft_length, axis=-1)
     acf = acf_full[..., auto_length:]
     acf = jnp.where(jnp.abs(acf) >= 1e-6, acf, 0.0)  # (..., T, diff)
 

@@ -27,6 +27,28 @@ def test_yin(goldens, tone):
     assert abs(np.median(np.asarray(fre)) - 440.0) < 1.0
 
 
+def test_yin_packed_fft_matches_rfft_path(tone):
+    """The TPU packed-fft ACF (Im(ifft(fft(x+i*rev)^2))/2, pitch_yin.py)
+    equals the two-rfft form to float rounding — forced on here (CPU)."""
+    from audioflux_tpu.mir.pitch_yin import _yin_impl
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    x = np.stack([tone, tone[::-1] + 0.01 * rng.standard_normal(SR)
+                  .astype(np.float32)])
+    yin = PitchYIN(samplate=SR, radix2_exp=12, slide_length=1024)
+    kw = dict(fft_length=yin.fft_length, slide_length=yin.slide_length,
+              auto_length=yin.auto_length, min_index=yin.min_index,
+              max_index=yin.max_index, samplate=float(SR),
+              thresh=yin.thresh)
+    f0, v0, y0, _ = _yin_impl(jnp.asarray(x), packed_fft=False, **kw)
+    f1, v1, y1, _ = _yin_impl(jnp.asarray(x), packed_fft=True, **kw)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=2e-4, rtol=2e-4)
+    # trough picks agree away from knife edges: the 440 Hz tone is not one
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-4)
+
+
 def test_hpss(goldens):
     g = goldens("mir")
     hp = HPSS(radix2_exp=11, window_type=WindowType.HAMM, slide_length=512,
