@@ -41,6 +41,17 @@ xl = (0.2 * rng.standard_normal((2, time * 2 * step))).astype(np.float32)
 C = np.asarray(sharded_ccwt_fn(cwt, mesh)(xl))
 print("sharded ccwt:", C.shape, "==", np.asarray(cwt.ccwt(xl)).shape)
 
+# time-sharded continuous S-transform (same splice scheme as ccwt) and
+# the band-partitioned FST expansion
+st = af.ST(radix2_exp=9, samplate=SR, min_index=1, max_index=64)
+from audioflux_tpu.parallel import sharded_cst_fn, sharded_fst_fn  # noqa: E402
+xs = (0.2 * rng.standard_normal((2, time * 2 * (st.fft_length // 2)))
+      ).astype(np.float32)
+print("sharded cst:", np.asarray(sharded_cst_fn(st, mesh)(xs)).shape)
+fst = af.FST(radix2_exp=9, samplate=SR, min_index=1, max_index=64)
+xf = (0.2 * rng.standard_normal((2, 512))).astype(np.float32)
+print("sharded fst:", np.asarray(sharded_fst_fn(fst, mesh)(xf)).shape)
+
 # batch-of-files data parallelism for any transform
 cq = af.CQT(num=24, samplate=SR, low_fre=220.0)
 batch = (0.2 * rng.standard_normal((8, 4096))).astype(np.float32)
