@@ -9,11 +9,25 @@ On TPU, XLA lowers duplicate-index ``scatter-add`` to a *serialized*
 update loop (~36 ms for a 1000x2049 reassignment batch; a sort+
 segmented-scan alternative measured 10x worse — TPU sorts are slow).
 For moderate grids ``batched_scatter_add`` instead bins on the MXU via a
-radix split of the target index: f = 16*hi + lo, out2d[hi, lo] =
-sum_j v_j [hi_j==hi][lo_j==lo], computed as 16 masked value lanes
+radix split of the target index: f = 32*hi + lo, out2d[hi, lo] =
+sum_j v_j [hi_j==hi][lo_j==lo], computed as 32 masked value lanes
 contracted against one shared hi one-hot — dense, parallel, exact in
 float32 (the one-hot is 0/1 so bf16 storage loses nothing).  Large grids
 fall back to the XLA scatter.
+
+Layout note (measured r4, 8000x2049 -> 2049 bins on chip): the one-hot is
+generated TRANSPOSED, (n_hi, j) with n_hi on the 8-padded sublane dim and
+the contracted j on lanes.  The natural (j, n_hi) layout puts n_hi on the
+128-padded LANE dim — at radix 16 that's 129 -> 256 lanes, half the
+generation work wasted on pad.  Radix sweep at that shape (transposed,
+bf16 one-hot, HIGHEST): R16 18.5 ms, R32 14.0, R64 15.9, R128 47.6 —
+radix 32 balances one-hot generation (n*n_hi compares) against the
+masked-lane selects (radix*n per payload).  bf16 vs f32 one-hot is
+bit-identical under HIGHEST (0/1 is exact in bf16) and slightly faster.
+A bf16x3 manual value split (3 MXU passes instead of HIGHEST's 6) is NOT
+safe here: XLA's algebraic simplifier elides the f32->bf16->f32 convert
+round-trip, collapsing the residual chunks to zero (measured 2.1e-3 rel
+err — the same simplifier behavior CLAUDE.md records for FMA fences).
 """
 
 from __future__ import annotations
@@ -23,9 +37,10 @@ import jax.numpy as jnp
 
 __all__ = ["batched_scatter_add", "columnar_scatter_add"]
 
-_RADIX = 16
+_RADIX = 32
+_RADIX_SHIFT = 5
 # grid sizes above this use the XLA scatter fallback: the hi one-hot is
-# (batch, n, out_size/16) and stops paying for itself once it spills HBM
+# (batch, out_size/32, n) and stops paying for itself once it spills HBM
 _RADIX_MAX_OUT = 8192
 
 
@@ -81,14 +96,16 @@ def _radix_bin_add(payloads, idx, out_size: int):
     n_hi = (out_size + _RADIX) // _RADIX  # ceil over grid incl. trash slot
     grid = n_hi * _RADIX
     lo = idx & (_RADIX - 1)
-    hi = idx >> 4
-    oh_hi = (hi[..., None] == jnp.arange(n_hi, dtype=idx.dtype)
-             ).astype(jnp.bfloat16)  # (nb, n, n_hi), 0/1 exact in bf16
+    hi = idx >> _RADIX_SHIFT
+    # transposed one-hot (n_hi on sublanes, contracted j on lanes) — see
+    # the module docstring's layout note for the measured sweep
+    oh_hi = (hi[..., None, :] == jnp.arange(n_hi, dtype=idx.dtype)[:, None]
+             ).astype(jnp.bfloat16)  # (nb, n_hi, n), 0/1 exact in bf16
     lanes = lo[..., None, :] == jnp.arange(_RADIX, dtype=idx.dtype)[:, None]
     outs = []
     for v in payloads:
         s = jnp.where(lanes, v[..., None, :], 0.0)  # (nb, RADIX, n)
-        out2d = jnp.einsum("...qj,...ja->...aq", s, oh_hi,
+        out2d = jnp.einsum("...qj,...aj->...aq", s, oh_hi,
                            precision=jax.lax.Precision.HIGHEST)
         outs.append(out2d.reshape(v.shape[0], grid)[:, :out_size])
     return outs

@@ -62,11 +62,20 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
                        0.0, 0.0)
     frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
     T = frames.shape[-2]
-    # one batched rfft over all three windows: (..., 3, T, m)
-    S = afft.rfft(frames[..., None, :, :] * wins[:, None, :], axis=-1)
-    Sh, Sdh, Sth = S[..., 0, :, :], S[..., 1, :, :], S[..., 2, :, :]
-
     rt = ReassignType(re_type)
+    # only transform the windows the correction branches actually read:
+    # dh feeds the FRE correction, th the TIME one — and at T == 1 the
+    # TIME correction is provably the identity (tmax == 0 clips t2 to 0,
+    # exactly what the th-less branch produces), so S_th is dead there.
+    need_dh = rt in (ReassignType.ALL, ReassignType.FRE)
+    need_th = rt in (ReassignType.ALL, ReassignType.TIME) and T > 1
+    sel = [0] + ([1] if need_dh else []) + ([2] if need_th else [])
+    # one batched rfft over the selected windows: (..., k, T, m)
+    S = afft.rfft(frames[..., None, :, :] * wins[sel, None, :], axis=-1)
+    Sh = S[..., 0, :, :]
+    Sdh = S[..., 1, :, :] if need_dh else None
+    Sth = S[..., len(sel) - 1, :, :] if need_th else None
+
     if rt == ReassignType.NONE:
         out = jnp.swapaxes(Sh, -1, -2)
         return out, out
@@ -88,7 +97,7 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     else:
         w2 = jnp.broadcast_to(fre, Sh.shape)
 
-    if rt in (ReassignType.ALL, ReassignType.TIME):
+    if need_th:
         tcorr = jnp.real(Sth / denom) / samplate
         t2 = tim[..., :, None] + tcorr
         t2 = jnp.where(good, t2, tim[..., :, None])
