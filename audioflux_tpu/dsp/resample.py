@@ -144,7 +144,8 @@ def _poly_resample(x, filts, *, p, q, out_len, max_l, bases,
     xc = xp.reshape((-1, 1, xp.shape[-1]))  # (B, C=1, L)
     # banded-matmul path: on by default on TPU (see _banded_fir); the E <=
     # S*q guard keeps the next-row borrow a single slice
-    use_matmul = ((force_matmul or jax.default_backend() == "tpu")
+    from audioflux_tpu.ops.backend import on_tpu
+    use_matmul = ((force_matmul or on_tpu())
                   and taps - q <= 128 * q)
 
     outs = []

@@ -19,19 +19,33 @@ from audioflux_tpu.ops.filter import median_filter
 from audioflux_tpu.ops.pallas_median import median_filter_last_axis
 from audioflux_tpu.ops.frame import cal_time_length, frame_signal
 from audioflux_tpu.ops.window import get_fft_window
-from audioflux_tpu.transforms.stft import _istft_tm_pair
+from audioflux_tpu.transforms.stft import _istft_tm_pair, _ola_frames
 from audioflux_tpu.types import WindowType
 
 __all__ = ["HPSS", "HPSSNMF"]
 
 
 @partial(jax.jit, static_argnames=("fft_length", "slide_length", "h_order",
-                                   "p_order"))
-def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
+                                   "p_order", "use_kernel", "interpret"))
+def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order,
+               use_kernel=None, interpret=False):
+    from audioflux_tpu.ops import pallas_fft as pfft
+
     frames = frame_signal(x, fft_length, slide_length)
-    D = afft.rfft(frames * window, axis=-1)  # (..., T, m)
-    mag = jnp.abs(D)
-    phase = D / jnp.maximum(mag, 1e-16)
+    m = fft_length // 2 + 1
+    if use_kernel is None:  # static: resolved at trace time per YIN's
+        use_kernel = pfft.supports(fft_length)  # packed_fft convention
+    if use_kernel:
+        # TPU: four-step matmul fft kernel.  The full hermitian spectrum
+        # lives in the kernel's T-layout; only the magnitude crosses to
+        # natural bin order (the medians need ordered frequency axes).
+        zr, zi = pfft.fft4_fwd(frames * window,
+                               interpret=interpret)  # (..., T, n1, 128)
+        mag = pfft.t_to_natural(
+            jnp.sqrt(zr * zr + zi * zi))[..., :m]
+    else:
+        D = afft.rfft(frames * window, axis=-1)     # (..., T, m)
+        mag = jnp.abs(D)
 
     # Pallas sliding-median kernel on TPU, jnp fallback elsewhere
     h = jnp.swapaxes(
@@ -39,9 +53,32 @@ def _hpss_impl(x, window, *, fft_length, slide_length, h_order, p_order):
     p = median_filter_last_axis(mag, p_order)
     h2, p2 = h * h, p * p
     denom = jnp.maximum(h2 + p2, 1e-16)
+
+    if use_kernel:
+        # real Wiener masks applied directly to the full spectrum:
+        # Hm*phase == (h2/denom)*X.  Masks are hermitian-symmetric
+        # (M[n-k] = M[k]) so both extend to all n bins by a mirror, ride
+        # one f32 relayout each into T-layout, and BOTH resyntheses run
+        # as ONE inverse kernel: ifft((Mh + i*Mp) * X) = h + i*p.
+        Mh = h2 / denom
+        Mp = p2 / denom
+        mir = lambda M: jnp.concatenate(
+            [M, jnp.flip(M[..., 1:m - 1], axis=-1)], axis=-1)
+        n1 = fft_length // 128
+        MhT = pfft.natural_to_t(mir(Mh), n1)
+        MpT = pfft.natural_to_t(mir(Mp), n1)
+        pr = MhT * zr - MpT * zi
+        pi = MhT * zi + MpT * zr
+        fr, fi = pfft.fft4_inv(pr, pi,
+                               interpret=interpret)  # h-, p-frames
+        y = _ola_frames(jax.lax.complex(fr, fi), window,
+                        fft_length=fft_length, slide_length=slide_length,
+                        method_type=0)
+        return jnp.real(y), jnp.imag(y)
+
+    phase = D / jnp.maximum(mag, 1e-16)
     Hm = h2 / denom * mag
     Pm = p2 / denom * mag
-
     # masks are already time-major (no band-major round trip), and both
     # resyntheses ride ONE complex ISTFT: ifft(Hfull + i*Pfull) = h + i*p
     return _istft_tm_pair(Hm * phase, Pm * phase, window,

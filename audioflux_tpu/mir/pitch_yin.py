@@ -25,9 +25,11 @@ __all__ = ["PitchYIN"]
 
 @partial(jax.jit, static_argnames=("fft_length", "slide_length",
                                    "auto_length", "min_index", "max_index",
-                                   "packed_fft"))
+                                   "packed_fft", "use_fft_kernel",
+                                   "interpret"))
 def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
-              max_index, samplate, thresh, packed_fft=None):
+              max_index, samplate, thresh, packed_fft=None,
+              use_fft_kernel=None, interpret=False):
     diff_length = fft_length - auto_length
     yin_length = max_index - min_index + 1
     frames = frame_signal(x, fft_length, slide_length)  # (..., T, N)
@@ -36,7 +38,8 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
     # (_pitch_yin.c:351-369); no aliasing in the taken range.
     rev = jnp.flip(frames[..., :auto_length + 1], axis=-1)
     if packed_fft is None:
-        packed_fft = jax.default_backend() == "tpu"
+        from audioflux_tpu.ops.backend import on_tpu
+        packed_fft = on_tpu()
     if packed_fft:
         # TPU: both real transforms ride ONE complex fft.  For z = x + iy,
         # ifft(fft(z)^2) = z (*) z = (x (*) x - y (*) y) + 2i (x (*) y), so
@@ -48,8 +51,22 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
         # golden fixtures stay exact.
         rev = jnp.pad(rev, [(0, 0)] * (rev.ndim - 1)
                       + [(0, fft_length - rev.shape[-1])])
-        Z = afft.fft(jax.lax.complex(frames, rev), axis=-1)
-        acf_full = 0.5 * jnp.imag(afft.ifft(Z * Z, axis=-1))
+        from audioflux_tpu.ops import pallas_fft as pfft
+        if use_fft_kernel is None:  # static, resolved at trace time
+            use_fft_kernel = pfft.supports(fft_length)
+        if use_fft_kernel:
+            # fused four-step kernels: the squaring is elementwise, so
+            # the whole round trip stays in the kernel's T-layout (no
+            # bin-order transposes; measured 1.7x the native-fft form
+            # at the MIR bench shape)
+            zr, zi = pfft.fft4_fwd(frames, rev, interpret=interpret)
+            sr = zr * zr - zi * zi
+            si = 2.0 * zr * zi
+            _, oi = pfft.fft4_inv(sr, si, interpret=interpret)
+            acf_full = 0.5 * oi
+        else:
+            Z = afft.fft(jax.lax.complex(frames, rev), axis=-1)
+            acf_full = 0.5 * jnp.imag(afft.ifft(Z * Z, axis=-1))
     else:
         A = afft.rfft(frames, axis=-1)
         B = afft.rfft(rev, n=fft_length, axis=-1)

@@ -27,7 +27,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _use_matmul(n: int) -> bool:
-    return n < _MIN_NATIVE and jax.default_backend() == "tpu"
+    from audioflux_tpu.ops.backend import on_tpu
+    return n < _MIN_NATIVE and on_tpu()
 
 
 # The caches hold NUMPY arrays, never jnp arrays: a jnp constant built

@@ -114,7 +114,8 @@ def median_filter_last_axis(x, order: int, interpret: bool = False):
     if order < 2 or order % 2 == 0:
         return jnp.asarray(x)
     x = jnp.asarray(x)
-    backend = jax.default_backend()
+    from audioflux_tpu.ops.backend import effective_backend
+    backend = effective_backend()
     if backend != "tpu" and not interpret:
         from audioflux_tpu.ops.filter import median_filter
         return median_filter(x, order, axis=-1)

@@ -1262,7 +1262,8 @@ def fused_mel_mfcc(plan: FusedMelPlan, x, tile: int = 200,
     """
     x = jnp.asarray(x, jnp.float32)
     if interpret is None:  # Mosaic kernels only compile for TPU
-        interpret = jax.default_backend() != "tpu"
+        from audioflux_tpu.ops.backend import on_tpu
+        interpret = not on_tpu()
     if x.ndim == 1:
         x = x[None]
         squeeze = True

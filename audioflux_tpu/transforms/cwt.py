@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 
 import jax
+from audioflux_tpu.ops.backend import on_tpu as _on_tpu
 import jax.numpy as jnp
 
 from audioflux_tpu.ops import fft as afft
@@ -275,7 +276,7 @@ class CWT:
 
         from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
         w_len = x.shape[-1]
-        if (jax.default_backend() == "tpu"
+        if (_on_tpu()
                 and supports(w_len, p, self.data_length)):
             # fused bank-multiply + four-step matmul IFFT in VMEM
             # (ops/pallas_cwt.py): one HBM pass instead of XLA's log2(N)

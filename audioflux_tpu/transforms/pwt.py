@@ -9,6 +9,7 @@ pwt_algorithm.c:315-319). Rows stay in ascending frequency order.
 from __future__ import annotations
 
 import jax
+from audioflux_tpu.ops.backend import on_tpu as _on_tpu
 import jax.numpy as jnp
 
 from audioflux_tpu.ops import fft as afft
@@ -114,7 +115,7 @@ class PWT:
         F = afft.fft(x, axis=-1)
         from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
         w_len = x.shape[-1]
-        if (jax.default_backend() == "tpu"
+        if (_on_tpu()
                 and supports(w_len, p, self.data_length)):
             # same fused bank-multiply + four-step matmul IFFT as CWT
             # (ops/pallas_cwt.py) — PWT is the identical

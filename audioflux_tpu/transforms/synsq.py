@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+from audioflux_tpu.ops.backend import on_tpu as _on_tpu
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,7 +67,7 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
     phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
     from audioflux_tpu.ops.pallas_unwrap import supports, unwrap_diff
     rows = int(np.prod(phase.shape[:-1]))
-    if (not force_xla_unwrap and jax.default_backend() == "tpu"
+    if (not force_xla_unwrap and _on_tpu()
             and supports(rows, T)):
         # fused unwrap+diff kernel (ops/pallas_unwrap.py): one HBM pass,
         # same f32 phrases as the cumsum formulation below with exact

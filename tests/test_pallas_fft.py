@@ -1,0 +1,125 @@
+"""Four-step matmul FFT kernel (ops/pallas_fft.py), interpret mode.
+
+The kernel is TPU-gated in production (CPU keeps jnp.fft so goldens are
+untouched); these tests run it in Pallas interpret mode against numpy and
+drive the two gated consumers (YIN autocorrelation, HPSS) down their
+kernel paths via the static ``use_kernel``/``use_fft_kernel`` args
+(monkeypatching the gate would NOT retrace the module-level jits —
+CLAUDE.md's r3 gate-writing lesson).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audioflux_tpu.ops import pallas_fft as pf
+
+TOL = 5e-5  # bf16x3 contract, relative to the spectrum peak
+
+
+@pytest.mark.parametrize("n", [2048, 4096, 8192])
+def test_cfft_fwd_vs_numpy(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    y = rng.standard_normal((3, n)).astype(np.float32)
+    ref = np.fft.fft(x.astype(np.float64) + 1j * y.astype(np.float64))
+    yr, yi = pf.fft4_fwd(jnp.asarray(x), jnp.asarray(y), interpret=True)
+    got = (np.asarray(pf.t_to_natural(yr))
+           + 1j * np.asarray(pf.t_to_natural(yi)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < TOL
+
+
+@pytest.mark.parametrize("n", [2048, 4096])
+def test_rfft_real_input(n):
+    rng = np.random.default_rng(n + 1)
+    x = rng.standard_normal((2, 3, n)).astype(np.float32)
+    ref = np.fft.fft(x.astype(np.float64))
+    yr, yi = pf.fft4_fwd(jnp.asarray(x), interpret=True)
+    got = (np.asarray(pf.t_to_natural(yr))
+           + 1j * np.asarray(pf.t_to_natural(yi)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < TOL
+
+
+def test_inverse_roundtrip():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((5, 2048)).astype(np.float32)
+    y = rng.standard_normal((5, 2048)).astype(np.float32)
+    yr, yi = pf.fft4_fwd(jnp.asarray(x), jnp.asarray(y), interpret=True)
+    xr, xi = pf.fft4_inv(yr, yi, interpret=True)
+    assert np.max(np.abs(np.asarray(xr) - x)) < 2e-4
+    assert np.max(np.abs(np.asarray(xi) - y)) < 2e-4
+
+
+def test_inverse_real_output_skips_imag():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((4, 2048)).astype(np.float32)
+    yr, yi = pf.fft4_fwd(jnp.asarray(x), interpret=True)
+    xr, xi = pf.fft4_inv(yr, yi, out_imag=False, interpret=True)
+    assert xi is None
+    assert np.max(np.abs(np.asarray(xr) - x)) < 2e-4
+
+
+def test_odd_batch_padding():
+    # batch not a multiple of the kernel tile
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((131, 2048)).astype(np.float32)
+    ref = np.fft.fft(x.astype(np.float64))
+    yr, yi = pf.fft4_fwd(jnp.asarray(x), interpret=True)
+    got = (np.asarray(pf.t_to_natural(yr))
+           + 1j * np.asarray(pf.t_to_natural(yi)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < TOL
+
+
+def test_layout_helpers_inverse():
+    rng = np.random.default_rng(10)
+    z = jnp.asarray(rng.standard_normal((3, 4096)).astype(np.float32))
+    z3 = pf.natural_to_t(z, 32)
+    assert z3.shape == (3, 32, 128)
+    assert bool(jnp.all(pf.t_to_natural(z3) == z))
+
+
+def test_supports_gating():
+    # CPU backend: never supported (goldens ride jnp.fft)
+    assert not pf.supports(2048)
+    assert not pf.supports(1024)
+    assert not pf.supports(3000)
+
+
+def test_yin_kernel_path_matches_rfft_path(tone=None):
+    from audioflux_tpu.mir.pitch_yin import _yin_impl
+
+    sr = 32000
+    t = np.arange(sr, dtype=np.float32) / sr
+    x = (0.6 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    kw = dict(fft_length=4096, slide_length=1024, auto_length=2048,
+              min_index=15, max_index=1185, samplate=sr, thresh=0.1)
+    f0, v0, y0, _ = _yin_impl(jnp.asarray(x), packed_fft=False, **kw)
+    f1, v1, y1, _ = _yin_impl(jnp.asarray(x), packed_fft=True,
+                              use_fft_kernel=True, interpret=True, **kw)
+    # CMND curves agree to the kernel contract; the picked pitches agree
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-4)
+
+
+def test_hpss_kernel_path_matches_reference_path():
+    from audioflux_tpu.mir.hpss import _hpss_impl
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.types import WindowType
+
+    rng = np.random.default_rng(11)
+    sr = 32000
+    t = np.arange(2 * sr, dtype=np.float32) / sr
+    x = (0.5 * np.sin(2 * np.pi * 330 * t)
+         + 0.3 * rng.standard_normal(2 * sr)).astype(np.float32)
+    w = jnp.asarray(get_fft_window(WindowType.HAMM, 2048))
+    kw = dict(fft_length=2048, slide_length=512, h_order=21, p_order=31)
+    h0, p0 = _hpss_impl(jnp.asarray(x), w, **kw)
+    h1, p1 = _hpss_impl(jnp.asarray(x), w, use_kernel=True,
+                        interpret=True, **kw)
+    sc = float(jnp.max(jnp.abs(h0))) + 1e-9
+    assert float(jnp.max(jnp.abs(h1 - h0))) / sc < 1e-3
+    sc = float(jnp.max(jnp.abs(p0))) + 1e-9
+    assert float(jnp.max(jnp.abs(p1 - p0))) / sc < 1e-3
