@@ -283,3 +283,24 @@ def natural_to_t(x, n1: int):
     n = x.shape[-1]
     return jnp.swapaxes(
         x.reshape(x.shape[:-1] + (n // n1, n1)), -1, -2)
+
+
+def permute_bins_t(mat, n: int):
+    """Permute a (num, m) bin-indexed matrix (m = n//2+1 half-spectrum or
+    full n) into the T-layout flat bin order, zero-padding the hermitian
+    mirror half.
+
+    A filterbank contraction ``sum_k fb[b, k] P[k]`` over a natural
+    power spectrum equals ``sum_j fbT[b, j] P_T[j]`` over the T-layout
+    FULL spectrum when ``fbT[:, k1*128 + k2] = fb_full[:, k1 + n1*k2]``
+    with zeros over bins >= m (for real input those mirror bins carry
+    duplicate power that must not be double-counted) — so banked scales
+    consume the kernel's output with no bin-order transpose at all.
+    numpy in / numpy out (host-side constant building).
+    """
+    mat = np.asarray(mat, np.float32)
+    n1 = n // _N2
+    full = np.zeros((mat.shape[0], n), np.float32)
+    full[:, :mat.shape[1]] = mat[:, :n]
+    kk = (np.arange(n1)[:, None] + n1 * np.arange(_N2)[None, :]).reshape(-1)
+    return np.ascontiguousarray(full[:, kk])

@@ -52,9 +52,13 @@ def reassign_windows(window: np.ndarray) -> tuple:
 
 
 @partial(jax.jit, static_argnames=("fft_length", "slide_length", "re_type",
-                                   "order", "result_type", "is_padding"))
+                                   "order", "result_type", "is_padding",
+                                   "use_kernel", "interpret"))
 def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
-                   re_type, order, result_type, is_padding):
+                   re_type, order, result_type, is_padding,
+                   use_kernel=None, interpret=False):
+    from audioflux_tpu.ops import pallas_fft as pfft
+
     m = fft_length // 2 + 1
     if is_padding:
         x = pad_signal(x, fft_length, slide_length,
@@ -70,18 +74,58 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     need_dh = rt in (ReassignType.ALL, ReassignType.FRE)
     need_th = rt in (ReassignType.ALL, ReassignType.TIME) and T > 1
     sel = [0] + ([1] if need_dh else []) + ([2] if need_th else [])
-    # one batched rfft over the selected windows: (..., k, T, m)
-    S = afft.rfft(frames[..., None, :, :] * wins[sel, None, :], axis=-1)
-    Sh = S[..., 0, :, :]
-    Sdh = S[..., 1, :, :] if need_dh else None
-    Sth = S[..., len(sel) - 1, :, :] if need_th else None
+
+    if use_kernel is None:  # static, trace-time (YIN's packed convention)
+        use_kernel = (pfft.supports(fft_length)
+                      and rt != ReassignType.NONE and max(order, 1) == 1)
+    if use_kernel:
+        # four-step fft kernel.  The corrections are per-cell elementwise
+        # and the scatter consumes bin VALUES, so everything runs in the
+        # kernel's T-layout — no bin-order transpose anywhere.  Bins
+        # k = k1 + n1*k2 <= N/2 all live in the first (N/2)//n1 + 1
+        # lanes, so a lane slice keeps the scatter input count at ~T*m
+        # (the rest of the hermitian spectrum is redundant for real
+        # input and would only feed the trash slot).
+        n1 = fft_length // 128
+        ks = (fft_length // 2) // n1 + 1
+        Sr, Si = pfft.fft4_fwd(frames[..., None, :, :] * wins[sel, None, :],
+                               interpret=interpret)
+        Sr, Si = Sr[..., :ks], Si[..., :ks]  # (..., k, T, n1, ks)
+        Sh = jax.lax.complex(Sr[..., 0, :, :, :], Si[..., 0, :, :, :])
+        Sdh = (jax.lax.complex(Sr[..., 1, :, :, :], Si[..., 1, :, :, :])
+               if need_dh else None)
+        Sth = (jax.lax.complex(Sr[..., len(sel) - 1, :, :, :],
+                               Si[..., len(sel) - 1, :, :, :])
+               if need_th else None)
+        # T-layout bin-index constant: kk[k1, k2] = k1 + n1*k2
+        kk = (np.arange(n1, dtype=np.int32)[:, None]
+              + n1 * np.arange(ks, dtype=np.int32)[None, :])
+        kvalid = jnp.asarray(kk <= fft_length // 2)
+        fre = jnp.asarray(kk.astype(np.float32)
+                          * (samplate / 2.0) / (fft_length // 2))
+        cell_shape = Sh.shape
+        scat_axes = 3  # (T, n1, ks) flatten for the scatter
+    else:
+        # one batched rfft over the selected windows: (..., k, T, m)
+        S = afft.rfft(frames[..., None, :, :] * wins[sel, None, :], axis=-1)
+        Sh = S[..., 0, :, :]
+        Sdh = S[..., 1, :, :] if need_dh else None
+        Sth = S[..., len(sel) - 1, :, :] if need_th else None
+        kk = np.arange(m, dtype=np.int32)
+        kvalid = jnp.asarray(np.ones(m, bool))
+        fre = jnp.linspace(0.0, samplate / 2.0, m, dtype=jnp.float32)
+        cell_shape = Sh.shape
+        scat_axes = 2  # (T, m)
 
     if rt == ReassignType.NONE:
+        if use_kernel:  # only reachable when forced (tests)
+            Sh = jnp.swapaxes(Sh, -1, -2).reshape(
+                Sh.shape[:-2] + (Sh.shape[-1] * Sh.shape[-2],))[..., :m]
         out = jnp.swapaxes(Sh, -1, -2)
         return out, out
 
-    fre = jnp.linspace(0.0, samplate / 2.0, m, dtype=jnp.float32)
     tim = (jnp.arange(T, dtype=jnp.float32) * slide_length) / samplate
+    timb = tim[(...,) + (None,) * (scat_axes - 1)]  # broadcast over bins
     power = jnp.real(Sh) ** 2 + jnp.imag(Sh) ** 2
     good = power >= thresh * thresh
     denom = jnp.where(jnp.abs(Sh) == 0, 1.0, Sh)
@@ -89,7 +133,7 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     fmax = samplate / 2.0
     tmax = tim[-1]
 
-    if rt in (ReassignType.ALL, ReassignType.FRE):
+    if need_dh:
         corr = jnp.imag(Sdh / denom) * (-0.5 * samplate / np.pi)
         w2 = fre + corr
         w2 = jnp.where(good, w2, fre)
@@ -99,11 +143,11 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
 
     if need_th:
         tcorr = jnp.real(Sth / denom) / samplate
-        t2 = tim[..., :, None] + tcorr
-        t2 = jnp.where(good, t2, tim[..., :, None])
+        t2 = timb + tcorr
+        t2 = jnp.where(good, t2, jnp.broadcast_to(timb, Sh.shape))
         t2 = jnp.clip(t2, 0.0, tmax)
     else:
-        t2 = jnp.broadcast_to(tim[..., :, None], Sh.shape)
+        t2 = jnp.broadcast_to(timb, Sh.shape)
 
     # grid indices (roundf == floor(x+0.5) for non-negative values)
     if T > 1:
@@ -113,29 +157,39 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     fi = jnp.floor(w2 * (fft_length // 2) / fmax + 0.5).astype(jnp.int32)
 
     # order>1: iterate composition fi <- fi[fi] along the fre axis
-    # (reassign_algorithm.c:_rearrage order loop)
+    # (reassign_algorithm.c:_rearrage order loop; native path only —
+    # the gather wants natural bin order)
     for _ in range(max(order, 1) - 1):
         valid = (fi >= 0) & (fi < m)
         gathered = jnp.take_along_axis(fi, jnp.clip(fi, 0, m - 1), axis=-1)
         fi = jnp.where(valid, gathered, 0)
 
-    sign = jnp.where(jnp.arange(m) % 2 == 1, -1.0, 1.0)
+    sign = jnp.where(jnp.asarray(kk) % 2 == 1, -1.0, 1.0)
     vals = Sh * sign
 
-    in_range = (ti >= 0) & (ti < T) & (fi >= 0) & (fi < m)
+    in_range = (kvalid & (ti >= 0) & (ti < T)
+                & (fi >= 0) & (fi < m))
     flat_idx = jnp.where(in_range, ti * m + fi, T * m)  # T*m drops
 
     def scatter(v):
         flat = batched_scatter_add(
-            v.reshape(v.shape[:-2] + (-1,)),
-            flat_idx.reshape(flat_idx.shape[:-2] + (-1,)), T * m)
-        return flat.reshape(v.shape[:-2] + (T, m))
+            v.reshape(v.shape[:-scat_axes] + (-1,)),
+            flat_idx.reshape(flat_idx.shape[:-scat_axes] + (-1,)), T * m)
+        return flat.reshape(v.shape[:-scat_axes] + (T, m))
 
     if result_type == 0:
         out = scatter(vals)
     else:
         out = scatter(jnp.abs(vals).astype(jnp.float32)).astype(jnp.complex64)
-    return jnp.swapaxes(out, -1, -2), jnp.swapaxes(Sh, -1, -2)
+
+    if use_kernel:
+        # natural-order plain STFT for the second output: (k2, k1)
+        # flatten of the lane-sliced T-layout is exactly bins 0..n1*ks-1
+        stft_nat = jnp.swapaxes(Sh, -1, -2).reshape(
+            Sh.shape[:-2] + (ks * n1,))[..., :m]
+    else:
+        stft_nat = Sh
+    return jnp.swapaxes(out, -1, -2), jnp.swapaxes(stft_nat, -1, -2)
 
 
 class Reassign:

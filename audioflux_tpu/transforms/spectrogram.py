@@ -47,16 +47,30 @@ __all__ = [
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("fft_length", "slide_length"))
-def _small_t_mel_cc(x, window, fb, dct, *, fft_length, slide_length):
-    """Short-clip (T < 8) mel+cc: batched rfft + two MXU einsums.
+@partial(jax.jit, static_argnames=("fft_length", "slide_length",
+                                   "use_kernel", "interpret"))
+def _small_t_mel_cc(x, window, fb, dct, *, fft_length, slide_length,
+                    use_kernel=None, interpret=False):
+    """Short-clip (T < 8) mel+cc: batched fft + two MXU einsums.
 
     At T=1 the frames ARE the clips, so there is no framing relayout at
-    all — the whole batch is one matrix pipeline."""
+    all — the whole batch is one matrix pipeline.  On TPU the fft runs
+    as the four-step Pallas kernel and the filterbank is contracted
+    directly in the kernel's T-layout bin order (``fb`` must then be the
+    ``pallas_fft.permute_bins_t`` matrix; the caller owns that choice
+    because the permutation is a host-side constant)."""
+    from audioflux_tpu.ops import pallas_fft as pfft
+
     frames = frame_signal(x, fft_length, slide_length)
-    S = afft.rfft(frames * window, axis=-1)
-    re, im = jnp.real(S), jnp.imag(S)
-    P = re * re + im * im
+    if use_kernel is None:
+        use_kernel = pfft.supports(fft_length)
+    if use_kernel:
+        zr, zi = pfft.fft4_fwd(frames * window, interpret=interpret)
+        P = (zr * zr + zi * zi).reshape(zr.shape[:-2] + (fft_length,))
+    else:
+        S = afft.rfft(frames * window, axis=-1)
+        re, im = jnp.real(S), jnp.imag(S)
+        P = re * re + im * im
     mel = jnp.einsum("...tf,nf->...tn", P, fb, precision=_HIGHEST)
     cc = jnp.einsum("...tn,kn->...tk", jnp.log10(jnp.maximum(mel, 1e-8)),
                     dct, precision=_HIGHEST)
@@ -291,8 +305,47 @@ class Spectrogram:
                else jnp.asarray(self.chroma_filter_bank))
         chroma_norm = self.chroma_data_normal_type
 
+        fb_np = self.filter_bank  # numpy: host-side T-layout permutation
+
         def run(x):
             from audioflux_tpu.observe import scope
+            from audioflux_tpu.ops import pallas_fft as pfft
+
+            # TPU: four-step fft kernel; banked scales contract the
+            # FULL-spectrum power in the kernel's T-layout bin order
+            # (permuted filterbank, zero mirror half — same terms, no
+            # bin transpose).  LINEAR/CHROMA-masked paths need natural
+            # bin order and pay the one relayout.
+            use_kernel = (pfft.supports(fft_length) and fb_np is not None
+                          and scale not in (S.LINEAR,)
+                          and data_type == SpectralDataType.POWER)
+            if use_kernel:
+                with scope("af.frame"):
+                    frames = frame_signal(x, fft_length, slide)
+                with scope("af.power_spec"):
+                    zr, zi = pfft.fft4_fwd(frames * window)
+                    P = (zr * zr + zi * zi).reshape(
+                        zr.shape[:-2] + (fft_length,))
+                if norm_value != 1:
+                    P = jnp.power(P, norm_value)
+                fbm = np.asarray(fb_np, np.float32)
+                if scale == S.CHROMA and (low_index != 0
+                                          or high_index != fft_length // 2):
+                    mask = np.zeros((m_len,), np.float32)
+                    mask[low_index:high_index + 1] = 1.0
+                    fbm = fbm * mask
+                fbT = jnp.asarray(pfft.permute_bins_t(fbm, fft_length))
+                with scope("af.filterbank"):
+                    out = jnp.einsum("...tf,nf->...tn", P, fbT,
+                                     precision=_HIGHEST)
+                if scale == S.CHROMA:
+                    out = chroma_normalize(out, chroma_norm)
+                elif scale == S.LOG_CHROMA:
+                    out = jnp.einsum("...tb,nb->...tn", out, cfb,
+                                     precision=_HIGHEST)
+                    out = chroma_normalize(out, chroma_norm)
+                return jnp.swapaxes(out, -1, -2)
+
             with scope("af.frame"):
                 frames = frame_signal(x, fft_length, slide)
             with scope("af.power_spec"):
@@ -418,14 +471,29 @@ class Spectrogram:
         if n_frames < 8:
             # small-clip plan: the fs4 kernel needs >=8-frame tiles for MXU
             # utilization (pair packing, 128-lane DFT); short clips are a
-            # pure batched matrix pipeline — one rfft + two MXU einsums over
-            # the stacked batch, no framing relayout at T=1
+            # pure batched matrix pipeline — one fft + two MXU einsums over
+            # the stacked batch, no framing relayout at T=1.  The device
+            # constants are cached per instance: re-uploading the (num, n)
+            # filterbank through the axon tunnel on every call costs more
+            # than the whole computation.
+            from audioflux_tpu.ops import pallas_fft as pfft
+            use_kernel = pfft.supports(self.fft_length)
+            if not hasattr(self, "_fused_cache"):
+                self._fused_cache = {}
+            key = ("_small_t_consts", cc_num, use_kernel)
+            consts = self._fused_cache.get(key)
+            if consts is None:
+                fb = (pfft.permute_bins_t(self.filter_bank, self.fft_length)
+                      if use_kernel else self.filter_bank)
+                consts = (jnp.asarray(self.window), jnp.asarray(fb),
+                          jnp.asarray(self._dct[:cc_num]))
+                self._fused_cache[key] = consts
+            w_dev, fb_dev, dct_dev = consts
             return _small_t_mel_cc(jnp.asarray(data_arr, jnp.float32),
-                                   jnp.asarray(self.window),
-                                   jnp.asarray(self.filter_bank),
-                                   jnp.asarray(self._dct[:cc_num]),
+                                   w_dev, fb_dev, dct_dev,
                                    fft_length=self.fft_length,
-                                   slide_length=self.slide_length)
+                                   slide_length=self.slide_length,
+                                   use_kernel=use_kernel)
         from audioflux_tpu.ops.pallas_spectrogram import (FusedMelPlan,
                                                           fused_mel_mfcc)
         key = ("_fused_plan", cc_num)

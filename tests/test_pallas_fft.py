@@ -123,3 +123,100 @@ def test_hpss_kernel_path_matches_reference_path():
     assert float(jnp.max(jnp.abs(h1 - h0))) / sc < 1e-3
     sc = float(jnp.max(jnp.abs(p0))) + 1e-9
     assert float(jnp.max(jnp.abs(p1 - p0))) / sc < 1e-3
+
+
+@pytest.mark.parametrize("rt", [0, 1, 2])  # ALL, FRE, TIME
+@pytest.mark.parametrize("result_type", [0, 1])
+def test_reassign_kernel_path_matches_native(rt, result_type):
+    from audioflux_tpu.transforms.reassign import (_reassign_impl,
+                                                   reassign_windows)
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.types import WindowType
+
+    rng = np.random.default_rng(20 + rt)
+    sr = 32000
+    x = rng.standard_normal((2, 3 * 2048)).astype(np.float32)
+    wins = jnp.asarray(np.stack(reassign_windows(
+        get_fft_window(WindowType.HANN, 2048))))
+    kw = dict(fft_length=2048, slide_length=512, samplate=sr,
+              thresh=0.001, re_type=rt, order=1,
+              result_type=result_type, is_padding=False)
+    o0, s0 = _reassign_impl(jnp.asarray(x), wins, use_kernel=False, **kw)
+    o1, s1 = _reassign_impl(jnp.asarray(x), wins, use_kernel=True,
+                            interpret=True, **kw)
+    # plain STFT output: straight kernel-vs-native fft comparison
+    sc = float(jnp.max(jnp.abs(s0)))
+    assert float(jnp.max(jnp.abs(s1 - s0))) / sc < 1e-4
+    # reassigned scatter: grid-index knife edges can flip a cell between
+    # neighboring bins (the documented cross-libm class) — bound the
+    # flipped mass fraction and require total mass conservation
+    a0, a1 = np.asarray(jnp.abs(o0)), np.asarray(jnp.abs(o1))
+    peak = a0.max()
+    flips = np.mean(np.abs(a1 - a0) > 1e-3 * peak)
+    assert flips < 5e-3, flips
+    np.testing.assert_allclose(a1.sum(), a0.sum(), rtol=1e-4)
+
+
+def test_reassign_kernel_path_T1():
+    # the bench server shape: one frame per clip
+    from audioflux_tpu.transforms.reassign import (_reassign_impl,
+                                                   reassign_windows)
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.types import WindowType
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((4, 4096)).astype(np.float32)
+    wins = jnp.asarray(np.stack(reassign_windows(
+        get_fft_window(WindowType.HANN, 4096))))
+    kw = dict(fft_length=4096, slide_length=1024, samplate=32000,
+              thresh=0.001, re_type=0, order=1, result_type=1,
+              is_padding=False)
+    o0, _ = _reassign_impl(jnp.asarray(x), wins, use_kernel=False, **kw)
+    o1, _ = _reassign_impl(jnp.asarray(x), wins, use_kernel=True,
+                           interpret=True, **kw)
+    a0, a1 = np.asarray(jnp.real(o0)), np.asarray(jnp.real(o1))
+    peak = np.abs(a0).max()
+    assert np.mean(np.abs(a1 - a0) > 1e-3 * peak) < 5e-3
+    np.testing.assert_allclose(a1.sum(), a0.sum(), rtol=1e-4)
+
+
+def test_small_t_mel_kernel_path_matches_native():
+    from audioflux_tpu.transforms.spectrogram import _small_t_mel_cc
+    from audioflux_tpu.transforms.spectrogram import MelSpectrogram
+
+    plan = MelSpectrogram(num=128, samplate=32000, radix2_exp=12,
+                          slide_length=1024)
+    rng = np.random.default_rng(40)
+    x = jnp.asarray(rng.standard_normal((6, 4096)).astype(np.float32))
+    w = jnp.asarray(plan.window)
+    dct = jnp.asarray(plan._dct[:13])
+    fb = plan.filter_bank
+    m0, c0 = _small_t_mel_cc(x, w, jnp.asarray(fb), dct,
+                             fft_length=4096, slide_length=1024,
+                             use_kernel=False)
+    fbT = jnp.asarray(pf.permute_bins_t(fb, 4096))
+    m1, c1 = _small_t_mel_cc(x, w, fbT, dct, fft_length=4096,
+                             slide_length=1024, use_kernel=True,
+                             interpret=True)
+    sc = float(jnp.max(jnp.abs(m0)))
+    assert float(jnp.max(jnp.abs(m1 - m0))) / sc < 1e-4
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-3)
+
+
+def test_permute_bins_t_identity():
+    # contraction over the permuted full spectrum == natural half-spectrum
+    rng = np.random.default_rng(41)
+    n = 2048
+    m = n // 2 + 1
+    fb = rng.random((5, m)).astype(np.float32)
+    x = rng.standard_normal((n,)).astype(np.float32)
+    X = np.fft.fft(x)
+    P_nat = np.abs(X[:m]) ** 2
+    # T-layout full-spectrum power, flattened (k1*128 + k2)
+    P_t = (np.abs(X) ** 2).reshape(n // 128, 128, order="F").reshape(-1)
+    # order="F" on (n1, 128): element [k1, k2] = X[k1 + n1*k2] flattened
+    # C-order to k1*128 + k2
+    fbT = pf.permute_bins_t(fb, n)
+    a = fb @ P_nat
+    b = fbT @ P_t
+    np.testing.assert_allclose(b, a, rtol=1e-5)
