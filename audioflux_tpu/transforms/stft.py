@@ -52,19 +52,41 @@ def _istft_impl(D, window, *, fft_length, slide_length, method_type):
                      method_type=method_type)
 
 
-@partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
-def _istft_tm(spec, window, *, fft_length, slide_length, method_type):
+def _hermitian_full(spec, fft_length):
+    """(..., m) half spectrum -> (..., n) full hermitian extension."""
+    zh = jnp.conj(spec)[..., 1:fft_length // 2]
+    return jnp.concatenate([spec, jnp.flip(zh, axis=-1)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("fft_length", "slide_length",
+                                   "method_type", "use_kernel", "interpret"))
+def _istft_tm(spec, window, *, fft_length, slide_length, method_type,
+              use_kernel=None, interpret=False):
     """ISTFT from a time-major (..., T, F/2+1) spectrum — callers whose
     masks already live frames-first (HPSS) skip a band-major round trip
     (two full strided relayouts of the complex matrix)."""
-    frames = afft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if use_kernel is None:  # static, trace-time (YIN's packed convention)
+        use_kernel = pfft.supports(fft_length)
+    if use_kernel:
+        # four-step kernel irfft: hermitian-extend, relayout the two f32
+        # components into T-layout, one real-output inverse kernel
+        zfull = _hermitian_full(spec, fft_length)
+        n1 = fft_length // 128
+        yr = pfft.natural_to_t(jnp.real(zfull), n1)
+        yi = pfft.natural_to_t(jnp.imag(zfull), n1)
+        frames, _ = pfft.fft4_inv(yr, yi, out_imag=False,
+                                  interpret=interpret)
+    else:
+        frames = afft.irfft(spec, n=fft_length, axis=-1)  # (..., T, F)
     return _ola_frames(frames, window, fft_length=fft_length,
                        slide_length=slide_length, method_type=method_type)
 
 
-@partial(jax.jit, static_argnames=("fft_length", "slide_length", "method_type"))
+@partial(jax.jit, static_argnames=("fft_length", "slide_length",
+                                   "method_type", "use_kernel", "interpret"))
 def _istft_tm_pair(spec_a, spec_b, window, *, fft_length, slide_length,
-                   method_type):
+                   method_type, use_kernel=None, interpret=False):
     """TWO ISTFTs for the price of one full complex ifft.
 
     For real outputs a = istft(A) and b = istft(B), linearity gives
@@ -88,7 +110,17 @@ def _istft_tm_pair(spec_a, spec_b, window, *, fft_length, slide_length,
     zl = spec_a + 1j * spec_b                          # bins 0..N/2
     zh = jnp.conj(spec_a - 1j * spec_b)[..., 1:fft_length // 2]
     zfull = jnp.concatenate([zl, jnp.flip(zh, axis=-1)], axis=-1)
-    frames = afft.ifft(zfull, axis=-1)                 # a_frames + i*b_frames
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if use_kernel is None:
+        use_kernel = pfft.supports(fft_length)
+    if use_kernel:
+        n1 = fft_length // 128
+        yr = pfft.natural_to_t(jnp.real(zfull), n1)
+        yi = pfft.natural_to_t(jnp.imag(zfull), n1)
+        fr, fi = pfft.fft4_inv(yr, yi, interpret=interpret)
+        frames = jax.lax.complex(fr, fi)
+    else:
+        frames = afft.ifft(zfull, axis=-1)             # a_frames + i*b_frames
     y = _ola_frames(frames, window, fft_length=fft_length,
                     slide_length=slide_length, method_type=method_type)
     return jnp.real(y), jnp.imag(y)

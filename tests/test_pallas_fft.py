@@ -220,3 +220,39 @@ def test_permute_bins_t_identity():
     a = fb @ P_nat
     b = fbT @ P_t
     np.testing.assert_allclose(b, a, rtol=1e-5)
+
+
+def test_istft_kernel_paths_match_native():
+    from audioflux_tpu.transforms.stft import (_istft_tm, _istft_tm_pair,
+                                               _stft_impl)
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.types import WindowType
+
+    rng = np.random.default_rng(50)
+    x = rng.standard_normal((2, 6 * 2048)).astype(np.float32)
+    w = jnp.asarray(get_fft_window(WindowType.HANN, 2048))
+    D = _stft_impl(jnp.asarray(x), w, fft_length=2048, slide_length=512,
+                   is_pad=False, position=0, mode=0, value1=0.0, value2=0.0)
+    spec_tm = jnp.swapaxes(D, -1, -2)  # (..., T, m)
+    for mt in (0, 1):
+        y0 = _istft_tm(spec_tm, w, fft_length=2048, slide_length=512,
+                       method_type=mt, use_kernel=False)
+        y1 = _istft_tm(spec_tm, w, fft_length=2048, slide_length=512,
+                       method_type=mt, use_kernel=True, interpret=True)
+        sc = float(jnp.max(jnp.abs(y0))) + 1e-9
+        # interior only: the first/last fft worth of samples divide by
+        # window sums just above the 1e-6 clamp, amplifying fft ulps up
+        # to ~1e6x — those values are amplified noise in the native path
+        # and the reference C alike (the documented istft edge class)
+        interior = jnp.abs(y1 - y0)[..., 2048:-2048]
+        assert float(jnp.max(interior)) / sc < 1e-4, mt
+
+    a0, b0 = _istft_tm_pair(spec_tm, 0.5 * spec_tm, w, fft_length=2048,
+                            slide_length=512, method_type=0,
+                            use_kernel=False)
+    a1, b1 = _istft_tm_pair(spec_tm, 0.5 * spec_tm, w, fft_length=2048,
+                            slide_length=512, method_type=0,
+                            use_kernel=True, interpret=True)
+    sc = float(jnp.max(jnp.abs(a0))) + 1e-9
+    assert float(jnp.max(jnp.abs(a1 - a0)[..., 2048:-2048])) / sc < 1e-4
+    assert float(jnp.max(jnp.abs(b1 - b0)[..., 2048:-2048])) / sc < 1e-4
