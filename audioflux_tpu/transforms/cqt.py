@@ -257,7 +257,8 @@ class CQTBase:
         self.is_scale = bool(flag)
 
     # ------------------------------------------------------------------
-    def _octave_spec(self, x, slide, kernel, annot=None):
+    def _octave_spec(self, x, slide, kernel, annot=None, use_kernel=None,
+                     interpret=False):
         """Padded rect-window STFT + complex kernel dot -> (..., T', bpo).
 
         Continue mode pads RIGHT instead of CENTER, like the C cqtObj's
@@ -271,16 +272,34 @@ class CQTBase:
         frames = frame_signal(xp, self.fft_length, slide)
         if annot is not None:
             frames = annot(frames, "frames")
-        S = afft.rfft(frames, axis=-1)
-        Kt = jnp.asarray(kernel)
-        re = (jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.real(Kt),
-                         precision=_HIGHEST)
-              - jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.imag(Kt),
-                           precision=_HIGHEST))
-        im = (jnp.einsum("...tf,nf->...tn", jnp.imag(S), jnp.real(Kt),
-                         precision=_HIGHEST)
-              + jnp.einsum("...tf,nf->...tn", jnp.real(S), jnp.imag(Kt),
-                           precision=_HIGHEST))
+        from audioflux_tpu.ops import pallas_fft as pfft
+        if use_kernel is None:
+            use_kernel = pfft.supports(self.fft_length) and annot is None
+        if use_kernel:
+            # four-step fft kernel; the complex CQT kernel matrix is
+            # permuted into the T-layout bin order (zero mirror half) so
+            # the contraction needs no bin transpose.  The mesh-parallel
+            # path (annot) keeps the natural layout — its sharding
+            # constraints name the natural frame/bin axes.  Only reached
+            # for low-min_fre plans whose top-octave fft >= 2048 (the
+            # default 84-band/32k plan sits at 512, i.e. the matmul-DFT
+            # path).
+            zr, zi = pfft.fft4_fwd(frames, interpret=interpret)
+            kr = jnp.asarray(pfft.permute_bins_t(np.real(kernel),
+                                                 self.fft_length))
+            ki = jnp.asarray(pfft.permute_bins_t(np.imag(kernel),
+                                                 self.fft_length))
+            n = self.fft_length
+            sr_ = zr.reshape(zr.shape[:-2] + (n,))
+            si_ = zi.reshape(zi.shape[:-2] + (n,))
+        else:
+            S = afft.rfft(frames, axis=-1)
+            kr, ki = jnp.real(jnp.asarray(kernel)), jnp.imag(jnp.asarray(kernel))
+            sr_, si_ = jnp.real(S), jnp.imag(S)
+        re = (jnp.einsum("...tf,nf->...tn", sr_, kr, precision=_HIGHEST)
+              - jnp.einsum("...tf,nf->...tn", si_, ki, precision=_HIGHEST))
+        im = (jnp.einsum("...tf,nf->...tn", si_, kr, precision=_HIGHEST)
+              + jnp.einsum("...tf,nf->...tn", sr_, ki, precision=_HIGHEST))
         return re + 1j * im
 
     def _scale_vec(self) -> np.ndarray:

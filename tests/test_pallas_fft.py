@@ -256,3 +256,24 @@ def test_istft_kernel_paths_match_native():
     sc = float(jnp.max(jnp.abs(a0))) + 1e-9
     assert float(jnp.max(jnp.abs(a1 - a0)[..., 2048:-2048])) / sc < 1e-4
     assert float(jnp.max(jnp.abs(b1 - b0)[..., 2048:-2048])) / sc < 1e-4
+
+
+def test_cqt_octave_spec_kernel_path():
+    # a low-min_fre plan whose top-octave fft_length reaches the kernel
+    from audioflux_tpu.transforms.cqt import CQT
+    from audioflux_tpu.utils.convert import note_to_hz
+
+    # few octaves keep the TOP octave low-frequency -> long kernels ->
+    # a top-octave fft_length that reaches the four-step kernel range
+    cq = CQT(num=36, samplate=32000, low_fre=note_to_hz("C1"),
+             slide_length=1024)
+    assert cq.fft_length >= 2048, cq.fft_length
+    rng = np.random.default_rng(60)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32))
+    k = cq._kernels[-1] if isinstance(cq._kernels, (list, tuple)) \
+        else cq._kernels
+    s0 = cq._octave_spec(x, cq.slide_length, k, use_kernel=False)
+    s1 = cq._octave_spec(x, cq.slide_length, k, use_kernel=True,
+                         interpret=True)
+    sc = float(jnp.max(jnp.abs(s0)))
+    assert float(jnp.max(jnp.abs(s1 - s0))) / sc < 1e-4
