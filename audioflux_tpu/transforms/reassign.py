@@ -76,8 +76,7 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
     sel = [0] + ([1] if need_dh else []) + ([2] if need_th else [])
 
     if use_kernel is None:  # static, trace-time (YIN's packed convention)
-        use_kernel = (pfft.supports(fft_length)
-                      and rt != ReassignType.NONE and max(order, 1) == 1)
+        use_kernel = pfft.supports(fft_length) and max(order, 1) == 1
     if use_kernel:
         # four-step fft kernel.  The corrections are per-cell elementwise
         # and the scatter consumes bin VALUES, so everything runs in the

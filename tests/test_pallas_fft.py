@@ -277,3 +277,25 @@ def test_cqt_octave_spec_kernel_path():
                          interpret=True)
     sc = float(jnp.max(jnp.abs(s0)))
     assert float(jnp.max(jnp.abs(s1 - s0))) / sc < 1e-4
+
+
+def test_reassign_none_kernel_path():
+    # the BFT spectral hub's plain-STFT route (re_type NONE)
+    from audioflux_tpu.transforms.reassign import (_reassign_impl,
+                                                   reassign_windows)
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.types import WindowType
+
+    rng = np.random.default_rng(70)
+    x = rng.standard_normal((3, 4 * 2048)).astype(np.float32)
+    wins = jnp.asarray(np.stack(reassign_windows(
+        get_fft_window(WindowType.HANN, 2048))))
+    kw = dict(fft_length=2048, slide_length=512, samplate=32000,
+              thresh=0.001, re_type=3, order=1, result_type=0,
+              is_padding=False)
+    o0, _ = _reassign_impl(jnp.asarray(x), wins, use_kernel=False, **kw)
+    o1, _ = _reassign_impl(jnp.asarray(x), wins, use_kernel=True,
+                           interpret=True, **kw)
+    sc = float(jnp.max(jnp.abs(o0)))
+    assert o1.shape == o0.shape
+    assert float(jnp.max(jnp.abs(o1 - o0))) / sc < 1e-4
