@@ -16,6 +16,12 @@ Three tiers on a TPU backend (r4):
   HPSS, reassign, ISTFT) bypass these wrappers and skip the relayout;
 * everything else: the native XLA FFT.
 
+``exact=True`` skips the four-step tier (keeps matmul-DFT/native):
+log-magnitude cepstral consumers (PitchCEP, Cepstrogram) amplify the
+kernel's ~1e-5 error on near-zero bins through log() into argmax flips
+(measured: 8.5%% of CEP frames flipped by >100 Hz on a clean tone), so
+they pin the exact path.
+
 CPU/interpret paths are unchanged (always native ``jnp.fft``), so golden
 fixtures are unaffected.
 """
@@ -99,7 +105,7 @@ def _pad_or_trim(x, n):
     return jnp.pad(x, pad)
 
 
-def rfft(x, n=None, axis=-1):
+def rfft(x, n=None, axis=-1, exact=False):
     ln = n if n is not None else x.shape[axis]
     if _use_matmul(ln):
         def f(v):
@@ -109,7 +115,7 @@ def rfft(x, n=None, axis=-1):
             im = jnp.matmul(v, ci, precision=_HI)
             return jax.lax.complex(re, im)
         return _along_last(x, axis, f)
-    if _use_fourstep(ln):
+    if _use_fourstep(ln) and not exact:
         from audioflux_tpu.ops import pallas_fft as pfft
 
         def f(v):
@@ -122,7 +128,7 @@ def rfft(x, n=None, axis=-1):
     return jnp.fft.rfft(x, n=n, axis=axis)
 
 
-def irfft(x, n=None, axis=-1):
+def irfft(x, n=None, axis=-1, exact=False):
     ln = n if n is not None else 2 * (x.shape[axis] - 1)
     if _use_matmul(ln):
         def f(v):
@@ -131,7 +137,7 @@ def irfft(x, n=None, axis=-1):
             return (jnp.matmul(jnp.real(v), cr, precision=_HI)
                     + jnp.matmul(jnp.imag(v), ci, precision=_HI))
         return _along_last(x, axis, f)
-    if _use_fourstep(ln):
+    if _use_fourstep(ln) and not exact:
         from audioflux_tpu.ops import pallas_fft as pfft
 
         def f(v):
@@ -153,7 +159,7 @@ def irfft(x, n=None, axis=-1):
     return jnp.fft.irfft(x, n=n, axis=axis)
 
 
-def fft(x, n=None, axis=-1):
+def fft(x, n=None, axis=-1, exact=False):
     ln = n if n is not None else x.shape[axis]
     if _use_matmul(ln):
         def f(v):
@@ -167,7 +173,7 @@ def fft(x, n=None, axis=-1):
                   + jnp.matmul(vi, cr, precision=_HI))
             return jax.lax.complex(re, im)
         return _along_last(x, axis, f)
-    if _use_fourstep(ln):
+    if _use_fourstep(ln) and not exact:
         from audioflux_tpu.ops import pallas_fft as pfft
 
         def f(v):
@@ -183,9 +189,9 @@ def fft(x, n=None, axis=-1):
     return jnp.fft.fft(x, n=n, axis=axis)
 
 
-def ifft(x, n=None, axis=-1):
+def ifft(x, n=None, axis=-1, exact=False):
     ln = n if n is not None else x.shape[axis]
-    if _use_fourstep(ln):
+    if _use_fourstep(ln) and not exact:
         from audioflux_tpu.ops import pallas_fft as pfft
 
         def f(v):

@@ -57,9 +57,12 @@ class Cepstrogram:
         m = L // 2 + 1
         x = jnp.asarray(data_arr, jnp.float32)
         frames = frame_signal(x, L, self.slide_length)
-        spec = afft.fft(frames * jnp.asarray(self.window), axis=-1)
+        # exact fft tier: the log-power cepstrum amplifies the four-step
+        # kernel's ~1e-5 error on near-zero bins (see ops/fft.py docstring)
+        spec = afft.fft(frames * jnp.asarray(self.window), axis=-1,
+                        exact=True)
         logp = jnp.log(jnp.maximum(jnp.abs(spec) ** 2, 1e-16))
-        ceps = jnp.real(afft.ifft(logp, axis=-1))  # (..., T, L), even
+        ceps = jnp.real(afft.ifft(logp, axis=-1, exact=True))  # (..., T, L)
 
         # envelope: keep [0..cep], mirror [1..cep] into the tail
         # (cepstrogram_algorithm.c:160-168)
@@ -67,14 +70,14 @@ class Cepstrogram:
         env_mask[:cep_num + 1] = 1.0
         env_mask[L - cep_num:] = 1.0  # tail j: arr[L-j-1] = arr[j+1]
         env_in = ceps * env_mask
-        envelope = jnp.real(afft.fft(env_in, axis=-1))[..., :m]
+        envelope = jnp.real(afft.fft(env_in, axis=-1, exact=True))[..., :m]
 
         # details: keep [cep+1 .. L-cep] (the complementary copy length is
         # fftLength-2*cep_num, cepstrogram_algorithm.c:184-186)
         det_mask = np.zeros((L,), np.float32)
         det_mask[cep_num + 1:cep_num + 1 + (L - 2 * cep_num)] = 1.0
         det_in = ceps * det_mask
-        details = jnp.real(afft.fft(det_in, axis=-1))[..., :m]
+        details = jnp.real(afft.fft(det_in, axis=-1, exact=True))[..., :m]
 
         c = ceps[..., :m]
         sw = lambda a: jnp.swapaxes(a, -1, -2)
