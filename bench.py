@@ -253,10 +253,11 @@ def matrix(rows):
     _emit("server mel audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["mel"], rows)
 
-    def mel_mfcc(x):
-        spec = plan12.spectrogram(x)
-        return plan12.mfcc(spec, 13)
-    el = _time(mel_mfcc, xs) / smult
+    # one dispatch for mel+cc (the 128ms clips are T=1, so this is the
+    # small-T fused plan): a separate .mfcc() call costs a second axon
+    # dispatch (~5 ms) for a trivial DCT
+    el = _time(lambda x: plan12.spectrogram_mfcc_fused(x, cc_num=13),
+               xs) / smult
     _emit("server mfcc audio-hours/sec/chip (1000x 128ms)", el, audio_hours,
           BASELINE_SERVER_S["mfcc"], rows)
 
