@@ -51,6 +51,13 @@ __all__ = ["fft4_fwd", "fft4_inv", "t_to_natural", "natural_to_t",
 
 _N2 = 128
 
+# test hook: when True every kernel invocation runs in Pallas interpret
+# mode (CPU-executable), letting the CPU test suite drive the generic
+# ops/fft.py glue (hermitian extension, layout converters, axis moves)
+# through the kernel path.  Only read at trace time by EAGER calls —
+# production callers sit inside jits that resolve supports() instead.
+FORCE_INTERPRET = False
+
 
 def supports(n: int) -> bool:
     """pow2 n in [2048, 32768] on the TPU backend (n1 = n/128 >= 16
@@ -188,6 +195,7 @@ def _kernel(*refs, n1: int, in_complex: bool, out_imag: bool,
 
 def _run(xr, xi, n: int, *, inverse: bool, out_imag: bool,
          interpret: bool = False):
+    interpret = interpret or FORCE_INTERPRET
     n1, e1, e2, twr, twi = _consts(n, inverse)
     in_complex = xi is not None
     lead = xr.shape[:-2]

@@ -299,3 +299,56 @@ def test_reassign_none_kernel_path():
     sc = float(jnp.max(jnp.abs(o0)))
     assert o1.shape == o0.shape
     assert float(jnp.max(jnp.abs(o1 - o0))) / sc < 1e-4
+
+
+@pytest.fixture
+def fourstep_interpret(monkeypatch):
+    """Route the generic afft entry points through the kernel in interpret
+    mode.  Only EAGER afft calls see this (jitted consumers resolve the
+    gate at their own trace time), so no jit-cache poisoning."""
+    from audioflux_tpu.ops import fft as afft
+    monkeypatch.setattr(afft, "_use_fourstep",
+                        lambda n: pf.supports.__wrapped__(n)
+                        if hasattr(pf.supports, "__wrapped__")
+                        else (not (n & (n - 1)) and 2048 <= n <= 32768))
+    monkeypatch.setattr(pf, "FORCE_INTERPRET", True)
+    yield
+
+
+def test_afft_generic_fourstep_tier(fourstep_interpret):
+    from audioflux_tpu.ops import fft as afft
+
+    rng = np.random.default_rng(80)
+    x = rng.standard_normal((3, 2048)).astype(np.float32)
+    zr = rng.standard_normal((3, 2048)).astype(np.float32)
+    zi = rng.standard_normal((3, 2048)).astype(np.float32)
+    z = zr + 1j * zi
+
+    R = np.fft.rfft(x.astype(np.float64))
+    r = np.asarray(afft.rfft(jnp.asarray(x)))
+    assert np.max(np.abs(r - R)) / np.max(np.abs(R)) < 5e-5
+
+    y = np.asarray(afft.irfft(jnp.asarray(R.astype(np.complex64)), n=2048))
+    assert np.max(np.abs(y - x)) < 2e-4
+
+    F = np.fft.fft(z.astype(np.complex128))
+    f = np.asarray(afft.fft(jnp.asarray(z.astype(np.complex64))))
+    assert np.max(np.abs(f - F)) / np.max(np.abs(F)) < 5e-5
+
+    G = np.fft.ifft(z.astype(np.complex128))
+    g = np.asarray(afft.ifft(jnp.asarray(z.astype(np.complex64))))
+    assert np.max(np.abs(g - G)) / np.max(np.abs(G)) < 5e-5
+
+    # exact= pins the native tier
+    r2 = np.asarray(afft.rfft(jnp.asarray(x), exact=True))
+    r3 = np.asarray(jnp.fft.rfft(jnp.asarray(x)))
+    np.testing.assert_array_equal(r2, r3)
+
+    # non-last axis + zero padding
+    w = rng.standard_normal((2, 2048, 3)).astype(np.float32)
+    ra = np.asarray(afft.rfft(jnp.asarray(w), axis=1))
+    Ra = np.fft.rfft(w.astype(np.float64), axis=1)
+    assert np.max(np.abs(ra - Ra)) / np.max(np.abs(Ra)) < 5e-5
+    rp = np.asarray(afft.rfft(jnp.asarray(x[:, :1500]), n=2048))
+    Rp = np.fft.rfft(x[:, :1500].astype(np.float64), n=2048)
+    assert np.max(np.abs(rp - Rp)) / np.max(np.abs(Rp)) < 5e-5
