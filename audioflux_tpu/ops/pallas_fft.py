@@ -34,6 +34,14 @@ Gated to the TPU backend; CPU callers keep ``jnp.fft`` so golden
 fixtures are unaffected (reference: the transforms that ride this —
 ``src/mir/hpss_algorithm.c:233-330``, ``src/mir/_pitch_yin.c:330-430``,
 ``src/reassign_algorithm.c`` — hold their documented tolerances).
+
+Multi-chip note: a ``pallas_call`` inside a GSPMD-constrained graph is
+an opaque custom call — XLA partitions it along dims it can infer and
+otherwise replicates (correct, but it all-gathers the operand).  The
+``parallel/`` wrappers that need guaranteed partitioning run their
+kernels inside ``shard_map`` bodies (the ccwt/cst pattern); the
+GSPMD-constraint wrappers are batch-sharded on the kernel's leading
+grid dim, which XLA propagates through custom-call batch dims.
 """
 
 from __future__ import annotations
