@@ -352,3 +352,26 @@ def test_afft_generic_fourstep_tier(fourstep_interpret):
     rp = np.asarray(afft.rfft(jnp.asarray(x[:, :1500]), n=2048))
     Rp = np.fft.rfft(x[:, :1500].astype(np.float64), n=2048)
     assert np.max(np.abs(rp - Rp)) / np.max(np.abs(Rp)) < 5e-5
+
+
+def test_fft4_under_shard_map():
+    # the multi-chip composition pattern: batch-sharded kernel calls
+    # inside a shard_map body (interpret mode on the CPU mesh)
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(90)
+    x = jnp.asarray(rng.standard_normal((8, 2048)).astype(np.float32))
+
+    def body(xs):
+        yr, yi = pf.fft4_fwd(xs, interpret=True)
+        return pf.t_to_natural(yr * yr + yi * yi)
+
+    f = shard_map(body, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                  check_vma=False)
+    got = np.asarray(jax.jit(f)(x))
+    ref = np.abs(np.fft.fft(np.asarray(x).astype(np.float64))) ** 2
+    assert got.shape == (8, 2048)
+    assert np.max(np.abs(got - ref)) / ref.max() < 1e-4
