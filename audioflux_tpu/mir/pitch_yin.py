@@ -55,15 +55,10 @@ def _yin_impl(x, *, fft_length, slide_length, auto_length, min_index,
         if use_fft_kernel is None:  # static, resolved at trace time
             use_fft_kernel = pfft.supports(fft_length)
         if use_fft_kernel:
-            # fused four-step kernels: the squaring is elementwise, so
-            # the whole round trip stays in the kernel's T-layout (no
-            # bin-order transposes; measured 1.7x the native-fft form
-            # at the MIR bench shape)
-            zr, zi = pfft.fft4_fwd(frames, rev, interpret=interpret)
-            sr = zr * zr - zi * zi
-            si = 2.0 * zr * zi
-            _, oi = pfft.fft4_inv(sr, si, interpret=interpret)
-            acf_full = 0.5 * oi
+            # ONE fused four-step kernel for the whole round trip: the
+            # squaring is elementwise, so fft -> ^2 -> ifft never leaves
+            # VMEM (no bin-order transposes, no mid-chain HBM trip)
+            acf_full = pfft.fft4_autocorr(frames, rev, interpret=interpret)
         else:
             Z = afft.fft(jax.lax.complex(frames, rev), axis=-1)
             acf_full = 0.5 * jnp.imag(afft.ifft(Z * Z, axis=-1))

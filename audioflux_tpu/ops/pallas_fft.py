@@ -201,6 +201,78 @@ def _kernel(*refs, n1: int, in_complex: bool, out_imag: bool,
         refs[len(refs) - 1][...] = di
 
 
+def _kernel_autocorr(*refs, n1: int):
+    """Fused round trip: 0.5*Im(ifft(fft(x + i*y)^2)) in one VMEM pass.
+
+    YIN's packed autocorrelation (``Im(ifft(Z^2))/2`` = the x (*) y
+    circular convolution) is an fft -> elementwise -> ifft chain whose
+    middle never needs HBM: forward core A, complex square, inverse
+    core B, imaginary output only — one HBM read of the operands and
+    one write of the result instead of the two-kernel form's four."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    (f1rh, f1rl, f1ih, f1il, f1sh, f1sl,
+     f2rh, f2rl, f2ih, f2il, f2sh, f2sl, ftwr_ref, ftwi_ref,
+     b1rh, b1rl, b1ih, b1il, b1sh, b1sl,
+     b2rh, b2rl, b2ih, b2il, b2sh, b2sl, btwr_ref, btwi_ref) = refs[2:-1]
+    out_ref = refs[-1]
+
+    dM = lambda c, v: _dotM(c[0], c[1], v, n1)
+    dL = lambda c, v: _dotL(v, c[0], c[1])
+
+    # forward (core A): natural -> T-layout spectrum
+    gr, gi = _cmul3((f1rh, f1rl), (f1ih, f1il), (f1sh, f1sl),
+                    xr_ref[...], xi_ref[...], dM)
+    twr, twi = ftwr_ref[...], ftwi_ref[...]
+    hr = gr * twr - gi * twi
+    hi = gr * twi + gi * twr
+    dr, di = _cmul3((f2rh, f2rl), (f2ih, f2il), (f2sh, f2sl), hr, hi, dL)
+
+    # elementwise middle: Z^2
+    sr = dr * dr - di * di
+    si = 2.0 * dr * di
+
+    # inverse (core B): T-layout -> natural, imaginary part only
+    gr, gi = _cmul3((b2rh, b2rl), (b2ih, b2il), (b2sh, b2sl), sr, si, dL)
+    twr, twi = btwr_ref[...], btwi_ref[...]
+    hr = gr * twr - gi * twi
+    hi = gr * twi + gi * twr
+    out_ref[...] = 0.5 * (dM((b1ih, b1il), hr) + dM((b1rh, b1rl), hi))
+
+
+def fft4_autocorr(xr, xi, *, interpret: bool = False):
+    """(..., n) real pair -> 0.5 * Im(ifft(fft(xr + i*xi)^2)) (..., n),
+    the packed circular autocorrelation, as ONE fused kernel."""
+    interpret_ = interpret or FORCE_INTERPRET
+    n = xr.shape[-1]
+    n1, ef1, ef2, ftwr, ftwi = _consts(n, False)
+    _, eb1, eb2, btwr, btwi = _consts(n, True)
+    lead = xr.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    ops = [xr.reshape(B, n1, _N2), xi.reshape(B, n1, _N2)]
+    tile = max(8, _tile(n1) // 2)  # both directions' buffers live in VMEM
+    Bp = -(-B // tile) * tile
+    if Bp != B:
+        ops = [jnp.pad(o, [(0, Bp - B), (0, 0), (0, 0)]) for o in ops]
+    consts = ([jnp.asarray(c) for c in ef1] + [jnp.asarray(c) for c in ef2]
+              + [jnp.asarray(ftwr), jnp.asarray(ftwi)]
+              + [jnp.asarray(c) for c in eb1] + [jnp.asarray(c) for c in eb2]
+              + [jnp.asarray(btwr), jnp.asarray(btwi)])
+    out = pl.pallas_call(
+        functools.partial(_kernel_autocorr, n1=n1),
+        grid=(Bp // tile,),
+        in_specs=[pl.BlockSpec((tile, n1, _N2), lambda i: (i, 0, 0))
+                  for _ in ops]
+        + [pl.BlockSpec(c.shape, functools.partial(
+            lambda nd, i: (0,) * nd, c.ndim)) for c in consts],
+        out_specs=pl.BlockSpec((tile, n1, _N2), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, n1, _N2), jnp.float32),
+        interpret=interpret_,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(*ops, *consts)
+    return out[:B].reshape(lead + (n,))
+
+
 def _run(xr, xi, n: int, *, inverse: bool, out_imag: bool,
          interpret: bool = False):
     interpret = interpret or FORCE_INTERPRET

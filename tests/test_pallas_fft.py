@@ -375,3 +375,15 @@ def test_fft4_under_shard_map():
     ref = np.abs(np.fft.fft(np.asarray(x).astype(np.float64))) ** 2
     assert got.shape == (8, 2048)
     assert np.max(np.abs(got - ref)) / ref.max() < 1e-4
+
+
+def test_fft4_autocorr_fused():
+    rng = np.random.default_rng(91)
+    x = rng.standard_normal((5, 2048)).astype(np.float32)
+    y = rng.standard_normal((5, 2048)).astype(np.float32)
+    Z = np.fft.fft(x.astype(np.float64) + 1j * y.astype(np.float64))
+    ref = 0.5 * np.imag(np.fft.ifft(Z * Z))
+    got = np.asarray(pf.fft4_autocorr(jnp.asarray(x), jnp.asarray(y),
+                                      interpret=True))
+    sc = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / sc < 5e-5
