@@ -1,0 +1,94 @@
+"""Roofline accounting for the four-step FFT kernel (ops/pallas_fft.py).
+
+Counts the MXU passes fft4_fwd/fft4_inv actually issue and compares a
+measured wall to the chip's measured peaks, alongside the HBM bytes each
+direction must move (the kernel's design target is the HBM roofline —
+the native XLA fft custom-call measured ~20x off it at these shapes).
+
+FLOP accounting per transform of length n = n1*128 (complex input):
+* stage 1 (sublane DFT-n1):  Karatsuba 3 products x 3 bf16 passes,
+  each n1*n1*128 MACs                      ->  9 * n1^2 * 128 MACs
+* stage 2 (lane DFT-128):    9 passes of n1*128*128 MACs
+* real input halves stage 1 (2 products x 3 passes)
+* real output (irfft) uses 2 products x 3 passes in its final stage
+
+Usage::
+
+    python tools/roofline_fft.py [--n 2048 --batch 15000 --ms WALL]
+
+With no --ms it times the kernel on the current backend (TPU expected;
+amortized 10-dispatch wall, the bench methodology).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MEASURED_PEAK_TFLOPS = 118.0
+MEASURED_HBM_GBS = 615.0  # chained-adds measurement, CLAUDE.md r4
+
+
+def kernel_macs(n: int, batch: int, *, in_complex: bool, out_imag: bool):
+    n1 = n // 128
+    s1_products = 3 if in_complex else 2
+    s2_products = 3 if out_imag else 2
+    s1 = s1_products * 3 * n1 * n1 * 128
+    s2 = s2_products * 3 * n1 * 128 * 128
+    return batch * (s1 + s2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=15000)
+    ap.add_argument("--ms", type=float, default=None)
+    args = ap.parse_args()
+
+    n, b = args.n, args.batch
+    macs_fwd = kernel_macs(n, b, in_complex=False, out_imag=True)
+    exec_tflop = 2 * macs_fwd / 1e12
+
+    # HBM bytes for the forward rfft: read (b, n) f32, write 2x(b, n) f32
+    bytes_fwd = b * n * 4 * 3
+    hbm_floor_ms = bytes_fwd / (MEASURED_HBM_GBS * 1e9) * 1e3
+    mxu_floor_ms = exec_tflop / MEASURED_PEAK_TFLOPS * 1e3
+
+    ms = args.ms
+    if ms is None:
+        import jax
+        import jax.numpy as jnp
+        from audioflux_tpu.ops import pallas_fft as pf
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, n), jnp.float32)
+        x.block_until_ready()
+        f = jax.jit(lambda a: pf.fft4_fwd(a)[0])
+        y = f(x)
+        y.block_until_ready()
+        np.asarray(y.ravel()[:1])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = f(x)
+        y.block_until_ready()
+        np.asarray(y.ravel()[:1])
+        ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    print(f"fft4_fwd (real in) n={n} batch={b}")
+    print(f"  executed MXU work : {exec_tflop*1e3:8.2f} GFLOP "
+          f"(bf16 passes, incl the x3 accuracy price)")
+    print(f"  HBM traffic       : {bytes_fwd/1e6:8.1f} MB")
+    print(f"  floors            : MXU {mxu_floor_ms:.2f} ms | "
+          f"HBM {hbm_floor_ms:.2f} ms (measured-peak anchors)")
+    print(f"  measured wall     : {ms:.2f} ms "
+          f"(~5 ms of that is per-dispatch axon overhead at this size)")
+    eff = max(mxu_floor_ms, hbm_floor_ms) / max(ms - 5.0, 1e-9)
+    print(f"  efficiency vs max(floor), net of dispatch: {100*eff:.0f}%")
+
+
+if __name__ == "__main__":
+    main()
