@@ -42,7 +42,7 @@ from audioflux_tpu.types import SpectralFilterBankScaleType
 __all__ = ["sharded_cwt_fn", "sharded_pwt_fn", "sharded_synsq_fn",
            "sharded_wsst_fn", "sharded_st_fn", "sharded_fst_fn",
            "sharded_nsgt_fn", "sharded_cqt_fn", "sharded_ccwt_fn",
-           "sharded_cst_fn", "sharded_batch_fn"]
+           "sharded_cst_fn", "sharded_batch_fn", "sharded_batch_map_fn"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -554,5 +554,34 @@ def sharded_batch_fn(fn, mesh: Mesh, batch_axis: str = "data"):
         return jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(
                 a, _ns(mesh, *([batch_axis] + [None] * (a.ndim - 1)))), out)
+
+    return jax.jit(run)
+
+
+def sharded_batch_map_fn(fn, mesh: Mesh, batch_axis: str = "data"):
+    """``sharded_batch_fn`` via ``shard_map``: ``fn`` runs once per shard
+    on its local batch slice.
+
+    Prefer this form when ``fn``'s TPU path contains Pallas kernels
+    (the fused spectrogram, the four-step fft family, medians): GSPMD
+    treats a ``pallas_call`` as an opaque custom call and may replicate
+    it — all-gathering the operand — whereas ``shard_map`` guarantees
+    each chip executes the kernel on exactly its own batch slice.
+    Requires the leading batch to divide the mesh's ``batch_axis`` size;
+    bit-equal to the unsharded ``fn`` (batch partitioning reorders
+    nothing).
+    """
+    n_b = int(mesh.shape[batch_axis])
+
+    def run(x):
+        if x.shape[0] % n_b:
+            raise ValueError(f"batch {x.shape[0]} must divide the "
+                             f"'{batch_axis}' mesh axis ({n_b})")
+        smapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=P(batch_axis),
+            out_specs=P(batch_axis),
+            check_vma=False)  # Pallas outputs carry no vma info
+        return smapped(x)
 
     return jax.jit(run)

@@ -230,3 +230,28 @@ def test_sharded_pwt_equals_unsharded():
     want = np.asarray(obj.pwt(x))
     got = np.asarray(sharded_pwt_fn(obj, mesh)(x))
     np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
+def test_sharded_batch_map_fn_with_kernel():
+    """shard_map batch wrapper: guaranteed per-shard Pallas execution
+    (the GSPMD wrapper may replicate opaque custom calls on real pods).
+    Drives the HPSS kernel path in interpret mode through the mesh."""
+    import jax.numpy as jnp
+    from functools import partial
+    from audioflux_tpu.mir.hpss import _hpss_impl
+    from audioflux_tpu.ops.window import get_fft_window
+    from audioflux_tpu.parallel import sharded_batch_map_fn, make_mesh
+    from audioflux_tpu.types import WindowType
+
+    mesh8 = make_mesh(data=8, time=1)
+
+    w = jnp.asarray(get_fft_window(WindowType.HAMM, 2048))
+    fn = partial(_hpss_impl, window=w, fft_length=2048, slide_length=512,
+                 h_order=21, p_order=31, use_kernel=True, interpret=True)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((8, 32768)).astype(np.float32))
+    h0, p0 = fn(x)
+    sh = sharded_batch_map_fn(lambda a: fn(a), mesh8)
+    h1, p1 = sh(x)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h0))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
