@@ -289,6 +289,25 @@ def matrix(rows):
     bft = BFT(num=NUM, radix2_exp=12, samplate=SR, slide_length=1024,
               scale_type=SpectralFilterBankScaleType.LINEAR,
               data_type=SpectralDataType.POWER, is_reassign=True)
+    # accuracy gate for the reassign fft-kernel path: the scatter rounds
+    # corrected frequencies to grid indices, so cells a kernel-ulp from a
+    # bin edge may flip (the documented class) — bound flipped mass and
+    # require mass conservation vs the CPU-backend exact path
+    y_k = np.asarray(bft.bft(xs[:2], result_type=1))
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    if cpu0 is not None:
+        with jax.default_device(cpu0):
+            y_x = np.asarray(bft.bft(np.asarray(xs[:2]), result_type=1))
+        peak = float(np.max(np.abs(y_x)))
+        flips = float(np.mean(np.abs(y_k - y_x) > 1e-3 * peak))
+        mass = abs(float(np.sum(y_k)) / max(float(np.sum(y_x)), 1e-30) - 1)
+        if flips > 5e-3 or mass > 1e-4:
+            print(f"reassign kernel gate failed: flips {flips:.2e} "
+                  f"mass {mass:.2e}", file=sys.stderr)
+            sys.exit(1)
     el = _time(lambda x: bft.bft(x, result_type=1), xs) / smult
     _emit("server reassign audio-hours/sec/chip (1000x 128ms, local-C base)",
           el, audio_hours, 0.299, rows)
