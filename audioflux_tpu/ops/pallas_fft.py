@@ -346,7 +346,8 @@ def fft4_inv(yr, yi, *, out_imag: bool = True, interpret: bool = False):
 
 
 def _selftest(n=2048, b=3, seed=0):
-    """numpy cross-check used by the unit tests (interpret mode)."""
+    """Manual numpy cross-check (interpret mode) — a REPL smoke helper;
+    the real coverage lives in tests/test_pallas_fft.py."""
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((b, n)).astype(np.float32)
     y = rng.standard_normal((b, n)).astype(np.float32)
