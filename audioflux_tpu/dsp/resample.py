@@ -142,11 +142,18 @@ def _poly_resample(x, filts, *, p, q, out_len, max_l, bases,
     n = x.shape[-1]
     xp = jnp.pad(x, [(0, 0)] * (len(batch_shape)) + [(max_l, taps + q * p)])
     xc = xp.reshape((-1, 1, xp.shape[-1]))  # (B, C=1, L)
-    # banded-matmul path: on by default on TPU (see _banded_fir); the E <=
-    # S*q guard keeps the next-row borrow a single slice
+    # banded-matmul path: on by default on TPU (see _banded_fir).  Guards:
+    # taps > q — the banded form assumes each output window OVERLAPS the
+    # next (row tail E = taps - q borrowed from the following row); large-
+    # ratio polyphase plans (e.g. pitch_shift's 890/999) have per-phase
+    # kernels SHORTER than the stride, where E goes negative (r4 crash:
+    # concat built a 2x-wide frame tensor) and where the dense band is
+    # ~q/taps x wasted MACs anyway — the strided conv is cheap there
+    # because each phase produces only out_len/p samples.  E <= S*q keeps
+    # the next-row borrow a single slice.
     from audioflux_tpu.ops.backend import on_tpu
     use_matmul = ((force_matmul or on_tpu())
-                  and taps - q <= 128 * q)
+                  and 0 < taps - q <= 128 * q)
 
     outs = []
     for r in range(p):

@@ -140,3 +140,36 @@ def test_resample_streaming_continue(signals):
     # interiors identical; only the chunk-boundary filter context differs
     mism = np.abs(y - yw) > 1e-4
     assert mism.mean() < 0.02
+
+
+def test_resample_large_ratio_plan_taps_below_stride():
+    """Regression (r4): polyphase plans whose per-phase kernels are
+    SHORTER than the stride (pitch_shift's 890/999: taps 36, q 999) made
+    the banded form's next-row borrow E = taps - q negative and crashed
+    the einsum.  Such plans must fall back to the strided conv even when
+    the matmul path is forced/gated on."""
+    from audioflux_tpu.dsp.resample import _poly_resample, Resample
+    from audioflux_tpu.types import ResampleQualityType
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 40000)).astype(np.float32)
+    rs = Resample(ResampleQualityType.FAST, is_scale=True)
+    rs.p, rs.q = 890, 999
+    rs.ratio = 890 / 999
+    plan = rs._plan()
+    assert plan.filts.shape[-1] <= plan.q  # the broken regime
+    out_len = int(np.floor(x.shape[-1] * rs.ratio))
+    kw = dict(p=plan.p, q=plan.q, out_len=out_len, max_l=plan.max_l,
+              bases=tuple(plan.base))
+    conv = np.asarray(_poly_resample(
+        jnp.asarray(x), jnp.asarray(plan.filts), **kw))
+    forced = np.asarray(_poly_resample(
+        jnp.asarray(x), jnp.asarray(plan.filts), force_matmul=True, **kw))
+    np.testing.assert_array_equal(forced, conv)
+
+    # end-to-end: the public PitchShift path that hit the crash
+    import audioflux_tpu as af
+    y = np.asarray(af.PitchShift(radix2_exp=11).pitch_shift(
+        x[0][:16000], 2))
+    assert y.shape[-1] > 0 and np.isfinite(y).all()
