@@ -209,7 +209,15 @@ class WindowResample:
         # (resample_algorithm.c:377-383) is guarded by dealArr, which is
         # only non-NULL once a tail exists (:416), so the remainder samples
         # are silently DROPPED each chunk. Default mirrors the C exactly;
-        # tail_carry=True enables the evidently-intended seamless carry.
+        # tail_carry=True enables the evidently-intended SAMPLE-CONSERVING
+        # carry: no input sample is dropped and per-chunk output lengths
+        # keep the C's q-truncation formula.  Each chunk is still filtered
+        # with per-chunk FIR context (zero history at its edges, as in the
+        # C), so a few dozen boundary outputs per chunk carry warm-up
+        # transients — bounded by tests/test_streaming.py's chunk fuzz
+        # (<2% of samples).  Fully seamless emission would have to delay
+        # outputs by the filter's right support, changing the per-chunk
+        # length contract.
         self.tail_carry = bool(tail_carry)
         self._interp = _interp_table(self.zero_num, self.nbit,
                                      self.window_type, self.value,
