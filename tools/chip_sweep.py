@@ -35,7 +35,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 import audioflux_tpu as af  # noqa: E402
 from audioflux_tpu.types import (ResampleQualityType, SpectralDataType,  # noqa: E402
                                  SpectralFilterBankScaleType,
-                                 WaveletDiscreteType, WindowType)
+                                 WaveletDiscreteType)
 
 SR = 32000
 FAILURES = []
