@@ -11,9 +11,15 @@ exactly that.  All gates call :func:`effective_backend` instead.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 
-__all__ = ["effective_backend", "on_tpu"]
+__all__ = ["effective_backend", "on_tpu", "native_fft_scope",
+           "native_fft_pinned"]
+
+_tls = threading.local()
 
 
 def effective_backend() -> str:
@@ -25,3 +31,25 @@ def effective_backend() -> str:
 
 def on_tpu() -> bool:
     return effective_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def native_fft_scope():
+    """Trace-time scope pinning ``ops.fft`` to the native XLA FFT.
+
+    The mesh-parallel wrappers (``parallel/sharded*.py``) build graphs
+    that GSPMD partitions via sharding constraints.  XLA partitions the
+    native FFT HLO along batch dims natively, but a ``pallas_call`` is
+    an opaque custom call that GSPMD may replicate (all-gathering the
+    operand) — so the sharded graph builders pin the native tier while
+    tracing.  Single-chip callers are unaffected."""
+    prev = getattr(_tls, "native_fft", False)
+    _tls.native_fft = True
+    try:
+        yield
+    finally:
+        _tls.native_fft = prev
+
+
+def native_fft_pinned() -> bool:
+    return getattr(_tls, "native_fft", False)

@@ -51,7 +51,12 @@ def _use_fourstep(n: int) -> bool:
     overhead at the library's batched shapes.  Generic natural-order
     entry points pay one layout relayout per direction; hot paths that
     can stay in the kernel's T-layout (YIN, HPSS, reassign, istft)
-    call the kernel directly instead."""
+    call the kernel directly instead.  ``backend.native_fft_scope``
+    (the sharded graph builders) pins the native tier — GSPMD
+    partitions the FFT HLO but may replicate an opaque pallas_call."""
+    from audioflux_tpu.ops.backend import native_fft_pinned, on_tpu
+    if native_fft_pinned():
+        return False
     from audioflux_tpu.ops import pallas_fft as pfft
     return pfft.supports(n)
 

@@ -40,6 +40,16 @@ __all__ = ["sharded_spectrogram_fn", "sharded_stft_fn", "sharded_istft_fn",
            "valid_frames"]
 
 
+def _pin_native_fft(fn):
+    """Trace the wrapped graph with ops.fft pinned to the native XLA FFT
+    (GSPMD partitions the FFT HLO; it may replicate a pallas_call —
+    see ops/backend.py native_fft_scope)."""
+    def wrapped(*a, **k):
+        from audioflux_tpu.ops.backend import native_fft_scope
+        with native_fft_scope():
+            return fn(*a, **k)
+    return wrapped
+
 def _right_halo(x_loc, axis_name, halo_len):
     """Fetch the first ``halo_len`` samples of the right neighbor's block."""
     n = jax.lax.axis_size(axis_name)
@@ -89,7 +99,7 @@ def sharded_stft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
         tv = valid_frames(x.shape[-1], fft_length, slide_length)
         return smapped(x)[..., :tv, :]
 
-    return jax.jit(run)
+    return jax.jit(_pin_native_fft(run))
 
 
 def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
@@ -173,7 +183,7 @@ def sharded_istft_fn(mesh: Mesh, fft_length: int, slide_length: int, window,
             out_specs=P(batch_axis, time_axis))(D_p)
         return y[..., :(t - 1) * slide_length + fft_length]
 
-    return jax.jit(run)
+    return jax.jit(_pin_native_fft(run))
 
 
 def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
@@ -241,7 +251,7 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
             mel, cc = smapped_f(x)
             return mel[..., :tv], cc[..., :tv]
 
-        return jax.jit(run_fused)
+        return jax.jit(_pin_native_fft(run_fused))
 
     def local_spec(x_loc):
         ext = jnp.concatenate(
@@ -278,4 +288,4 @@ def sharded_spectrogram_fn(plan: Spectrogram, mesh: Mesh,
             return out[0][..., :tv], out[1][..., :tv]
         return out[..., :tv]
 
-    return jax.jit(run)
+    return jax.jit(_pin_native_fft(run))

@@ -50,6 +50,16 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 def _ns(mesh: Mesh, *spec):
     return NamedSharding(mesh, P(*spec))
 
+def _pin_native_fft(fn):
+    """Trace the wrapped graph with ops.fft pinned to the native XLA FFT
+    (GSPMD partitions the FFT HLO; it may replicate a pallas_call —
+    see ops/backend.py native_fft_scope)."""
+    def wrapped(*a, **k):
+        from audioflux_tpu.ops.backend import native_fft_scope
+        with native_fft_scope():
+            return fn(*a, **k)
+    return wrapped
+
 
 # ---------------------------------------------------------------------------
 # CWT: band-parallel IFFT bank, time-sharded output
@@ -92,8 +102,7 @@ def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         return jax.lax.with_sharding_constraint(
             out, _ns(mesh, batch_axis, None, time_axis))
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
 
@@ -115,8 +124,7 @@ def sharded_pwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         return jax.lax.with_sharding_constraint(
             out, _ns(mesh, batch_axis, None, time_axis))
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
 
@@ -149,8 +157,7 @@ def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
         return jax.lax.with_sharding_constraint(
             out, _ns(mesh, batch_axis, None, time_axis))
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
 
@@ -187,8 +194,7 @@ def sharded_wsst_fn(wsst_obj, mesh: Mesh,
         return (jax.lax.with_sharding_constraint(sq, out_s),
                 jax.lax.with_sharding_constraint(D, out_s))
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=(_ns(mesh, batch_axis, None, time_axis),
                        _ns(mesh, batch_axis, None, time_axis)))
@@ -220,8 +226,7 @@ def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
     def run(x):
         return _st_body(x, windows, bins, obj.fft_length, annot=annot)
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, None, time_axis))
 
@@ -264,7 +269,7 @@ def sharded_fst_fn(obj, mesh: Mesh, batch_axis: str = "data",
         return obj._fst_impl(x, min_index=min_index, max_index=max_index,
                              annot=annot)
 
-    return jax.jit(run, in_shardings=_ns(mesh, batch_axis, time_axis),
+    return jax.jit(_pin_native_fft(run), in_shardings=_ns(mesh, batch_axis, time_axis),
                    out_shardings=_ns(mesh, batch_axis, time_axis, None))
 
 
@@ -364,8 +369,7 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         return jax.lax.with_sharding_constraint(
             rows, _ns(mesh, batch_axis, time_axis, None))
 
-    return jax.jit(
-        run,
+    return jax.jit(_pin_native_fft(run),
         in_shardings=_ns(mesh, batch_axis, time_axis),
         out_shardings=_ns(mesh, batch_axis, time_axis, None))
 
@@ -408,7 +412,7 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
         return jax.lax.with_sharding_constraint(a, _ns(mesh, *specs[tag]))
 
     jitted = jax.jit(
-        lambda x, sv: obj._cqt_impl(x, sv, annot=annot),
+        _pin_native_fft(lambda x, sv: obj._cqt_impl(x, sv, annot=annot)),
         in_shardings=(_ns(mesh, batch_axis, time_axis), None))
 
     # scale_vec enters as a traced operand evaluated per call, so a later
@@ -491,6 +495,8 @@ def _spliced_sharded_fn(transform, L, mesh: Mesh, batch_axis: str,
         check_vma=False)  # the per-window transform may run a Pallas
         # kernel on TPU, whose outputs carry no vma info
 
+    # shard_map body: each shard executes its own kernels — no GSPMD
+    # partitioning question, so the fft kernel tier stays enabled
     return jax.jit(smapped)
 
 
@@ -555,7 +561,7 @@ def sharded_batch_fn(fn, mesh: Mesh, batch_axis: str = "data"):
             lambda a: jax.lax.with_sharding_constraint(
                 a, _ns(mesh, *([batch_axis] + [None] * (a.ndim - 1)))), out)
 
-    return jax.jit(run)
+    return jax.jit(_pin_native_fft(run))
 
 
 def sharded_batch_map_fn(fn, mesh: Mesh, batch_axis: str = "data"):
@@ -584,4 +590,5 @@ def sharded_batch_map_fn(fn, mesh: Mesh, batch_axis: str = "data"):
             check_vma=False)  # Pallas outputs carry no vma info
         return smapped(x)
 
+    # shard_map body: kernels run per shard by construction
     return jax.jit(run)

@@ -387,3 +387,20 @@ def test_fft4_autocorr_fused():
                                       interpret=True))
     sc = np.max(np.abs(ref))
     assert np.max(np.abs(got - ref)) / sc < 5e-5
+
+
+def test_native_fft_scope_pins_tier(monkeypatch):
+    from audioflux_tpu.ops import fft as afft
+    from audioflux_tpu.ops import backend as bk
+
+    # force the fourstep gate open, then check the scope closes it
+    monkeypatch.setattr(afft, "_use_fourstep",
+                        afft._use_fourstep.__wrapped__
+                        if hasattr(afft._use_fourstep, "__wrapped__")
+                        else afft._use_fourstep)
+    import audioflux_tpu.ops.pallas_fft as pfm
+    monkeypatch.setattr(pfm, "supports", lambda n: True)
+    assert afft._use_fourstep(2048)
+    with bk.native_fft_scope():
+        assert not afft._use_fourstep(2048)
+    assert afft._use_fourstep(2048)
