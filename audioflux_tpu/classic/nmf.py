@@ -30,23 +30,31 @@ def _norm_w(W, norm: int):
     return W / jnp.where(v == 0, 1.0, v)
 
 
+def _mm(a, b):
+    # f32 accumulation like the reference's sgemm (nmf.c:112-156).  Default
+    # MXU precision is bf16; the multiplicative updates iterate hundreds of
+    # times and amplify backend rounding into different local optima
+    # (chip-vs-CPU factors diverged entirely before this pin).
+    return jnp.matmul(a, b, precision=_HI)
+
+
 @partial(jax.jit, static_argnames=("max_iter", "tp", "norm"))
 def _nmf_impl(V, W0, H0, *, max_iter, tp, thresh, norm):
     def update(W, H):
-        D = W @ H
+        D = _mm(W, H)
         if tp == 0:  # KL
             R = V / (D + _EPS)
             ones = jnp.ones_like(V)
-            H = H * (W.T @ R) / (W.T @ ones + _EPS)
-            W = W * (R @ H.T) / (ones @ H.T + _EPS)
+            H = H * _mm(W.T, R) / (_mm(W.T, ones) + _EPS)
+            W = W * _mm(R, H.T) / (_mm(ones, H.T) + _EPS)
         elif tp == 1:  # IS
             R2 = V / (D * D + _EPS)
             R1 = 1.0 / (D + _EPS)
-            H = H * (W.T @ R2) / (W.T @ R1 + _EPS)
-            W = W * (R2 @ H.T) / (R1 @ H.T + _EPS)
+            H = H * _mm(W.T, R2) / (_mm(W.T, R1) + _EPS)
+            W = W * _mm(R2, H.T) / (_mm(R1, H.T) + _EPS)
         else:  # Euclidean
-            H = H * (W.T @ V) / (W.T @ D + _EPS)
-            W = W * (V @ H.T) / ((W @ H) @ H.T + _EPS)
+            H = H * _mm(W.T, V) / (_mm(W.T, D) + _EPS)
+            W = W * _mm(V, H.T) / (_mm(_mm(W, H), H.T) + _EPS)
         return _norm_w(W, norm), H
 
     def cond(state):

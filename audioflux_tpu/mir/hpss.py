@@ -115,8 +115,9 @@ def _hpss_nmf_impl(x, window, W0, H0, *, fft_length, slide_length, k,
     flat_w = _flatness(W, axis=0)          # (k,)
     flat_h = _flatness(H, axis=1)          # (k,)
     is_h = (flat_w <= flat_h).astype(jnp.float32)
-    Sh = jnp.maximum((W * is_h) @ H, 0.0)          # (m, T)
-    Sp = jnp.maximum((W * (1.0 - is_h)) @ H, 0.0)
+    _HI = jax.lax.Precision.HIGHEST  # match _nmf_impl's f32 accumulation
+    Sh = jnp.maximum(jnp.matmul(W * is_h, H, precision=_HI), 0.0)  # (m, T)
+    Sp = jnp.maximum(jnp.matmul(W * (1.0 - is_h), H, precision=_HI), 0.0)
     h2, p2 = Sh * Sh, Sp * Sp
     denom = jnp.maximum(h2 + p2, 1e-16)
     Hm = jnp.swapaxes(h2 / denom, -1, -2) * mag    # (T, m)

@@ -25,7 +25,9 @@ _tls = threading.local()
 def effective_backend() -> str:
     d = jax.config.jax_default_device
     if d is not None:
-        return d.platform
+        # jax.default_device(...) accepts a Device OR a platform string
+        # ("cpu"); only Device has .platform.
+        return getattr(d, "platform", str(d)).lower()
     return jax.default_backend()
 
 

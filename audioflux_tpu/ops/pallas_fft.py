@@ -64,6 +64,11 @@ _N2 = 128
 # ops/fft.py glue (hermitian extension, layout converters, axis moves)
 # through the kernel path.  Only read at trace time by EAGER calls —
 # production callers sit inside jits that resolve supports() instead.
+# ACCURACY CAVEAT: the ~5e-5 contract holds for interpret mode on the
+# XLA:CPU backend and for the real Mosaic kernel on chip.  Interpret mode
+# lowered FOR the TPU/axon backend degrades to bf16-level error (~3e-3
+# rel, measured) — XLA's simplifier elides the manual bf16 hi/lo splits.
+# Tests force the CPU backend (conftest); don't set this on a TPU host.
 FORCE_INTERPRET = False
 
 

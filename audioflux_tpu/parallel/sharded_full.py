@@ -53,12 +53,389 @@ def _ns(mesh: Mesh, *spec):
 def _pin_native_fft(fn):
     """Trace the wrapped graph with ops.fft pinned to the native XLA FFT
     (GSPMD partitions the FFT HLO; it may replicate a pallas_call —
-    see ops/backend.py native_fft_scope)."""
+    see ops/backend.py native_fft_scope).
+
+    CAVEAT (trace-order hazard, not a correctness one): the pin is
+    thread-local state read at trace time, not part of jit cache keys.
+    A callable that was ALREADY traced outside the pin (e.g. a
+    per-instance ``@jax.jit`` hit earlier in the process) reuses its
+    cached jaxpr — pallas custom calls and all — inside the pinned
+    graph; results stay correct but GSPMD may replicate those kernels
+    on a real pod.  Callables handed to the GSPMD wrappers should be
+    un-jitted graph builders (every wrapper in this module passes raw
+    bodies); for kernel-bearing pipelines prefer the ``shard_map``
+    forms, which need no pin at all."""
     def wrapped(*a, **k):
         from audioflux_tpu.ops.backend import native_fft_scope
         with native_fft_scope():
             return fn(*a, **k)
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# shard_map kernel-tier twins
+#
+# GSPMD treats a ``pallas_call`` as an opaque custom call it may replicate
+# (all-gathering the operand), so the GSPMD wrappers below pin the native
+# fft tier while tracing — losing the Pallas kernel tiers (the four-step
+# fft kernel, the fused CWT bank kernel) on exactly the multi-chip paths.
+# The ``shard_map`` twins partition the band/bin axis EXPLICITLY: each
+# shard executes the single-chip kernel path on its own band slice, so the
+# kernel tiers stay enabled with guaranteed per-shard execution (the
+# sharded_batch_map_fn / sharded_ccwt_fn pattern).  ``mode``:
+#   "auto"      — shard_map twin when the kernel tier is available
+#                 (TPU backend + size support), GSPMD otherwise;
+#   "gspmd"     — force the sharding-constraint form (native fft tier);
+#   "shard_map" — force the twin (tests drive it on the CPU mesh with
+#                 ``interpret=True``).
+# Replacing the reference's per-thread plan parallelism
+# (src/stft_algorithm.c:773-788) with mesh-partitioned kernel batches.
+# ---------------------------------------------------------------------------
+
+
+def _pick_smap(mode: str, kernel_ok: bool) -> bool:
+    if mode not in ("auto", "gspmd", "shard_map"):
+        raise ValueError(f"mode must be auto/gspmd/shard_map, got {mode!r}")
+    return mode == "shard_map" or (mode == "auto" and kernel_ok)
+
+
+def _twin_or_auto(mode: str, smap_run, gspmd_thunk, n_div: int):
+    """``mode="shard_map"``: the twin, strict (raises on bad batches).
+    ``mode="auto"``: dispatch per call — the twin for (B, n) batches
+    divisible by the mesh, else the GSPMD form (built lazily, once), so
+    auto mode never rejects an input the GSPMD wrappers accept."""
+    if mode == "shard_map":
+        return smap_run
+    box = []
+
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 2 and x.shape[0] % n_div == 0:
+            return smap_run(x)
+        if not box:
+            box.append(gspmd_thunk())
+        return box[0](x)
+
+    return run
+
+
+def _band_pad(arr: np.ndarray, nshard: int) -> np.ndarray:
+    """Zero-pad the leading (band) axis to a multiple of ``nshard``."""
+    padn = (-arr.shape[0]) % nshard
+    if not padn:
+        return arr
+    pads = [(0, padn)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pads)
+
+
+def _check_batch(x, n_b: int, what: str):
+    if x.ndim != 2:
+        raise ValueError(f"{what} expects (B, n) input, got {x.shape}")
+    if x.shape[0] % n_b:
+        raise ValueError(f"batch {x.shape[0]} must divide the batch mesh "
+                         f"axis ({n_b}) in shard_map mode")
+
+
+def _cwt_kernel_ok(obj, interpret: bool) -> bool:
+    from audioflux_tpu.ops import pallas_cwt as pcwt
+    from audioflux_tpu.ops.backend import on_tpu
+    w_len = obj.data_length + 2 * obj.pad_length
+    return (pcwt.supports(w_len, obj.pad_length, obj.data_length)
+            and (on_tpu() or interpret))
+
+
+def _uniform_row_h(bank_p: np.ndarray, w_len: int, nshard: int):
+    """Static stage-1 support counts, uniform across band shards.
+
+    shard_map traces ONE program for all shards, so the fused kernel's
+    static bucketing cannot differ per shard: take the elementwise max
+    over the shard slices.  Exact (extra rows only contract bank entries
+    that are exactly zero) and free in wall clock (SPMD runs in
+    lockstep; the widest shard's counts bound the step anyway)."""
+    from audioflux_tpu.ops import pallas_cwt as pcwt
+    rh = np.asarray(pcwt.band_row_counts(bank_p, w_len),
+                    np.int64).reshape(nshard, -1)
+    return tuple(int(v) for v in rh.max(axis=0))
+
+
+def _smap_cwt_like(obj, mesh: Mesh, batch_axis: str, band_axis: str, *,
+                   det: bool, interpret: bool):
+    """Band-sharded CWT/PWT with the fused kernel per shard.
+
+    Each shard replicates the forward FFT (one L·log L pass — cheaper
+    than communicating it, same argument as the GSPMD form) and runs the
+    fused bank-multiply + four-step IFFT kernel on only its own bands.
+    Output arrives band-sharded over ``band_axis``."""
+    from audioflux_tpu.transforms.cwt import _cwt_conv_body
+    if det:
+        obj.enable_det(True)
+    bank_np = np.asarray(obj._det_bank if det else obj._bank, np.float32)
+    num = bank_np.shape[0]
+    p_len, L = obj.pad_length, obj.data_length
+    w_len = L + 2 * p_len
+    nshard = int(mesh.shape[band_axis])
+    n_b = int(mesh.shape[batch_axis])
+    bank_p = _band_pad(bank_np, nshard)
+    use_k = _cwt_kernel_ok(obj, interpret)
+    row_h = _uniform_row_h(bank_p, w_len, nshard) if use_k else None
+    bank_j = jnp.asarray(bank_p)
+
+    def local(x_loc, bank_loc):
+        return _cwt_conv_body(x_loc, bank_loc, det=det, pad_length=p_len,
+                              data_length=L, row_h=row_h,
+                              force_kernel=use_k, interpret=interpret)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, None), P(band_axis, None)),
+        out_specs=P(batch_axis, band_axis, None),
+        check_vma=False)  # Pallas outputs carry no vma info
+
+    @jax.jit
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_b, "sharded cwt/pwt")
+        return smapped(x, bank_j)[..., :num, :]
+
+    return run
+
+
+def _smap_squeeze(cwt_obj, mesh: Mesh, batch_axis: str, band_axis: str, *,
+                  interpret: bool, kind: str, num_out: int, samplate: float,
+                  thresh: float, order: int, with_det: bool):
+    """Band-sharded CWT(+det) -> per-cell bin map -> partial scatter ->
+    reduce_scatter: the synsq/wsst twin body builder.
+
+    The bin map is band-local; the order>1 composition needs every
+    band's map (it looks up OTHER bands' targets), so it all-gathers the
+    small int32 map, composes, and slices back.  Each shard's scatter
+    produces its bands' partial bin sums; ``psum_scatter`` completes the
+    sum over ICI and leaves the output time-sharded.  Padding bands
+    contribute nothing (zero bank rows -> zero power -> thresholded
+    out).  Returns ``run(x)`` -> squeezed (+ cwt when ``with_det``)."""
+    from audioflux_tpu.transforms.cwt import _cwt_conv_body
+    from audioflux_tpu.transforms.synsq import (_compose_order,
+                                                _reassign_scatter,
+                                                _synsq_map)
+    from audioflux_tpu.transforms.wsst import _wsst_map
+
+    bank_np = np.asarray(cwt_obj._bank, np.float32)
+    num = bank_np.shape[0]
+    p_len, L = cwt_obj.pad_length, cwt_obj.data_length
+    w_len = L + 2 * p_len
+    nshard = int(mesh.shape[band_axis])
+    n_b = int(mesh.shape[batch_axis])
+    bank_p = _band_pad(bank_np, nshard)
+    nloc = bank_p.shape[0] // nshard
+    use_k = _cwt_kernel_ok(cwt_obj, interpret)
+    row_h = _uniform_row_h(bank_p, w_len, nshard) if use_k else None
+    bank_j = jnp.asarray(bank_p)
+    operands = [bank_j]
+    row_h_det = None
+    if with_det:
+        cwt_obj.enable_det(True)
+        det_p = _band_pad(np.asarray(cwt_obj._det_bank, np.float32), nshard)
+        row_h_det = _uniform_row_h(det_p, w_len, nshard) if use_k else None
+        operands.append(jnp.asarray(det_p))
+    fre_full = jnp.asarray(cwt_obj.fre_band_arr, jnp.float32)
+
+    def _localize_fi(fi):
+        """order>1 composition across the band shards."""
+        if order <= 1:
+            return fi
+        fi_full = jax.lax.all_gather(fi, band_axis, axis=fi.ndim - 2,
+                                     tiled=True)
+        comp = _compose_order(fi_full[..., :num, :], num_out, order)
+        padn = fi_full.shape[-2] - num
+        if padn:  # pad rows re-marked as drops before the local re-slice
+            fill = jnp.full(comp.shape[:-2] + (padn, comp.shape[-1]), -1,
+                            jnp.int32)
+            comp = jnp.concatenate([comp, fill], axis=-2)
+        j = jax.lax.axis_index(band_axis)
+        return jax.lax.dynamic_slice_in_dim(comp, j * nloc, nloc,
+                                            axis=comp.ndim - 2)
+
+    def local(x_loc, bank_loc, *det_loc):
+        D = _cwt_conv_body(x_loc, bank_loc, det=False, pad_length=p_len,
+                           data_length=L, row_h=row_h, force_kernel=use_k,
+                           interpret=interpret)
+        if with_det:
+            dD = _cwt_conv_body(x_loc, det_loc[0], det=True,
+                                pad_length=p_len, data_length=L,
+                                row_h=row_h_det, force_kernel=use_k,
+                                interpret=interpret)
+            fi = _wsst_map(D, dD, fre_full, scale_kind=kind, num=num_out,
+                          samplate=samplate)
+        else:
+            fi = _synsq_map(D, fre_full, scale_kind=kind, num=num_out,
+                            samplate=samplate)
+        fi = _localize_fi(fi)
+        partial = _reassign_scatter(D, fi, num=num_out, thresh=thresh)
+        sq = jax.lax.psum_scatter(partial, band_axis,
+                                  scatter_dimension=partial.ndim - 1,
+                                  tiled=True)
+        return (sq, D) if with_det else sq
+
+    out_sq = P(batch_axis, None, band_axis)
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, None),) + (P(band_axis, None),) * len(operands),
+        out_specs=(out_sq, P(batch_axis, band_axis, None)) if with_det
+        else out_sq,
+        check_vma=False)
+
+    @jax.jit
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_b, "sharded synsq/wsst")
+        out = smapped(x, *operands)
+        if with_det:
+            sq, D = out
+            return sq, D[..., :num, :]
+        return out
+
+    return run
+
+
+def _smap_st(obj, mesh: Mesh, batch_axis: str, band_axis: str):
+    """Bin-sharded ST: each shard IFFTs only its own gaussian-windowed
+    shifted spectra through the single-chip body — the fft kernel tier
+    stays enabled per shard (no GSPMD pin)."""
+    from audioflux_tpu.transforms.st import _st_body
+    nshard = int(mesh.shape[band_axis])
+    n_b = int(mesh.shape[batch_axis])
+    nbins = len(obj.bin_arr)
+    win_j = jnp.asarray(_band_pad(np.asarray(obj._windows, np.float32),
+                                  nshard))
+    # pad bins with 0: _st_body routes bin 0 to the (cheap) mean row,
+    # sliced off below
+    bins_j = jnp.asarray(_band_pad(np.asarray(obj.bin_arr, np.int32),
+                                   nshard))
+
+    def local(x_loc, win_loc, bins_loc):
+        return _st_body(x_loc, win_loc, bins_loc, obj.fft_length)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, None), P(band_axis, None), P(band_axis)),
+        out_specs=P(batch_axis, band_axis, None),
+        check_vma=False)
+
+    @jax.jit
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_b, "sharded st")
+        return smapped(x, win_j, bins_j)[..., :nbins, :]
+
+    return run
+
+
+def _smap_nsgt(obj, mesh: Mesh, batch_axis: str, band_axis: str):
+    """Band-sharded NSGT Bluestein pipeline; complex per-band constants
+    travel as f32 real/imag pairs (axon cannot move complex64 across the
+    host<->device boundary) and recombine on device."""
+    (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
+        _nsgt_bluestein_consts(obj)
+    nshard = int(mesh.shape[band_axis])
+    n_b = int(mesh.shape[batch_axis])
+    num = obj.num
+    pad = lambda a: _band_pad(np.asarray(a), nshard)  # noqa: E731
+    ops = [jnp.asarray(pad(gather).astype(np.int32)),
+           jnp.asarray(pad(weight))]
+    for c in (chirp, post, Bf):
+        cp = pad(c)
+        ops += [jnp.asarray(np.real(cp).astype(np.float32)),
+                jnp.asarray(np.imag(cp).astype(np.float32))]
+    ops.append(jnp.asarray(pad(expand).astype(np.int32)))
+    jk = np.arange(Lc)[:, None] * np.arange(max_ln)[None, :]
+    inv_r = (np.cos(2 * np.pi * jk / Lc) / Lc).astype(np.float32)
+    inv_i = (np.sin(2 * np.pi * jk / Lc) / Lc).astype(np.float32)
+
+    def local(x_loc, g_loc, w_loc, cr, ci, pr, pi, br, bi, e_loc):
+        F = afft.fft(x_loc, axis=-1)
+        v = F[..., g_loc] * w_loc                  # (B_loc, num_loc, max_ln)
+        u = v * jax.lax.complex(cr, ci)
+        U = afft.fft(u, n=Lc, axis=-1)
+        inv_dft = jax.lax.complex(jnp.asarray(inv_r), jnp.asarray(inv_i))
+        conv = jnp.einsum("...l,lk->...k", U * jax.lax.complex(br, bi),
+                          inv_dft, precision=_HIGHEST)
+        cells = conv * jax.lax.complex(pr, pi)
+        return jnp.take_along_axis(
+            cells, jnp.broadcast_to(e_loc, cells.shape[:-2] + e_loc.shape),
+            axis=-1)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, None),) + (P(band_axis, None),) * len(ops),
+        out_specs=P(batch_axis, band_axis, None),
+        check_vma=False)
+
+    @jax.jit
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_b, "sharded nsgt")
+        return smapped(x, *ops)[..., :num, :]
+
+    return run
+
+
+def _smap_fst(obj, mesh: Mesh, batch_axis: str, band_axis: str,
+              min_index: int, max_index: int):
+    """Band-sharded FST: the ~L-sample segment chain replicates per shard
+    (its dyadic FFTs are negligible — see the GSPMD form's docstring);
+    each shard gathers only its own bands of the (nbins, L) expansion."""
+    nshard = int(mesh.shape[band_axis])
+    n_b = int(mesh.shape[batch_axis])
+    gather = obj._gather_rows(min_index, max_index).astype(np.int32)
+    nbins = gather.shape[0]
+    gather_j = jnp.asarray(_band_pad(gather, nshard))
+
+    def local(x_loc, g_loc):
+        return obj._fst_chain(x_loc)[..., g_loc]
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(batch_axis, None), P(band_axis, None)),
+        out_specs=P(batch_axis, band_axis, None),
+        check_vma=False)
+
+    @jax.jit
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_b, "sharded fst")
+        return smapped(x, gather_j)[..., :nbins, :]
+
+    return run
+
+
+def _smap_cqt_batch(obj, mesh: Mesh, batch_axis: str, time_axis: str):
+    """Batch-sharded CQT over the WHOLE mesh (both axes flattened): each
+    shard runs the full single-chip octave recursion — kernel tiers and
+    all — on its local clips.  The frame-parallel GSPMD form stays the
+    single-signal scale-out path; its small-fft octave plans (< 2048 =
+    matmul-DFT einsums, plain HLO) lose nothing to GSPMD anyway — only
+    low-min_fre plans whose top-octave fft reaches the Pallas tier
+    benefit here, and those are exactly the plans `mode="auto"` routes
+    this way."""
+    n_tot = int(mesh.shape[batch_axis]) * int(mesh.shape[time_axis])
+
+    def local(x_loc, sv):
+        return obj._cqt_impl(x_loc, sv)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P((batch_axis, time_axis)), P(None)),
+        out_specs=P((batch_axis, time_axis)),
+        check_vma=False)
+
+    jitted = jax.jit(smapped)
+
+    def run(x):
+        x = jnp.asarray(x, jnp.float32)
+        _check_batch(x, n_tot, "sharded cqt (shard_map)")
+        return jitted(x, jnp.asarray(obj._scale_vec()))
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -86,13 +463,21 @@ def _cwt_body(obj, x, bank, det, batch_axis, time_axis, mesh):
 
 
 def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                   time_axis: str = "time", det: bool = False):
+                   time_axis: str = "time", det: bool = False,
+                   mode: str = "auto", interpret: bool = False):
     """Mesh-parallel CWT: (B, 2**radix2_exp) -> complex64 (B, num, L).
 
     Input arrives sharded (batch over ``batch_axis``, samples over
-    ``time_axis``); the output's time axis is sharded over ``time_axis``.
-    Equal to ``obj.cwt`` / ``obj.cwt_det`` to float rounding.
+    ``time_axis``); the output's time axis is sharded over ``time_axis``
+    (GSPMD mode) or the band axis over ``time_axis`` (shard_map mode).
+    Equal to ``obj.cwt`` / ``obj.cwt_det`` to float rounding.  ``mode``:
+    see the shard_map-twin section header — "auto" picks the shard_map
+    twin (fused kernel per band shard) whenever the kernel tier is
+    available, else the GSPMD form with the native fft tier.
     """
+    if _pick_smap(mode, _cwt_kernel_ok(obj, interpret)):
+        return _smap_cwt_like(obj, mesh, batch_axis, time_axis, det=det,
+                              interpret=interpret)
     if det:
         obj.enable_det(True)
     bank = jnp.asarray(obj._det_bank if det else obj._bank)
@@ -108,15 +493,19 @@ def sharded_cwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
 
 
 def sharded_pwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                   time_axis: str = "time"):
+                   time_axis: str = "time", mode: str = "auto",
+                   interpret: bool = False):
     """Mesh-parallel PWT: (B, data_length) -> complex64 (B, num, L).
 
     The PWT is the same full-signal pad -> FFT -> bank multiply ->
     per-band IFFT pipeline as the CWT (``pwt_algorithm.c``), so it
-    shares ``_cwt_body``: bands partition over the mesh for the IFFT
-    flops, the output time axis arrives sharded over ``time_axis``.
-    Equal to ``obj.pwt`` to float rounding.
+    shares ``_cwt_body`` (GSPMD) / ``_smap_cwt_like`` (shard_map twin,
+    fused kernel per band shard): bands partition over the mesh for the
+    IFFT flops.  Equal to ``obj.pwt`` to float rounding.
     """
+    if _pick_smap(mode, _cwt_kernel_ok(obj, interpret)):
+        return _smap_cwt_like(obj, mesh, batch_axis, time_axis, det=False,
+                              interpret=interpret)
     bank = jnp.asarray(obj._bank)
 
     def run(x):
@@ -130,23 +519,32 @@ def sharded_pwt_fn(obj, mesh: Mesh, batch_axis: str = "data",
 
 
 def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
-                     batch_axis: str = "data", time_axis: str = "time"):
+                     batch_axis: str = "data", time_axis: str = "time",
+                     mode: str = "auto", interpret: bool = False):
     """Mesh-parallel CWT + synchrosqueeze: (B, L) -> complex64 (B, num, L).
 
     One jit runs the band-partitioned CWT and the synsq pipeline — the
     phase rate comes from the CWT matrix itself (finite-difference
     unwrap, like the reference ``synsq_algorithm.c``; no derivative bank
     is involved), stays band-partitioned (elementwise over bands), and
-    the bin accumulation contracts over the sharded band axis (XLA
-    inserts the psum).  Matches ``Synsq.synsq(cwt, ..)`` up to the
-    reduction-order of each output bin's <= num-term sum.
+    the bin accumulation contracts over the sharded band axis (GSPMD:
+    XLA inserts the psum; shard_map twin: explicit partial scatters +
+    ``psum_scatter`` over ICI).  Matches ``Synsq.synsq(cwt, ..)`` up to
+    the reduction-order of each output bin's <= num-term sum.
     """
-    from audioflux_tpu.transforms.synsq import _synsq_impl
-    bank = jnp.asarray(cwt_obj._bank)
     S = SpectralFilterBankScaleType
     st = S(cwt_obj.scale_type)
     kind = ("log" if st in (S.OCTAVE, S.LOG)
             else "linear" if st in (S.LINEAR, S.LINSPACE) else "nearest")
+    if _pick_smap(mode, _cwt_kernel_ok(cwt_obj, interpret)):
+        return _smap_squeeze(cwt_obj, mesh, batch_axis, time_axis,
+                             interpret=interpret, kind=kind,
+                             num_out=synsq_obj.num,
+                             samplate=float(synsq_obj.samplate),
+                             thresh=synsq_obj.thresh,
+                             order=synsq_obj.order, with_det=False)
+    from audioflux_tpu.transforms.synsq import _synsq_impl
+    bank = jnp.asarray(cwt_obj._bank)
     fre_arr = jnp.asarray(cwt_obj.fre_band_arr, jnp.float32)
 
     def run(x):
@@ -163,15 +561,30 @@ def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
 
 
 def sharded_wsst_fn(wsst_obj, mesh: Mesh,
-                    batch_axis: str = "data", time_axis: str = "time"):
+                    batch_axis: str = "data", time_axis: str = "time",
+                    mode: str = "auto", interpret: bool = False):
     """Mesh-parallel WSST: (B, L) -> (squeezed, cwt), both (B, num, L).
 
     One jit shares the forward FFT between the plain and the derivative
     wavelet banks (the WSST's instantaneous frequency is the analytic
     Im(dCWT/CWT), ``wsst_algorithm.c``), keeps the whole squeeze pipeline
-    band-partitioned, and re-shards both outputs over time.  Matches
-    ``wsst_obj.wsst`` up to each output bin's reduction order.
+    band-partitioned, and re-shards over time.  Matches
+    ``wsst_obj.wsst`` up to each output bin's reduction order.  In
+    shard_map mode the squeezed output arrives time-sharded and the raw
+    cwt band-sharded (both over ``time_axis``).
     """
+    S = SpectralFilterBankScaleType
+    stype = S(wsst_obj.scale_type)
+    if _pick_smap(mode, _cwt_kernel_ok(wsst_obj._cwt, interpret)):
+        kind = ("log" if stype in (S.OCTAVE, S.LOG)
+                else "linear" if stype in (S.LINEAR, S.LINSPACE)
+                else "nearest")
+        return _smap_squeeze(wsst_obj._cwt, mesh, batch_axis, time_axis,
+                             interpret=interpret, kind=kind,
+                             num_out=wsst_obj.num,
+                             samplate=float(wsst_obj.samplate),
+                             thresh=wsst_obj.thresh,
+                             order=wsst_obj.order, with_det=True)
     from audioflux_tpu.transforms.wsst import _squeeze
     cwt_obj = wsst_obj._cwt
     cwt_obj.enable_det(True)
@@ -205,13 +618,18 @@ def sharded_wsst_fn(wsst_obj, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                  time_axis: str = "time"):
+                  time_axis: str = "time", mode: str = "auto"):
     """Mesh-parallel Stockwell transform: (B, L) -> (B, nbins, L).
 
     The per-bin shifted-spectrum IFFTs (``st_algorithm.c:262-286``) are
     partitioned over the bin axis; output time axis re-sharded over
-    ``time_axis``.  Equal to ``obj.st`` to float rounding.
+    ``time_axis`` (GSPMD) or bin-sharded (shard_map twin, which keeps
+    the four-step fft kernel tier enabled per shard).  Equal to
+    ``obj.st`` to float rounding.
     """
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if _pick_smap(mode, pfft.supports(obj.fft_length)):
+        return _smap_st(obj, mesh, batch_axis, time_axis)
     from audioflux_tpu.transforms.st import _st_body
     windows = jnp.asarray(obj._windows)
     bins = jnp.asarray(obj.bin_arr)
@@ -237,7 +655,7 @@ def sharded_st_fn(obj, mesh: Mesh, batch_axis: str = "data",
 
 def sharded_fst_fn(obj, mesh: Mesh, batch_axis: str = "data",
                    time_axis: str = "time", min_index: int = None,
-                   max_index: int = None):
+                   max_index: int = None, mode: str = "auto"):
     """Mesh-parallel fast S-transform: (B, L) -> (B, nbins, L).
 
     Where the bytes are: the FST's compute is two FFT passes whose ragged
@@ -258,6 +676,11 @@ def sharded_fst_fn(obj, mesh: Mesh, batch_axis: str = "data",
         min_index = obj.min_index
     if max_index is None:
         max_index = obj.max_index
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if _pick_smap(mode, pfft.supports(obj.fft_length)):
+        # shard_map twin: forward fft at L rides the kernel tier
+        return _smap_fst(obj, mesh, batch_axis, time_axis,
+                         min_index, max_index)
 
     specs = {"in": (batch_axis, None),
              "out": (batch_axis, time_axis, None)}
@@ -324,7 +747,7 @@ def _nsgt_bluestein_consts(obj):
 
 
 def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                    time_axis: str = "time"):
+                    time_axis: str = "time", mode: str = "auto"):
     """Mesh-parallel NSGT: (B, 2**radix2_exp) -> (B, num, max_time_length).
 
     Band IDFTs run as uniform Bluestein chirp-z transforms partitioned over
@@ -341,6 +764,12 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     ``sharded_batch_fn`` over windows or the spliced schemes
     (``sharded_ccwt_fn``/``sharded_cst_fn``).
     """
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if _pick_smap(mode, pfft.supports(obj.fft_length)
+                  or pfft.supports(1 << (obj.fft_length - 1).bit_length())):
+        # shard_map twin: signal fft at L and band ffts at Lc ride the
+        # kernel tier per shard
+        return _smap_nsgt(obj, mesh, batch_axis, time_axis)
     (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
         _nsgt_bluestein_consts(obj)
     # The Bluestein inverse step needs only the first max_ln of the Lc
@@ -379,7 +808,7 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
 # ---------------------------------------------------------------------------
 
 def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
-                   time_axis: str = "time"):
+                   time_axis: str = "time", mode: str = "auto"):
     """Mesh-parallel CQT/VQT: (B, n) -> complex64 (B, num, T).
 
     The multirate downsample chain (log2(octaves) sequential resamples of
@@ -398,6 +827,13 @@ def sharded_cqt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     """
     if obj.is_continue:
         raise ValueError("sharded_cqt_fn does not support is_continue mode")
+    from audioflux_tpu.ops import pallas_fft as pfft
+    if _pick_smap(mode, pfft.supports(obj.fft_length)):
+        return _twin_or_auto(
+            mode, _smap_cqt_batch(obj, mesh, batch_axis, time_axis),
+            lambda: sharded_cqt_fn(obj, mesh, batch_axis, time_axis,
+                                   mode="gspmd"),
+            int(mesh.shape[batch_axis]) * int(mesh.shape[time_axis]))
 
     # the exact single-chip graph (CQTBase._cqt_impl), annotated: the
     # per-octave frame rfft + kernel einsum (where the FLOPs live)

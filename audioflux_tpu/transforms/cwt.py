@@ -158,6 +158,50 @@ def cwt_filter_bank(num, data_length, samplate, pad_length, wavelet_type,
     return bank, fre_band, bin_band
 
 
+def _cwt_conv_body(x, bank, *, det: bool, pad_length: int, data_length: int,
+                   row_h=None, force_kernel=None, interpret: bool = False):
+    """The CWT/PWT filterbank convolution: symmetric pad -> FFT -> bank
+    multiply -> per-band IFFT -> un-pad (times ``i`` when ``det``).
+
+    Module-level (not a method) so the band-sharded shard_map twins in
+    ``parallel/sharded_full.py`` can run it per band shard with their own
+    static ``row_h`` (the fused-kernel stage-1 support counts must be
+    uniform across shards — shard_map traces one program).
+    ``force_kernel``: None = auto (TPU + pallas_cwt.supports); True/False
+    pins the tier (tests / shard_map bodies resolve it at build time).
+    """
+    p = pad_length
+    if p:
+        pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
+        x = jnp.pad(x, pad, mode="symmetric")
+    F = afft.fft(x, axis=-1)  # (..., L)
+
+    from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
+    w_len = x.shape[-1]
+    use_k = force_kernel
+    if use_k is None:
+        use_k = _on_tpu() and supports(w_len, p, data_length)
+    if use_k:
+        # fused bank-multiply + four-step matmul IFFT in VMEM
+        # (ops/pallas_cwt.py): one HBM pass instead of XLA's log2(N)
+        # fft sweeps over the (num, N) product; bf16x3 MXU accuracy
+        # ~1e-5 relative (inside the golden tolerance class)
+        lead = F.shape[:-1]
+        out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
+                            pad=p, length=data_length, det=det,
+                            row_h=row_h, interpret=interpret)
+        return out.reshape(lead + out.shape[1:])
+
+    B = jnp.asarray(bank)
+    prod = B * F[..., None, :]
+    if det:
+        prod = prod * 1j
+    out = afft.ifft(prod, axis=-1)
+    if p:
+        out = out[..., p:p + data_length]
+    return out  # rows already ascending (bank pre-flipped at build)
+
+
 class CWT:
     """API mirrors ``python/audioflux/cwt.py:128-350``.
 
@@ -268,35 +312,10 @@ class CWT:
         if x.shape[-1] != self.data_length:
             raise ValueError(
                 f"data length must be exactly {self.data_length}")
-        p = self.pad_length
-        if p:
-            pad = [(0, 0)] * (x.ndim - 1) + [(p, p)]
-            x = jnp.pad(x, pad, mode="symmetric")
-        F = afft.fft(x, axis=-1)  # (..., L)
-
-        from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
-        w_len = x.shape[-1]
-        if (_on_tpu()
-                and supports(w_len, p, self.data_length)):
-            # fused bank-multiply + four-step matmul IFFT in VMEM
-            # (ops/pallas_cwt.py): one HBM pass instead of XLA's log2(N)
-            # fft sweeps over the (num, N) product; bf16x3 MXU accuracy
-            # ~1e-5 relative (inside the golden tolerance class)
-            lead = F.shape[:-1]
-            out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
-                                pad=p, length=self.data_length, det=det,
-                                row_h=(self._det_row_h if det
-                                       else self._row_h))
-            return out.reshape(lead + out.shape[1:])
-
-        B = jnp.asarray(bank)
-        prod = B * F[..., None, :]
-        if det:
-            prod = prod * 1j
-        out = afft.ifft(prod, axis=-1)
-        if p:
-            out = out[..., p:p + self.data_length]
-        return out  # rows already ascending (bank pre-flipped at build)
+        return _cwt_conv_body(x, bank, det=det, pad_length=self.pad_length,
+                              data_length=self.data_length,
+                              row_h=(self._det_row_h if det
+                                     else self._row_h))
 
     def cwt(self, data_arr):
         return self._cwt_run(data_arr, self._bank, det=False)

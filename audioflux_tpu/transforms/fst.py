@@ -94,13 +94,16 @@ class FST:
             raise ValueError(f"data length must be {L}")
         return self._fst_run(x, min_index=min_index, max_index=max_index)
 
-    def _fst_impl(self, x, *, min_index, max_index, annot=None):
-        if annot is None:
-            annot = lambda a, tag: a  # noqa: E731
+    def _fst_chain(self, x):
+        """The FST segment chain: ifftshift -> FFT -> fftshift -> dyadic
+        per-segment IFFTs, concatenated value-indexed -> (..., L).
+
+        Separate from the expansion gather so the band-sharded shard_map
+        twin (``parallel/sharded_full.py``) can replicate the ~L-sample
+        chain per shard (its FLOPs are negligible — the segment lengths
+        sum to L) while partitioning only the (nbins, L) expansion."""
         L = self.fft_length
         R = self.radix2_exp
-        # ifftshift -> fft -> fftshift -> /sqrt(L)
-        x = annot(x, "in")
         xs = jnp.concatenate([x[..., L // 2:], x[..., :L // 2]], axis=-1)
         F = afft.fft(xs, axis=-1)
         F = jnp.concatenate([F[..., L // 2:], F[..., :L // 2]], axis=-1)
@@ -121,10 +124,21 @@ class FST:
                 seg = jnp.concatenate([s[..., h:], s[..., :h]], axis=-1)
             segments.append(seg)
             pos += seg_len
-        flat = jnp.concatenate(segments, axis=-1)  # (..., L) value-indexed
+        return jnp.concatenate(segments, axis=-1)
 
+    def _gather_rows(self, min_index: int, max_index: int) -> np.ndarray:
+        """(nbins, L) expansion index matrix for the band range."""
+        L = self.fft_length
         rows = np.arange(L // 2 - min_index, L // 2 - max_index - 1, -1)
-        gather = self._index[rows]  # (nbins, L)
+        return self._index[rows]
+
+    def _fst_impl(self, x, *, min_index, max_index, annot=None):
+        if annot is None:
+            annot = lambda a, tag: a  # noqa: E731
+        x = annot(x, "in")
+        flat = self._fst_chain(x)  # (..., L) value-indexed
+
+        gather = self._gather_rows(min_index, max_index)  # (nbins, L)
         return annot(flat[..., jnp.asarray(gather)], "out")
 
     def get_fre_band_arr(self):

@@ -9,10 +9,8 @@ pwt_algorithm.c:315-319). Rows stay in ascending frequency order.
 from __future__ import annotations
 
 import jax
-from audioflux_tpu.ops.backend import on_tpu as _on_tpu
 import jax.numpy as jnp
 
-from audioflux_tpu.ops import fft as afft
 import numpy as np
 
 from audioflux_tpu.filterbank.auditory import auditory_filter_bank, _revise_fre
@@ -108,27 +106,16 @@ class PWT:
         return self._pwt_run(x, jnp.asarray(self._bank))
 
     def _pwt_impl(self, x, bank):
-        p = self.pad_length
-        if p:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)],
-                        mode="symmetric")
-        F = afft.fft(x, axis=-1)
-        from audioflux_tpu.ops.pallas_cwt import cwt_ifft_bank, supports
-        w_len = x.shape[-1]
-        if (_on_tpu()
-                and supports(w_len, p, self.data_length)):
-            # same fused bank-multiply + four-step matmul IFFT as CWT
-            # (ops/pallas_cwt.py) — PWT is the identical
-            # ifft(bank * F)[p : p+L] pipeline, pwt_algorithm.c
-            lead = F.shape[:-1]
-            out = cwt_ifft_bank(F.reshape((-1, w_len)), jnp.asarray(bank),
-                                pad=p, length=self.data_length,
-                                row_h=self._row_h)
-            return out.reshape(lead + out.shape[1:])
-        out = afft.ifft(bank * F[..., None, :], axis=-1)
-        if p:
-            out = out[..., p:p + self.data_length]
-        return out
+        # same fused bank-multiply + four-step matmul IFFT pipeline as
+        # CWT (ops/pallas_cwt.py) — PWT is the identical
+        # ifft(bank * F)[p : p+L] convolution, pwt_algorithm.c.
+        # NOTE real banks (no det): the reference PWT has no derivative
+        # form, so det is always False here.
+        from audioflux_tpu.transforms.cwt import _cwt_conv_body
+        return _cwt_conv_body(x, bank, det=False,
+                              pad_length=self.pad_length,
+                              data_length=self.data_length,
+                              row_h=self._row_h)
 
     def y_coords(self):
         return self.fre_band_arr

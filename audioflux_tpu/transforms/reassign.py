@@ -117,7 +117,9 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
         scat_axes = 2  # (T, m)
 
     if rt == ReassignType.NONE:
-        if use_kernel:  # only reachable when forced (tests)
+        if use_kernel:  # BFT's plain-STFT route (is_reassign=False) lands
+            # here with use_kernel auto-resolved True on TPU; relayout the
+            # kernel's T-order bins back to natural order.
             Sh = jnp.swapaxes(Sh, -1, -2).reshape(
                 Sh.shape[:-2] + (Sh.shape[-1] * Sh.shape[-2],))[..., :m]
         out = jnp.swapaxes(Sh, -1, -2)

@@ -107,8 +107,11 @@ class ST:
         reference uses for long-signal CWT (``python/audioflux/cwt.py``
         ccwt; the C ST itself is single-window, st_algorithm.c:31-39).
         Length must be >= 2*(fft_length//2); the bin-0 mean row is the
-        per-window mean.  This is the single-chip reference for the
-        time-sharded ``parallel.sharded_cst_fn``."""
+        per-window mean.  Output covers (data_len // (fft_length//2)) *
+        (fft_length//2) samples — the trailing ``data_len % (fft//2)``
+        remainder is dropped (no partial window; pad the input to a
+        multiple of fft//2 to keep the tail).  This is the single-chip
+        reference for the time-sharded ``parallel.sharded_cst_fn``."""
         data_arr = jnp.asarray(data_arr, jnp.float32)
         data_len = data_arr.shape[-1]
         win_len = self.fft_length // 4

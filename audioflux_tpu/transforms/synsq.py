@@ -54,16 +54,18 @@ def _c_unwrap(x):
     return x + c * two_pi
 
 
-@partial(jax.jit, static_argnames=("scale_kind", "num", "order",
-                                   "force_xla_unwrap"))
-def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
-                force_xla_unwrap: bool = False):
-    # ``force_xla_unwrap`` pins the cumsum unwrap even on TPU; it is a
-    # STATIC arg so accuracy gates get a genuinely separate compilation
-    # (monkeypatching ``supports`` cannot evict the jit cache).
-    T = D.shape[-1]
+def _synsq_map(D, fre_arr, *, scale_kind, num, samplate,
+               force_xla_unwrap: bool = False):
+    """Per-cell target-bin map (int32, same shape as D).
+
+    Band-local by construction — phase, unwrap (along time within each
+    band row) and the bin mapping touch no other band, so the band-sharded
+    shard_map twin (``parallel/sharded_full.py``) runs this on its local
+    band slice with the FULL ``fre_arr`` (the mapping reads the global
+    f[0]/f[num-1] edges)."""
     # 1-3. phase (atan2(REAL, IMAG) — reference argument order,
     # synsq_algorithm.c:155), C unwrap, forward diff / 2pi
+    T = D.shape[-1]
     phase = jnp.arctan2(jnp.real(D), jnp.imag(D))
     from audioflux_tpu.ops.pallas_unwrap import supports, unwrap_diff
     rows = int(np.prod(phase.shape[:-1]))
@@ -103,17 +105,33 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
         right = f[idx + 1] - v
         fi = jnp.where(left < right, idx, idx + 1)
         fi = jnp.where(in_range, fi, -1)
-    fi = fi.astype(jnp.int32)
+    return fi.astype(jnp.int32)
 
-    # order composition over the transposed flat view
-    # (synsq_algorithm.c:222-238 indexes [t*num+j])
+
+def _compose_order(fi, num: int, order: int):
+    """Order composition over the transposed flat view
+    (synsq_algorithm.c:222-238 indexes [t*num+j]).  Cross-band: each
+    cell looks up the target bin OF ANOTHER BAND at the same time step,
+    so ``fi`` must carry all ``num`` bands (the band-sharded twin
+    all-gathers before calling this)."""
+    T = fi.shape[-1]
     for _ in range(max(order, 1) - 1):
         flat = fi.reshape(fi.shape[:-2] + (T, num))
         valid = (flat >= 0) & (flat < num)
         g = jnp.take_along_axis(flat, jnp.clip(flat, 0, num - 1), axis=-1)
         flat = jnp.where(valid, g, 0)
         fi = flat.reshape(fi.shape)
+    return fi
 
+
+def _reassign_scatter(D, fi, *, num: int, thresh: float):
+    """Threshold + complex scatter-add into ``num`` output bins.
+
+    Shared by synsq and wsst (the reference duplicates the loop,
+    synsq_algorithm.c:240-258 / wsst_algorithm.c).  Summing a band
+    SUBSET of D with the matching fi rows yields that subset's partial
+    bin sums — the band-sharded twin psums partials across shards."""
+    T = D.shape[-1]
     power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
     ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
     if num <= 512:
@@ -129,6 +147,19 @@ def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
                               flat_idx.reshape(flat_idx.shape[:-2] + (-1,)),
                               num * T)
     return out.reshape(D.shape[:-2] + (num, T))
+
+
+@partial(jax.jit, static_argnames=("scale_kind", "num", "order",
+                                   "force_xla_unwrap"))
+def _synsq_impl(D, fre_arr, *, scale_kind, num, samplate, thresh, order,
+                force_xla_unwrap: bool = False):
+    # ``force_xla_unwrap`` pins the cumsum unwrap even on TPU; it is a
+    # STATIC arg so accuracy gates get a genuinely separate compilation
+    # (monkeypatching ``supports`` cannot evict the jit cache).
+    fi = _synsq_map(D, fre_arr, scale_kind=scale_kind, num=num,
+                    samplate=samplate, force_xla_unwrap=force_xla_unwrap)
+    fi = _compose_order(fi, num, order)
+    return _reassign_scatter(D, fi, num=num, thresh=thresh)
 
 
 class Synsq:

@@ -15,18 +15,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audioflux_tpu.ops.scatter import (batched_scatter_add,
-                                        columnar_scatter_add)
 from audioflux_tpu.transforms.cwt import CWT
+from audioflux_tpu.transforms.synsq import _compose_order, _reassign_scatter
 from audioflux_tpu.types import (SpectralFilterBankScaleType,
                                  WaveletContinueType)
 
 __all__ = ["WSST"]
 
 
-@partial(jax.jit, static_argnames=("scale_kind", "num", "order"))
-def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
-    T = D.shape[-1]
+def _wsst_map(D, dD, fre_arr, *, scale_kind, num, samplate):
+    """Per-cell target-bin map from the analytic instantaneous frequency
+    Im(dCWT/CWT)/2pi.  Band-local (see synsq._synsq_map)."""
     denom = jnp.where(D == 0, 1.0 + 0.0j, D)
     v_signed = jnp.imag(dD / denom) / (2 * np.pi)
     v = jnp.abs(v_signed)
@@ -45,29 +44,15 @@ def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
         right = f[idx + 1] - v
         fi = jnp.where(left < right, idx, idx + 1)
         fi = jnp.where(in_range, fi, -1)
-    fi = fi.astype(jnp.int32)
+    return fi.astype(jnp.int32)
 
-    for _ in range(max(order, 1) - 1):
-        flat = fi.reshape(fi.shape[:-2] + (T, num))
-        valid = (flat >= 0) & (flat < num)
-        g = jnp.take_along_axis(flat, jnp.clip(flat, 0, num - 1), axis=-1)
-        flat = jnp.where(valid, g, 0)
-        fi = flat.reshape(fi.shape)
 
-    power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
-    ok = (fi >= 0) & (fi < num) & (power > thresh * thresh)
-    if num <= 512:
-        # columnar reassignment: one-hot MXU contraction beats TPU
-        # scatter-add (which serializes duplicate bins).  Pallas kernel
-        # forms measured SLOWER (ops/pallas_scatter.py dead-end note).
-        fi_d = jnp.where(ok, fi, num)
-        return columnar_scatter_add(D, fi_d, num)
-    j = jnp.broadcast_to(jnp.arange(T), fi.shape)
-    flat_idx = jnp.where(ok, fi * T + j, num * T)
-    out = batched_scatter_add(D.reshape(D.shape[:-2] + (-1,)),
-                              flat_idx.reshape(flat_idx.shape[:-2] + (-1,)),
-                              num * T)
-    return out.reshape(D.shape[:-2] + (num, T))
+@partial(jax.jit, static_argnames=("scale_kind", "num", "order"))
+def _squeeze(D, dD, fre_arr, *, scale_kind, num, samplate, thresh, order):
+    fi = _wsst_map(D, dD, fre_arr, scale_kind=scale_kind, num=num,
+                   samplate=samplate)
+    fi = _compose_order(fi, num, order)
+    return _reassign_scatter(D, fi, num=num, thresh=thresh)
 
 
 class WSST:

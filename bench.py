@@ -510,6 +510,50 @@ def baseline_configs(rows):
 # the kernel genuinely improves)
 HEADLINE_FLOOR = 60.0  # audio-h/s (fs4 kernel measures 64-66)
 
+# Per-row floors for --matrix (VERDICT r4 item 5): each measured win
+# (kernel routing, banded FIR, median network, radix scatter, ...) gets a
+# floor so a silent de-routing fails the run naming the row.  Floors sit
+# ~20-35% below the r4 recorded values — BELOW the documented tunnel-noise
+# spread (amortized walls still vary run-to-run on small-dispatch rows:
+# T=1 has sampled 17.2-25.4 h/s across healthy sessions), so a trip means
+# a real regression, not a bad tunnel sample.  Update deliberately with
+# each genuine improvement.
+MATRIX_FLOORS = {
+    "mel+mfcc audio-hours/sec/chip (1000x T=1000, 32kHz)": 60.0,
+    "mel+mfcc audio-hours/sec/chip (1000x T=1, 32kHz)": 17.0,
+    "mel+mfcc audio-hours/sec/chip (1000x T=100, 32kHz)": 40.0,
+    "mel+mfcc audio-hours/sec/chip (1000x T=3000, 32kHz)": 45.0,
+    "server mel audio-hours/sec/chip (1000x 128ms)": 23.0,
+    "server mfcc audio-hours/sec/chip (1000x 128ms)": 17.0,
+    "server cqt audio-hours/sec/chip (1000x 128ms)": 9.0,
+    "server chroma audio-hours/sec/chip (1000x 128ms)": 25.0,
+    "server reassign audio-hours/sec/chip (1000x 128ms, local-C base)": 9.5,
+    "stft-linear audio-hours/sec/chip (128x 10s, local-C base)": 17.0,
+    "cwt+synsq audio-hours/sec/chip (16x 1.024s, local-C base)": 0.15,
+    "mir yin+onset+hpss audio-hours/sec/chip (8x 30s, local-C base)": 0.85,
+}
+
+
+def _check_matrix_floors(rows) -> bool:
+    """True if every floored row holds its floor; names offenders on
+    stderr.  Rows without a floor entry (new metrics) pass with a note —
+    add their floor when their first value is recorded."""
+    ok = True
+    seen = set()
+    for r in rows:
+        m = r.get("metric")
+        if m in MATRIX_FLOORS and r.get("value") is not None:
+            seen.add(m)
+            if r["value"] < MATRIX_FLOORS[m]:
+                ok = False
+                print(f"PERF REGRESSION (matrix): {m!r} = {r['value']} "
+                      f"< floor {MATRIX_FLOORS[m]}", file=sys.stderr)
+    for m in MATRIX_FLOORS.keys() - seen:
+        ok = False
+        print(f"PERF GATE: floored row missing from matrix output: {m!r}",
+              file=sys.stderr)
+    return ok
+
 
 def compare_librosa(rows):
     """--compare: live librosa numbers for the base mel row (mirrors
