@@ -34,8 +34,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["batched_scatter_add", "columnar_scatter_add"]
+__all__ = ["batched_scatter_add", "columnar_scatter_add",
+           "reassign_blocked_scatter_add"]
 
 _RADIX = 32
 _RADIX_SHIFT = 5
@@ -124,6 +126,155 @@ def _xla_scatter_add(payloads, idx, out_size: int):
         flat = flat.at[flat_i].add(v.reshape(-1))
         outs.append(flat.reshape(nb, stride)[:, :out_size])
     return outs
+
+
+# --- long-recording reassignment scatter -----------------------------------
+#
+# A 30 s recording reassigns into T*m ~ 2M bins — far past _RADIX_MAX_OUT,
+# where the flat path falls back to the serialized XLA loop.  But the
+# reassignment index is NEAR-DIAGONAL in time: the time correction is the
+# local group delay, bounded by the window half-length (fft/(2*slide) ~ 2
+# frames) for well-conditioned cells.  Measured on 30 s clips (chirp+tone+
+# noise / pure noise / impulse trains): >= 99.2% of cells land within +-4
+# frames of home; the rest (low-power cells whose Sth/Sh ratio blows up,
+# 0.6-0.8%) scatter arbitrarily far.
+#
+# The blocked path is EXACT and exploits this:
+#  1. per home frame, cells within the +-W halo radix-bin into a local
+#     (2W+1)*m grid (n_hi ~ (2W+1)*m/RADIX one-hot rows per frame — bounded
+#     regardless of T) and overlap-add into the global grid with 2W+1
+#     shifted adds;
+#  2. tail cells compact by per-frame RANK — itself a tiny radix pass
+#     (ranks are unique per frame, so each of the K slots receives exactly
+#     one cell; the flat target index rides along as two exact-in-f32
+#     payloads hi=idx>>12 / lo=idx&4095) — and the <= T*K compacted updates
+#     go through the serialized scatter at ~1/60 of the full update count;
+#  3. if any frame overflows the K-slot budget (never observed below K=256,
+#     impulse trains peak at 192), a lax.cond falls back to the serialized
+#     scatter over the full tail — exactness never depends on the budget.
+_REASSIGN_W = 4
+_REASSIGN_K = 256
+
+
+def reassign_blocked_scatter_add(values, ti, fi, ok, *, T: int, m: int,
+                                 W: int = _REASSIGN_W, K: int = _REASSIGN_K):
+    """Exact (T, m)-grid scatter-add for near-diagonal time indices.
+
+    values: (..., T, C) complex64 or float32 cells grouped by home frame;
+    ti/fi: int32 target frame/bin per cell; ok: bool scatter mask.
+    Returns (..., T, m).  Identical sums to the flat scatter up to
+    addition order (the halo pass accumulates on the MXU at HIGHEST).
+    """
+    batch = values.shape[:-2]
+    C = values.shape[-1]
+    nb = int(np.prod(batch)) if batch else 1
+    cpx = jnp.iscomplexobj(values)
+    pay = ([jnp.real(values), jnp.imag(values)] if cpx
+           else [values.astype(jnp.float32)])
+    pay = [p.reshape(nb, T, C).astype(jnp.float32) for p in pay]
+    ti = ti.reshape(nb, T, C)
+    fi = fi.reshape(nb, T, C)
+    ok = (ok.reshape(nb, T, C) & (ti >= 0) & (ti < T)
+          & (fi >= 0) & (fi < m))
+
+    d = ti - jnp.arange(T, dtype=ti.dtype)[:, None]
+    inl = ok & (jnp.abs(d) <= W)
+    Lg = (2 * W + 1) * m
+
+    # 1. halo pass: per-frame local radix bins, then 2W+1 shifted adds
+    li = jnp.where(inl, (d + W) * m + fi, Lg)
+    loc = _radix_bin_add([p.reshape(nb * T, C) for p in pay],
+                         li.reshape(nb * T, C), Lg)
+    loc = [l.reshape(nb, T, 2 * W + 1, m) for l in loc]
+
+    def _ola(l):
+        out = l[:, :, W]  # d = 0 plane
+        for p in range(2 * W + 1):
+            ds = p - W
+            if ds == 0 or abs(ds) >= T:
+                continue
+            src = l[:, :, p]
+            if ds > 0:   # contributions of frame t to frame t+ds
+                out = out + jnp.pad(src[:, :T - ds],
+                                    ((0, 0), (ds, 0), (0, 0)))
+            else:
+                out = out + jnp.pad(src[:, -ds:],
+                                    ((0, 0), (0, -ds), (0, 0)))
+        return out
+
+    outs = [_ola(l) for l in loc]
+
+    # 2. tail: rank-compact the outliers (ranks are unique per frame, so
+    # the compaction is itself a tiny radix pass), then a SECOND grouped
+    # compaction squeezes the per-frame slot waste (avg outliers/frame
+    # ~16 << K) before the serialized scatter — measured: the first
+    # chip run spent ~40 ms of its 136 ms scattering mostly-empty K
+    # slots; grouped level 2 cuts tail updates ~8x
+    outl = ok & (jnp.abs(d) > W)
+    cnt = jnp.cumsum(outl.astype(jnp.int32), axis=-1)
+    overflow = jnp.any(cnt[..., -1] > K)
+    rank = jnp.where(outl, cnt - 1, K)  # K = trash slot
+    gidx = ti * m + fi
+    hi = (gidx >> 12).astype(jnp.float32)
+    lo = (gidx & 4095).astype(jnp.float32)
+    comp = _radix_bin_add(
+        [p.reshape(nb * T, C) for p in pay]
+        + [hi.reshape(nb * T, C), lo.reshape(nb * T, C)],
+        rank.reshape(nb * T, C), K)
+    # every slot holds exactly <= 1 cell, so the f32 index payloads are
+    # exact integers (hi < T*m/4096 and lo < 4096, both << 2**24)
+
+    # level 2: re-rank the used slots within groups of G frames (budget
+    # K2 slots per group — linear in T, unlike one global rank).  A slot
+    # whose value payloads are all exactly zero contributes nothing and
+    # may drop.
+    G, K2 = 64, 2048
+    ng = -(-T // G)
+    padn = ng * G * K - T * K
+
+    def _grp(a):
+        a = a.reshape(nb, T * K)
+        if padn:
+            a = jnp.pad(a, ((0, 0), (0, padn)))
+        return a.reshape(nb * ng, G * K)
+
+    comp_g = [_grp(c) for c in comp]
+    used = jnp.zeros_like(comp_g[0], bool)
+    for c in comp_g[:-2]:
+        used = used | (c != 0.0)
+    cnt2 = jnp.cumsum(used.astype(jnp.int32), axis=-1)
+    overflow2 = jnp.any(cnt2[..., -1] > K2)
+    rank2 = jnp.where(used, cnt2 - 1, K2)
+    comp2 = _radix_bin_add(comp_g, rank2, K2)
+    cidx2 = (comp2[-2].astype(jnp.int32) << 12) | comp2[-1].astype(jnp.int32)
+    # empty slots carry value 0 at index 0 — a harmless += 0.0
+
+    def _tail2(_):
+        return tuple(_xla_scatter_add(
+            [c.reshape(nb, ng * K2) for c in comp2[:-2]],
+            cidx2.reshape(nb, ng * K2), T * m))
+
+    def _tail1(_):
+        cidx = ((comp[-2].astype(jnp.int32) << 12)
+                | comp[-1].astype(jnp.int32))
+        return tuple(_xla_scatter_add(
+            [c.reshape(nb, T * K) for c in comp[:-2]],
+            cidx.reshape(nb, T * K), T * m))
+
+    def _full_tail(_):
+        idxo = jnp.where(outl, gidx, T * m).reshape(nb, T * C)
+        return tuple(_xla_scatter_add(
+            [jnp.where(outl, p, 0.0).reshape(nb, T * C) for p in pay],
+            idxo, T * m))
+
+    def _compacted(_):
+        return jax.lax.cond(overflow2, _tail1, _tail2, None)
+
+    tails = jax.lax.cond(overflow, _full_tail, _compacted, None)
+    outs = [o + t.reshape(nb, T, m) for o, t in zip(outs, tails)]
+
+    out = outs[0] + 1j * outs[1] if cpx else outs[0].astype(values.dtype)
+    return out.reshape(batch + (T, m))
 
 
 def batched_scatter_add(values, flat_idx, out_size: int):

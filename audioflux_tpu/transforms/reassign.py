@@ -53,10 +53,12 @@ def reassign_windows(window: np.ndarray) -> tuple:
 
 @partial(jax.jit, static_argnames=("fft_length", "slide_length", "re_type",
                                    "order", "result_type", "is_padding",
-                                   "use_kernel", "interpret"))
+                                   "use_kernel", "interpret",
+                                   "force_blocked_scatter"))
 def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
                    re_type, order, result_type, is_padding,
-                   use_kernel=None, interpret=False):
+                   use_kernel=None, interpret=False,
+                   force_blocked_scatter=None):
     from audioflux_tpu.ops import pallas_fft as pfft
 
     m = fft_length // 2 + 1
@@ -172,7 +174,29 @@ def _reassign_impl(x, wins, *, fft_length, slide_length, samplate, thresh,
                 & (fi >= 0) & (fi < m))
     flat_idx = jnp.where(in_range, ti * m + fi, T * m)  # T*m drops
 
+    # long recordings (T*m past the radix one-hot budget): the flat path
+    # would fall back to the serialized XLA loop; the blocked scatter
+    # stays on the MXU via the near-diagonal halo + exact rank-compacted
+    # tail (ops/scatter.py).  TPU-gated (CPU's native scatter is fast and
+    # golden-order); force_blocked_scatter: None = auto (TPU), True
+    # drives it in CPU tests, False pins the flat path (chip A/B timing).
+    from audioflux_tpu.ops.backend import on_tpu as _on_tpu
+    from audioflux_tpu.ops.scatter import (_RADIX_MAX_OUT,
+                                           reassign_blocked_scatter_add)
+    use_blocked = (T * m > _RADIX_MAX_OUT
+                   and (_on_tpu() if force_blocked_scatter is None
+                        else force_blocked_scatter))
+
     def scatter(v):
+        if use_blocked:
+            cells = v.shape[:-scat_axes] + (T, -1)
+            out = reassign_blocked_scatter_add(
+                v.reshape(cells),
+                jnp.broadcast_to(ti, v.shape).reshape(cells),
+                jnp.broadcast_to(fi, v.shape).reshape(cells),
+                jnp.broadcast_to(in_range, v.shape).reshape(cells),
+                T=T, m=m)
+            return out
         flat = batched_scatter_add(
             v.reshape(v.shape[:-scat_axes] + (-1,)),
             flat_idx.reshape(flat_idx.shape[:-scat_axes] + (-1,)), T * m)

@@ -57,3 +57,13 @@ cq = af.CQT(num=24, samplate=SR, low_fre=220.0)
 batch = (0.2 * rng.standard_normal((8, 4096))).astype(np.float32)
 fn = sharded_batch_fn(lambda v: cq._cqt_run(v, cq._scale_vec()), mesh)
 print("batched cqt over data axis:", np.asarray(fn(batch)).shape)
+
+# shard_map kernel-tier twin (r5): mode="shard_map" partitions the band
+# axis explicitly so each shard runs the single-chip Pallas kernel path
+# on its own bands (on TPU, mode="auto" picks this whenever the kernel
+# tier is available; interpret=True demonstrates the kernel on CPU)
+cw_k = af.CWT(num=12, radix2_exp=14, samplate=SR)
+xk = (0.2 * rng.standard_normal((2, 16384))).astype(np.float32)
+Wk = np.asarray(sharded_cwt_fn(cw_k, mesh, mode="shard_map",
+                               interpret=True)(xk))
+print("shard_map kernel twin cwt:", Wk.shape)

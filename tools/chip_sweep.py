@@ -53,12 +53,18 @@ def both(fn):
     return a, b
 
 
-def check_rel(name, fn, tol=1e-3):
+def check_rel(name, fn, tol=1e-3, joint=False):
+    """``joint`` normalizes every output by the max over ALL outputs —
+    for pipelines where one output can be legitimately ~zero (HPSSNMF's
+    percussive channel on a near-pure-harmonic test tone sits at the
+    kernel noise floor; dividing by its own 5e-7 max read as rel=125)."""
     try:
         a, b = both(fn)
+        scale = (max(np.max(np.abs(v)) for v in b) if joint else None)
         worst = max(float(np.max(np.abs(u.astype(np.float64)
                                         - v.astype(np.float64)))
-                          / (np.max(np.abs(v)) + 1e-12))
+                          / ((scale if joint else np.max(np.abs(v)))
+                             + 1e-12))
                     for u, v in zip(a, b))
         ok = worst < tol
         print(f"{'OK ' if ok else 'DIFF'} {name:26s} rel {worst:.2e}"
@@ -140,6 +146,11 @@ def main():
         af.WSST(num=28, radix2_exp=12, samplate=SR).wsst(x4096)[0]))
     check_scatter("Reassign", lambda: jnp.abs(af.Reassign(
         radix2_exp=11, samplate=SR, slide_length=512).reassign(x)))
+    # long-recording class: T*m past the radix budget — TPU takes the
+    # blocked halo+tail scatter (ops/scatter.py), CPU the flat path
+    xlong = np.concatenate([x] * 10)  # 10 s -> T ~ 309, out ~ 634k
+    check_scatter("Reassign long (blocked)", lambda: jnp.abs(af.Reassign(
+        radix2_exp=11, samplate=SR, slide_length=1024).reassign(xlong)))
     cq = af.CQT(num=84, samplate=SR, slide_length=1024)
     check_rel("CQT chroma", lambda: cq.chroma(cq.cqt(x[:8192])))
     check_rel("VQT", lambda: af.VQT(num=84, samplate=SR,
@@ -171,10 +182,15 @@ def main():
         radix2_exp=11).time_stretch(x, 1.2)[2048:-2048], tol=2e-3)
     check_rel("PitchShift", lambda: af.PitchShift(
         radix2_exp=11).pitch_shift(x[:16000], 2)[2048:-2048], tol=5e-3)
-    check_runs("NMF", lambda: af.NMF(8, max_iter=30).nmf(
-        np.abs(rng.standard_normal((64, 100)).astype(np.float32))))
-    check_runs("HPSSNMF", lambda: af.HPSSNMF(
-        radix2_exp=11, slide_length=512, k=4, max_iter=20).hpss(x))
+    # r5: multiplicative updates run at Precision.HIGHEST (classic/nmf.py
+    # _mm) — chip-vs-CPU factors measured <= 1e-6 rel even at 300
+    # iterations (they diverged to different local optima at default MXU
+    # precision; the r4 sweep had downgraded this to finiteness-only)
+    Vnmf = np.abs(rng.standard_normal((64, 100)).astype(np.float32))
+    check_rel("NMF", lambda: af.NMF(8, max_iter=30).nmf(Vnmf), tol=1e-4)
+    check_rel("HPSSNMF", lambda: af.HPSSNMF(
+        radix2_exp=11, slide_length=512, k=4, max_iter=20).hpss(x),
+        tol=2e-3, joint=True)
     check_rel("Xcorr", lambda: af.Xcorr().xcorr(x4096))
     rs = af.Resample(ResampleQualityType.BEST)
     rs.set_samplate(32000, 44100)

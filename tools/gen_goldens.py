@@ -1718,8 +1718,59 @@ def gen_classic():
     prob = vit(_f32p(pi), _f32p(A), _f32p(B), ctypes.c_int(3),
                ctypes.c_int(3), _i32p(o), ctypes.c_int(8), None,
                _i32p(s), _f32p(m), _i32p(idx))
+    # HMM (src/classic/hmm.c): Baum-Welch trajectory + forward likelihood
+    # + decode, driven via ctypes.  Quirks: hmmObj_init only swaps in the
+    # caller's matrices when each float32 row sum is EXACTLY 1.0 (it
+    # compares `sum==1.0`, hmm.c:84-116), so the fixtures are dyadic
+    # rationals; init also takes OWNERSHIP of the passed numpy buffers
+    # (train's memcpy then updates them in place — we read the trained
+    # params straight out of our arrays) so the object must never be
+    # freed here (the group subprocess exits instead).
+    hpi = np.array([0.5, 0.25, 0.25], np.float32)
+    hA = np.array([[0.5, 0.25, 0.25],
+                   [0.25, 0.5, 0.25],
+                   [0.125, 0.375, 0.5]], np.float32)
+    hB = np.array([[0.75, 0.125, 0.125],
+                   [0.25, 0.5, 0.25],
+                   [0.125, 0.25, 0.625]], np.float32)
+    ho = np.array([0, 0, 1, 2, 2, 2, 1, 0, 0, 1, 2, 2, 0, 1, 1, 2, 0, 0,
+                   2, 1, 0, 2, 2, 1], np.int32)
+    hobj = ctypes.c_void_p()
+    lib["hmmObj_new"](ctypes.byref(hobj), ctypes.c_int(3), ctypes.c_int(3))
+    lib["hmmObj_init"](hobj, _f32p(hpi), _f32p(hA), _f32p(hB))
+    pred = lib["hmmObj_predict"]
+    pred.restype = ctypes.c_float
+    p0 = pred(hobj, _i32p(ho), ctypes.c_int(len(ho)))
+    # per-iteration trajectory: 10 single-step trains (error=0 disables
+    # the early break), reading the in-place-updated matrices after each
+    traj_pi, traj_A, traj_B, traj_p = [], [], [], []
+    for _ in range(10):
+        lib["hmmObj_train"](hobj, _i32p(ho), ctypes.c_int(len(ho)),
+                            ctypes.byref(ctypes.c_int(1)),
+                            ctypes.byref(ctypes.c_float(0.0)))
+        traj_pi.append(hpi.copy())
+        traj_A.append(hA.copy())
+        traj_B.append(hB.copy())
+        traj_p.append(pred(hobj, _i32p(ho), ctypes.c_int(len(ho))))
+    dec = lib["hmmObj_decode"]
+    dec.restype = ctypes.c_float
+    hs = np.zeros(len(ho), np.int32)
+    hm = np.zeros((len(ho), 3), np.float32)
+    hprob = dec(hobj, _i32p(ho), ctypes.c_int(len(ho)), _i32p(hs),
+                _f32p(hm))
+
     save("classic", V=V, W0=W0, H0=H0, W=W, H=H, pi=pi, A=A, B=B, o=o,
-         vit_s=s, vit_prob=np.float32(prob), vit_m=m)
+         vit_s=s, vit_prob=np.float32(prob), vit_m=m,
+         hmm_pi0=np.array([0.5, 0.25, 0.25], np.float32),
+         hmm_A0=np.array([[0.5, 0.25, 0.25], [0.25, 0.5, 0.25],
+                          [0.125, 0.375, 0.5]], np.float32),
+         hmm_B0=np.array([[0.75, 0.125, 0.125], [0.25, 0.5, 0.25],
+                          [0.125, 0.25, 0.625]], np.float32),
+         hmm_o=ho, hmm_p0=np.float32(p0),
+         hmm_traj_pi=np.stack(traj_pi), hmm_traj_A=np.stack(traj_A),
+         hmm_traj_B=np.stack(traj_B),
+         hmm_traj_p=np.asarray(traj_p, np.float32),
+         hmm_dec_s=hs, hmm_dec_m=hm, hmm_dec_prob=np.float32(hprob))
 
 
 def gen_dsp(af):
