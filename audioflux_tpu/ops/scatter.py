@@ -91,19 +91,22 @@ def columnar_scatter_add(values, fi, out_size: int):
     return jnp.einsum("...fit,...it->...ft", ohf, values, precision=hp)
 
 
-def _radix_bin_add(payloads, idx, out_size: int):
+def _radix_bin_add(payloads, idx, out_size: int, radix: int = _RADIX):
     """MXU binning of flat indices (module docstring). payloads: list of
     (nb, n) float32; idx: (nb, n) int32 with out_size as the trash value.
-    Returns list of (nb, out_size)."""
-    n_hi = (out_size + _RADIX) // _RADIX  # ceil over grid incl. trash slot
-    grid = n_hi * _RADIX
-    lo = idx & (_RADIX - 1)
-    hi = idx >> _RADIX_SHIFT
+    Returns list of (nb, out_size).  ``radix`` trades one-hot generation
+    (n_hi = out/radix rows of compares) against masked-lane selects
+    (radix per payload) — 32 won the r4 sweep at out 2049; wider local
+    grids (the blocked reassign halo, out ~18k) shift the balance."""
+    n_hi = (out_size + radix) // radix  # ceil over grid incl. trash slot
+    grid = n_hi * radix
+    lo = idx & (radix - 1)
+    hi = idx >> int(np.log2(radix))
     # transposed one-hot (n_hi on sublanes, contracted j on lanes) — see
     # the module docstring's layout note for the measured sweep
     oh_hi = (hi[..., None, :] == jnp.arange(n_hi, dtype=idx.dtype)[:, None]
              ).astype(jnp.bfloat16)  # (nb, n_hi, n), 0/1 exact in bf16
-    lanes = lo[..., None, :] == jnp.arange(_RADIX, dtype=idx.dtype)[:, None]
+    lanes = lo[..., None, :] == jnp.arange(radix, dtype=idx.dtype)[:, None]
     outs = []
     for v in payloads:
         s = jnp.where(lanes, v[..., None, :], 0.0)  # (nb, RADIX, n)
@@ -157,7 +160,14 @@ _REASSIGN_K = 256
 
 
 def reassign_blocked_scatter_add(values, ti, fi, ok, *, T: int, m: int,
-                                 W: int = _REASSIGN_W, K: int = _REASSIGN_K):
+                                 W: int = _REASSIGN_W, K: int = _REASSIGN_K,
+                                 halo_radix: int = 64):
+    # halo_radix=64: measured on chip at (8, 934, 2049) — the halo grid
+    # ((2W+1)*m ~ 18k bins) is 9x wider than the flat path's 2049, which
+    # shifts the generation/select balance one radix step up: R32/64/128
+    # = 88.7/76.5/93.8 ms standalone (the flat batched_scatter_add keeps
+    # its measured R32).  The clean (no-outlier) path measured 52.5 ms —
+    # the lax.cond tail skip is worth ~24 ms when every cell is in-halo.
     """Exact (T, m)-grid scatter-add for near-diagonal time indices.
 
     values: (..., T, C) complex64 or float32 cells grouped by home frame;
@@ -184,7 +194,7 @@ def reassign_blocked_scatter_add(values, ti, fi, ok, *, T: int, m: int,
     # 1. halo pass: per-frame local radix bins, then 2W+1 shifted adds
     li = jnp.where(inl, (d + W) * m + fi, Lg)
     loc = _radix_bin_add([p.reshape(nb * T, C) for p in pay],
-                         li.reshape(nb * T, C), Lg)
+                         li.reshape(nb * T, C), Lg, radix=halo_radix)
     loc = [l.reshape(nb, T, 2 * W + 1, m) for l in loc]
 
     def _ola(l):
@@ -211,67 +221,75 @@ def reassign_blocked_scatter_add(values, ti, fi, ok, *, T: int, m: int,
     # chip run spent ~40 ms of its 136 ms scattering mostly-empty K
     # slots; grouped level 2 cuts tail updates ~8x
     outl = ok & (jnp.abs(d) > W)
-    cnt = jnp.cumsum(outl.astype(jnp.int32), axis=-1)
-    overflow = jnp.any(cnt[..., -1] > K)
-    rank = jnp.where(outl, cnt - 1, K)  # K = trash slot
     gidx = ti * m + fi
-    hi = (gidx >> 12).astype(jnp.float32)
-    lo = (gidx & 4095).astype(jnp.float32)
-    comp = _radix_bin_add(
-        [p.reshape(nb * T, C) for p in pay]
-        + [hi.reshape(nb * T, C), lo.reshape(nb * T, C)],
-        rank.reshape(nb * T, C), K)
-    # every slot holds exactly <= 1 cell, so the f32 index payloads are
-    # exact integers (hi < T*m/4096 and lo < 4096, both << 2**24)
 
-    # level 2: re-rank the used slots within groups of G frames (budget
-    # K2 slots per group — linear in T, unlike one global rank).  A slot
-    # whose value payloads are all exactly zero contributes nothing and
-    # may drop.
-    G, K2 = 64, 2048
-    ng = -(-T // G)
-    padn = ng * G * K - T * K
+    def _with_tail(_):
+        cnt = jnp.cumsum(outl.astype(jnp.int32), axis=-1)
+        overflow = jnp.any(cnt[..., -1] > K)
+        rank = jnp.where(outl, cnt - 1, K)  # K = trash slot
+        hi = (gidx >> 12).astype(jnp.float32)
+        lo = (gidx & 4095).astype(jnp.float32)
+        comp = _radix_bin_add(
+            [p.reshape(nb * T, C) for p in pay]
+            + [hi.reshape(nb * T, C), lo.reshape(nb * T, C)],
+            rank.reshape(nb * T, C), K)
+        # every slot holds exactly <= 1 cell, so the f32 index payloads
+        # are exact integers (hi < T*m/4096 and lo < 4096, both << 2**24)
 
-    def _grp(a):
-        a = a.reshape(nb, T * K)
-        if padn:
-            a = jnp.pad(a, ((0, 0), (0, padn)))
-        return a.reshape(nb * ng, G * K)
+        # level 2: re-rank the used slots within groups of G frames
+        # (budget K2 slots per group — linear in T, unlike one global
+        # rank).  A slot whose value payloads are all exactly zero
+        # contributes nothing and may drop.
+        G, K2 = 64, 2048
+        ng = -(-T // G)
+        padn = ng * G * K - T * K
 
-    comp_g = [_grp(c) for c in comp]
-    used = jnp.zeros_like(comp_g[0], bool)
-    for c in comp_g[:-2]:
-        used = used | (c != 0.0)
-    cnt2 = jnp.cumsum(used.astype(jnp.int32), axis=-1)
-    overflow2 = jnp.any(cnt2[..., -1] > K2)
-    rank2 = jnp.where(used, cnt2 - 1, K2)
-    comp2 = _radix_bin_add(comp_g, rank2, K2)
-    cidx2 = (comp2[-2].astype(jnp.int32) << 12) | comp2[-1].astype(jnp.int32)
-    # empty slots carry value 0 at index 0 — a harmless += 0.0
+        def _grp(a):
+            a = a.reshape(nb, T * K)
+            if padn:
+                a = jnp.pad(a, ((0, 0), (0, padn)))
+            return a.reshape(nb * ng, G * K)
 
-    def _tail2(_):
-        return tuple(_xla_scatter_add(
-            [c.reshape(nb, ng * K2) for c in comp2[:-2]],
-            cidx2.reshape(nb, ng * K2), T * m))
+        comp_g = [_grp(c) for c in comp]
+        used = jnp.zeros_like(comp_g[0], bool)
+        for c in comp_g[:-2]:
+            used = used | (c != 0.0)
+        cnt2 = jnp.cumsum(used.astype(jnp.int32), axis=-1)
+        overflow2 = jnp.any(cnt2[..., -1] > K2)
+        rank2 = jnp.where(used, cnt2 - 1, K2)
+        comp2 = _radix_bin_add(comp_g, rank2, K2)
+        cidx2 = ((comp2[-2].astype(jnp.int32) << 12)
+                 | comp2[-1].astype(jnp.int32))
+        # empty slots carry value 0 at index 0 — a harmless += 0.0
 
-    def _tail1(_):
-        cidx = ((comp[-2].astype(jnp.int32) << 12)
-                | comp[-1].astype(jnp.int32))
-        return tuple(_xla_scatter_add(
-            [c.reshape(nb, T * K) for c in comp[:-2]],
-            cidx.reshape(nb, T * K), T * m))
+        def _tail2(_):
+            return tuple(_xla_scatter_add(
+                [c.reshape(nb, ng * K2) for c in comp2[:-2]],
+                cidx2.reshape(nb, ng * K2), T * m))
 
-    def _full_tail(_):
-        idxo = jnp.where(outl, gidx, T * m).reshape(nb, T * C)
-        return tuple(_xla_scatter_add(
-            [jnp.where(outl, p, 0.0).reshape(nb, T * C) for p in pay],
-            idxo, T * m))
+        def _tail1(_):
+            cidx = ((comp[-2].astype(jnp.int32) << 12)
+                    | comp[-1].astype(jnp.int32))
+            return tuple(_xla_scatter_add(
+                [c.reshape(nb, T * K) for c in comp[:-2]],
+                cidx.reshape(nb, T * K), T * m))
 
-    def _compacted(_):
-        return jax.lax.cond(overflow2, _tail1, _tail2, None)
+        def _full_tail(_):
+            idxo = jnp.where(outl, gidx, T * m).reshape(nb, T * C)
+            return tuple(_xla_scatter_add(
+                [jnp.where(outl, p, 0.0).reshape(nb, T * C) for p in pay],
+                idxo, T * m))
 
-    tails = jax.lax.cond(overflow, _full_tail, _compacted, None)
-    outs = [o + t.reshape(nb, T, m) for o, t in zip(outs, tails)]
+        def _compacted(_):
+            return jax.lax.cond(overflow2, _tail1, _tail2, None)
+
+        ts = jax.lax.cond(overflow, _full_tail, _compacted, None)
+        return tuple(o + t.reshape(nb, T, m) for o, t in zip(outs, ts))
+
+    # zero-outlier fast path (steady-state audio: every cell inside the
+    # halo) skips the whole compaction+serialized tail
+    outs = jax.lax.cond(jnp.any(outl), _with_tail,
+                        lambda _: tuple(outs), None)
 
     out = outs[0] + 1j * outs[1] if cpx else outs[0].astype(values.dtype)
     return out.reshape(batch + (T, m))

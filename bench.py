@@ -600,9 +600,14 @@ def main():
     if want_matrix:
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
+    bad = False
     if row["value"] < 0.85 * HEADLINE_FLOOR:
         print(f"PERF REGRESSION: {row['value']} < 0.85*{HEADLINE_FLOOR}",
               file=sys.stderr)
+        bad = True
+    if want_matrix and not _check_matrix_floors(rows):
+        bad = True
+    if bad:
         sys.exit(1)
 
 
