@@ -271,9 +271,12 @@ def _smap_squeeze(cwt_obj, mesh: Mesh, batch_axis: str, band_axis: str, *,
                             samplate=samplate)
         fi = _localize_fi(fi)
         partial = _reassign_scatter(D, fi, num=num_out, thresh=thresh)
-        sq = jax.lax.psum_scatter(partial, band_axis,
-                                  scatter_dimension=partial.ndim - 1,
-                                  tiled=True)
+        # reduce_scatter rides f32 pairs: the TPU X64-rewrite pass has no
+        # c64 reduce-scatter lowering (found compiling on the real chip —
+        # the CPU mesh accepts c64 and hid it)
+        ps = lambda a: jax.lax.psum_scatter(  # noqa: E731
+            a, band_axis, scatter_dimension=a.ndim - 1, tiled=True)
+        sq = jax.lax.complex(ps(jnp.real(partial)), ps(jnp.imag(partial)))
         return (sq, D) if with_det else sq
 
     out_sq = P(batch_axis, None, band_axis)
@@ -741,9 +744,11 @@ def _nsgt_bluestein_consts(obj):
         b[Lc - k[1:]] = b[k[1:]]  # b[-j] = b[j]
         Bf[i] = np.fft.fft(b).astype(np.complex64)
     expand = np.asarray(obj._expand, np.int64)
-    return (jnp.asarray(gather), jnp.asarray(weight), jnp.asarray(chirp),
-            jnp.asarray(post), jnp.asarray(Bf), jnp.asarray(expand),
-            max_ln, Lc)
+    # NUMPY, deliberately: eager jnp.asarray of the complex tables is a
+    # host->device complex64 transfer, which the axon runtime cannot do
+    # (found on chip — the consts builder crashed before any compute).
+    # Callers fold them into traces (constants) or split real/imag.
+    return gather, weight, chirp, post, Bf, expand, max_ln, Lc
 
 
 def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
@@ -776,22 +781,29 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     # circular-convolution outputs, so it is a thin (Lc, max_ln) inverse-DFT
     # contraction — one MXU matmul on TPU instead of a second FFT pass (and
     # XLA:CPU's fft thunk RET_CHECKs on the layouts GSPMD feeds a chained
-    # fft->elementwise->fft anyway).
+    # fft->elementwise->fft anyway).  All complex tables enter the trace
+    # as f32 real/imag halves recombined in-graph (axon cannot move
+    # complex64 across the host<->device boundary).
     jk = np.arange(Lc)[:, None] * np.arange(max_ln)[None, :]
-    inv_dft = jnp.asarray(
-        np.exp(2j * np.pi * jk / Lc).astype(np.complex64) / Lc)
+    inv_r = (np.cos(2 * np.pi * jk / Lc) / Lc).astype(np.float32)
+    inv_i = (np.sin(2 * np.pi * jk / Lc) / Lc).astype(np.float32)
+    cpx = lambda a: jax.lax.complex(  # noqa: E731
+        jnp.asarray(np.real(a).astype(np.float32)),
+        jnp.asarray(np.imag(a).astype(np.float32)))
 
     def run(x):
         x = jax.lax.with_sharding_constraint(x, _ns(mesh, batch_axis, None))
         F = afft.fft(x, axis=-1)
         v = F[..., gather] * weight          # (B, num, max_ln)
-        u = v * chirp
+        u = v * cpx(chirp)
         u = jax.lax.with_sharding_constraint(
             u, _ns(mesh, batch_axis, time_axis, None))
         U = afft.fft(u, n=Lc, axis=-1)
-        conv = jnp.einsum("...l,lk->...k", U * Bf, inv_dft,
+        conv = jnp.einsum("...l,lk->...k", U * cpx(Bf),
+                          jax.lax.complex(jnp.asarray(inv_r),
+                                          jnp.asarray(inv_i)),
                           precision=_HIGHEST)
-        cells = conv * post                  # (B, num, max_ln)
+        cells = conv * cpx(post)             # (B, num, max_ln)
         rows = jnp.take_along_axis(
             cells, jnp.broadcast_to(expand, cells.shape[:-2] + expand.shape),
             axis=-1)
