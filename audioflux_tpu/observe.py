@@ -25,7 +25,8 @@ from collections import defaultdict
 
 import jax
 
-__all__ = ["scope", "trace", "annotate", "Metrics", "metrics"]
+__all__ = ["scope", "trace", "annotate", "summarize_trace", "Metrics",
+           "metrics"]
 
 
 def scope(name: str):
@@ -51,6 +52,42 @@ def trace(logdir: str, create_perfetto_link: bool = False):
 def annotate(name: str):
     """Host-side trace annotation (shows on the profiler's host track)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def summarize_trace(logdir: str, top: int = 25, include_host: bool = False):
+    """Per-op durations from the newest profiler trace under ``logdir``.
+
+    Returns ``[(op_name, total_us, count), ...]`` sorted by total time,
+    parsed from the perfetto ``trace.json.gz`` a :func:`trace` capture
+    writes.  Device-side durations are immune to the axon tunnel's
+    wall-clock noise (the r5 fft4 finding: a 6-11 ms tunnel spread hid a
+    1.6 ms pad/slice glue cost that one trace isolated immediately) —
+    prefer this over micro-benchmark walls when attributing time inside
+    a dispatch.  ``include_host`` keeps the ``$file:line``-style host
+    events (dropped by default: they double-count the device work they
+    wrap)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    paths = sorted(glob.glob(
+        f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    with gzip.open(paths[-1]) as fh:
+        tr = json.load(fh)
+    durs = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in tr.get("traceEvents", []):
+        name = e.get("name", "")
+        if e.get("ph") != "X":
+            continue
+        if not include_host and name.startswith("$"):
+            continue
+        durs[name] += e.get("dur", 0)
+        cnt[name] += 1
+    rows = sorted(durs.items(), key=lambda kv: -kv[1])[:top]
+    return [(n, d, cnt[n]) for n, d in rows]
 
 
 class Metrics:

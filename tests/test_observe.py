@@ -38,3 +38,25 @@ def test_metrics_registry():
     assert rep["stage.seconds"] >= 0
     m.reset()
     assert m.report() == {}
+
+
+def test_summarize_trace(tmp_path):
+    """Profiler trace capture + per-op summary on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audioflux_tpu import observe
+
+    f = jax.jit(lambda a: jnp.sin(a) @ a.T)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((64, 64)).astype(np.float32))
+    f(x).block_until_ready()
+    d = str(tmp_path / "tr")
+    with observe.trace(d):
+        f(x).block_until_ready()
+    rows = observe.summarize_trace(d, top=10)
+    assert rows and all(len(r) == 3 for r in rows)
+    assert all(us >= 0 and c >= 1 for _, us, c in rows)
+    # host events excluded by default, included on demand
+    with_host = observe.summarize_trace(d, top=50, include_host=True)
+    assert len(with_host) >= len(rows)

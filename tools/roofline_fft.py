@@ -73,10 +73,6 @@ def main():
     # one 0.40 ms result copy that in-graph consumers fuse away).
     # Use --trace to reproduce; walls remain for the dispatch picture.
     if args.trace:
-        import collections
-        import glob
-        import gzip
-        import json
         import jax
         import jax.numpy as jnp
         from audioflux_tpu import observe
@@ -90,18 +86,9 @@ def main():
             for _ in range(3):
                 r, _ = f(x)
             np.asarray(r.ravel()[:1])
-        p = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
-        with gzip.open(p) as fh:
-            tr = json.load(fh)
-        durs = collections.defaultdict(float)
-        cnt = collections.Counter()
-        for e in tr.get("traceEvents", []):
-            if e.get("ph") == "X" and not e.get("name", "").startswith("$"):
-                durs[e["name"]] += e.get("dur", 0)
-                cnt[e["name"]] += 1
         print("device trace (3 calls, us summed):")
-        for nm, dus in sorted(durs.items(), key=lambda kv: -kv[1])[:12]:
-            print(f"  {dus/1e3:9.3f} ms  x{cnt[nm]:3d}  {nm[:70]}")
+        for nm, dus, c in observe.summarize_trace(tdir, top=12):
+            print(f"  {dus/1e3:9.3f} ms  x{c:3d}  {nm[:70]}")
 
     ms = args.ms
     if ms is None:
