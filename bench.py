@@ -312,6 +312,25 @@ def matrix(rows):
     _emit("server reassign audio-hours/sec/chip (1000x 128ms, local-C base)",
           el, audio_hours, 0.299, rows)
 
+    _phase("matrix: reassign long")
+    # whole-recording reassignment (the reference's own use case:
+    # _reassignObj_rearrage over timeLength x (fft/2+1)); T*m ~ 1.9M bins
+    # rides the r5 blocked halo+tail scatter (ops/scatter.py) — the flat
+    # path's serialized XLA fallback measured 377 ms vs 98 ms blocked at
+    # this config.  Anchor: compiled reference C on this box, 0.18227
+    # s/clip (tools/bench_ref.py reassign_long).
+    from audioflux_tpu.transforms.reassign import Reassign
+    B_long = 8
+    xl = 0.2 * jax.random.normal(jax.random.PRNGKey(15), (B_long, 30 * SR),
+                                 jnp.float32)
+    xl.block_until_ready()
+    rs_long = Reassign(radix2_exp=12, samplate=SR, slide_length=1024,
+                       is_padding=False)
+    fn_long = jax.jit(lambda x: jnp.abs(rs_long.reassign(x)))
+    el = _time(fn_long, xl, reps=3)
+    _emit("reassign long audio-hours/sec/chip (8x 30s, local-C base)",
+          el, B_long * 30.0 / 3600.0, B_long * 0.18227, rows)
+
 
 def baseline_configs(rows):
     """BASELINE.json configs 1/4/5 — no published reference number, so the
@@ -531,6 +550,9 @@ MATRIX_FLOORS = {
     "stft-linear audio-hours/sec/chip (128x 10s, local-C base)": 17.0,
     "cwt+synsq audio-hours/sec/chip (16x 1.024s, local-C base)": 0.15,
     "mir yin+onset+hpss audio-hours/sec/chip (8x 30s, local-C base)": 0.85,
+    # r5 blocked scatter: 98 ms device for (8, 30 s) -> ~0.55-0.68 h/s
+    # depending on tunnel sample; the serialized path would sit at ~0.17
+    "reassign long audio-hours/sec/chip (8x 30s, local-C base)": 0.4,
 }
 
 

@@ -136,8 +136,22 @@ def reassign():
         "clip_seconds": 4096 / SR}
 
 
+def reassign_long():
+    """r5 row's anchor: whole-recording reassignment (the reference's
+    own use case — _reassignObj_rearrage over timeLength x (fft/2+1),
+    reassign_algorithm.c:258), 30 s clip at 4096/1024."""
+    af = _setup_reference()
+    x = _clip(30.0)
+    obj = af.Reassign(radix2_exp=12, samplate=SR, slide_length=1024,
+                      re_type=af.type.ReassignType.ALL, is_padding=False)
+    return {"seconds_per_clip": _time_loop(
+        lambda: np.abs(obj.reassign(x)), reps=1),
+        "clip_seconds": 30.0}
+
+
 WORKLOADS = {"stft_linear": stft_linear, "cwt_synsq": cwt_synsq,
-             "mir_pipeline": mir_pipeline, "reassign": reassign}
+             "mir_pipeline": mir_pipeline, "reassign": reassign,
+             "reassign_long": reassign_long}
 
 
 def main():
