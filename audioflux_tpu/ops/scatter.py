@@ -73,7 +73,15 @@ def columnar_scatter_add(values, fi, out_size: int):
     # value tensor) promises 4x less one-hot generation but measured 2x
     # SLOWER (16.1 vs 8.6 ms/payload): the (B, 8, in, T) masked
     # intermediate materializes and only one of the two data-dependent
-    # producers fuses into the dot.  The current form runs at ~half VPU
+    # producers fuses into the dot.  (r5) An offset-banded decomposition
+    # (out = sum_d shift(v*[fi-band == d], d) — elementwise, no MXU
+    # passes; the trick that won for long-recording reassignment below)
+    # needs the band->bin map near-diagonal, and the synsq map on the
+    # bench's NOISE clips is not: 23% of scattered cells land beyond
+    # +-2 bands, 8.3% beyond +-4 (instantaneous frequency of noise is
+    # broadband), so the exact rank-compacted tail (serialized cost
+    # ∝ outliers, ~3.5M updates at the bench shape) would cost ~5x the
+    # einsum it replaces.  Viable only for tonal content; not routed.  The current form runs at ~half VPU
     # peak on the compare/select generation — near-roofline for this
     # algorithm.  (r4) Three Pallas VMEM-resident kernel forms also
     # measured 22-27% SLOWER than this einsum on the real chip — see
