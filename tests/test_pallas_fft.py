@@ -404,3 +404,20 @@ def test_native_fft_scope_pins_tier(monkeypatch):
     with bk.native_fft_scope():
         assert not afft._use_fourstep(2048)
     assert afft._use_fourstep(2048)
+
+
+def test_pick_tile_b():
+    """Divisor-tile selection (r5): no pad/slice glue when a divisor near
+    the VMEM target exists; small batches never pad UP to a tile."""
+    from audioflux_tpu.ops.pallas_fft import _pick_tile_b
+    assert _pick_tile_b(8000, 128) == 125      # divisor in [64, 128]
+    assert _pick_tile_b(1024, 128) == 128      # exact multiple
+    assert _pick_tile_b(64, 128) == 64         # small batch: one block
+    assert _pick_tile_b(1, 128) == 1
+    assert _pick_tile_b(8009, 128) == 128      # prime-ish: keep pad path
+    assert _pick_tile_b(8000, 256) == 250      # scan stays in [t0/2, t0]
+    for B, t0 in [(8000, 128), (1000, 64), (12345, 256), (7, 8)]:
+        t = _pick_tile_b(B, t0)
+        assert 1 <= t <= max(t0, B)
+        if B <= t0:
+            assert t == B
