@@ -129,6 +129,15 @@ def _band_pad(arr: np.ndarray, nshard: int) -> np.ndarray:
 
 
 def _check_batch(x, n_b: int, what: str):
+    """Twin input contract — NOT stricter than the GSPMD forms': their
+    ``in_shardings=(batch_axis, time_axis)`` already require a 2-D input
+    with B % data == 0 AND n % time == 0 (pjit rejects non-divisible
+    explicit shardings — verified empirically), while the cwt-family
+    twins need only B % data (samples replicate per band shard) and the
+    synsq/wsst twins exactly match (their psum_scatter needs n % time,
+    as the GSPMD input sharding did).  Only the CQT twin is stricter
+    (whole-mesh batch), and its auto mode dispatches per call via
+    ``_twin_or_auto``."""
     if x.ndim != 2:
         raise ValueError(f"{what} expects (B, n) input, got {x.shape}")
     if x.shape[0] % n_b:
@@ -535,10 +544,8 @@ def sharded_synsq_fn(cwt_obj, synsq_obj, mesh: Mesh,
     ``psum_scatter`` over ICI).  Matches ``Synsq.synsq(cwt, ..)`` up to
     the reduction-order of each output bin's <= num-term sum.
     """
-    S = SpectralFilterBankScaleType
-    st = S(cwt_obj.scale_type)
-    kind = ("log" if st in (S.OCTAVE, S.LOG)
-            else "linear" if st in (S.LINEAR, S.LINSPACE) else "nearest")
+    from audioflux_tpu.transforms.synsq import scale_kind
+    kind = scale_kind(cwt_obj.scale_type)
     if _pick_smap(mode, _cwt_kernel_ok(cwt_obj, interpret)):
         return _smap_squeeze(cwt_obj, mesh, batch_axis, time_axis,
                              interpret=interpret, kind=kind,
@@ -576,12 +583,9 @@ def sharded_wsst_fn(wsst_obj, mesh: Mesh,
     shard_map mode the squeezed output arrives time-sharded and the raw
     cwt band-sharded (both over ``time_axis``).
     """
-    S = SpectralFilterBankScaleType
-    stype = S(wsst_obj.scale_type)
+    from audioflux_tpu.transforms.synsq import scale_kind
+    kind = scale_kind(wsst_obj.scale_type)
     if _pick_smap(mode, _cwt_kernel_ok(wsst_obj._cwt, interpret)):
-        kind = ("log" if stype in (S.OCTAVE, S.LOG)
-                else "linear" if stype in (S.LINEAR, S.LINSPACE)
-                else "nearest")
         return _smap_squeeze(wsst_obj._cwt, mesh, batch_axis, time_axis,
                              interpret=interpret, kind=kind,
                              num_out=wsst_obj.num,
@@ -593,10 +597,6 @@ def sharded_wsst_fn(wsst_obj, mesh: Mesh,
     cwt_obj.enable_det(True)
     bank = jnp.asarray(cwt_obj._bank)
     det_bank = jnp.asarray(cwt_obj._det_bank)
-    S = SpectralFilterBankScaleType
-    st = S(wsst_obj.scale_type)
-    kind = ("log" if st in (S.OCTAVE, S.LOG)
-            else "linear" if st in (S.LINEAR, S.LINSPACE) else "nearest")
     fre_arr = jnp.asarray(cwt_obj.fre_band_arr, jnp.float32)
 
     def run(x):
@@ -770,10 +770,15 @@ def sharded_nsgt_fn(obj, mesh: Mesh, batch_axis: str = "data",
     (``sharded_ccwt_fn``/``sharded_cst_fn``).
     """
     from audioflux_tpu.ops import pallas_fft as pfft
+    # the twin pays off when either the signal fft at L or the batched
+    # Bluestein band ffts at Lc (next pow2 >= 2*max_ln - 1) ride the
+    # kernel tier per shard
+    max_ln = int(np.max(np.asarray(obj._lens)))
+    Lc = 1
+    while Lc < 2 * max_ln - 1:
+        Lc *= 2
     if _pick_smap(mode, pfft.supports(obj.fft_length)
-                  or pfft.supports(1 << (obj.fft_length - 1).bit_length())):
-        # shard_map twin: signal fft at L and band ffts at Lc ride the
-        # kernel tier per shard
+                  or pfft.supports(Lc)):
         return _smap_nsgt(obj, mesh, batch_axis, time_axis)
     (gather, weight, chirp, post, Bf, expand, max_ln, Lc) = \
         _nsgt_bluestein_consts(obj)

@@ -25,6 +25,21 @@ from audioflux_tpu.types import SpectralFilterBankScaleType
 __all__ = ["Synsq"]
 
 
+def scale_kind(scale_type) -> str:
+    """Bin-mapping family for a filter-bank scale (synsq_algorithm.c's
+    three index formulas).  Shared by Synsq/WSST and their sharded
+    twins so the mapping can never drift between paths."""
+    S = SpectralFilterBankScaleType
+    st = S(scale_type)
+    if st > S.LOG:
+        raise ValueError(f"unsupported scale {st.name}")
+    if st in (S.OCTAVE, S.LOG):
+        return "log"
+    if st in (S.LINEAR, S.LINSPACE):
+        return "linear"
+    return "nearest"
+
+
 def _c_unwrap(x):
     """Reference __vunwrap along the last axis (flux_vector.c:__vunwrap
     with vArr2=NULL).
@@ -179,16 +194,7 @@ class Synsq:
         """m_data_arr: complex (..., num, time) CWT-family output;
         fre_arr: (num,) ascending band frequencies.
         ``force_xla_unwrap`` pins the cumsum unwrap (accuracy gates)."""
-        S = SpectralFilterBankScaleType
-        st = S(filter_bank_type)
-        if st > S.LOG:
-            raise ValueError(f"unsupported scale {st.name}")
-        if st in (S.OCTAVE, S.LOG):
-            kind = "log"
-        elif st in (S.LINEAR, S.LINSPACE):
-            kind = "linear"
-        else:
-            kind = "nearest"
+        kind = scale_kind(filter_bank_type)
         return _synsq_impl(jnp.asarray(m_data_arr),
                            jnp.asarray(fre_arr, jnp.float32),
                            scale_kind=kind, num=self.num,

@@ -89,15 +89,10 @@ class WSST:
     def wsst(self, data_arr):
         """(..., 2**radix2_exp) -> (squeezed, cwt), each complex
         (..., num, data_length)."""
-        S = SpectralFilterBankScaleType
+        from audioflux_tpu.transforms.synsq import scale_kind
         D = self._cwt.cwt(data_arr)
         dD = self._cwt.cwt_det(data_arr)
-        if self.scale_type in (S.OCTAVE, S.LOG):
-            kind = "log"
-        elif self.scale_type in (S.LINEAR, S.LINSPACE):
-            kind = "linear"
-        else:
-            kind = "nearest"
+        kind = scale_kind(self.scale_type)
         sq = _squeeze(D, dD, jnp.asarray(self._cwt.fre_band_arr),
                       scale_kind=kind, num=self.num,
                       samplate=float(self.samplate), thresh=self.thresh,

@@ -131,9 +131,15 @@ def main():
         for xml in xmls:
             try:
                 for case in ET.parse(xml).iter("testcase"):
-                    f = os.path.basename(
-                        (case.get("classname") or "").replace(".", "/")
-                        + ".py")
+                    # classname is "tests.test_foo" or
+                    # "tests.test_foo.TestBar" — the module is always
+                    # the component right after the package
+                    parts = (case.get("classname") or "").split(".")
+                    mod = (parts[1] if len(parts) > 1 and parts[0] == "tests"
+                           else parts[0])
+                    if not mod:
+                        continue
+                    f = mod + ".py"
                     durations[f] = (durations.get(f, 0.0)
                                     + float(case.get("time") or 0.0))
             except (OSError, ET.ParseError):

@@ -67,7 +67,11 @@ def main():
     lib_dir = os.path.join(dst, "lib")
     os.makedirs(lib_dir, exist_ok=True)
     link = os.path.join(lib_dir, "libaudioflux.so")
-    if not os.path.exists(link):
+    # lexists: a DANGLING link (repo moved, partial clean) must be
+    # replaced, and plain exists() would miss it then crash os.symlink
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(SO):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(SO, link)
 
     stub = os.path.join(REF_DIR, "soundfile_stub.py")
