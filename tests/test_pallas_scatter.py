@@ -8,6 +8,7 @@ exact equality, not a tolerance.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from audioflux_tpu.ops.pallas_scatter import supports, columnar_scatter_pallas
@@ -132,3 +133,38 @@ def test_reassign_long_blocked_equals_flat():
     sc = np.abs(np.asarray(o0)).max()
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=3e-6 * sc)
+
+
+@pytest.mark.parametrize("re_type,order,result_type,is_padding", [
+    (0, 1, 0, False),   # ALL
+    (1, 1, 0, True),    # FRE only, center-padded
+    (2, 1, 1, False),   # TIME only, |S| scatter
+    (0, 2, 0, False),   # order-2 composition
+    (0, 1, 1, True),
+])
+def test_reassign_blocked_config_sweep(re_type, order, result_type,
+                                       is_padding):
+    """Blocked == flat across the reassign configuration space (the
+    blocked path is re_type/order-agnostic: it only replaces the final
+    scatter)."""
+    import audioflux_tpu as af
+    from audioflux_tpu.transforms.reassign import _reassign_impl
+    rs = af.Reassign(radix2_exp=9, samplate=8000, slide_length=64)
+    rng = np.random.default_rng(40 + re_type * 7 + order)
+    n = 12000  # T*m ~ 48k > radix budget at slide 64
+    t = np.arange(n) / 8000
+    x = (np.sin(2 * np.pi * (300 + 200 * t) * t) * 0.4
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    kw = dict(fft_length=rs.fft_length, slide_length=rs.slide_length,
+              samplate=rs.samplate, thresh=rs.thresh, re_type=re_type,
+              order=order, result_type=result_type, is_padding=is_padding)
+    o0, s0 = _reassign_impl(jnp.asarray(x), jnp.asarray(rs._wins),
+                            force_blocked_scatter=False, **kw)
+    o1, s1 = _reassign_impl(jnp.asarray(x), jnp.asarray(rs._wins),
+                            force_blocked_scatter=True, **kw)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    sc = max(float(np.abs(np.asarray(jnp.real(o0))).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(jnp.real(o1)),
+                               np.asarray(jnp.real(o0)), atol=5e-6 * sc)
+    np.testing.assert_allclose(np.asarray(jnp.imag(o1)),
+                               np.asarray(jnp.imag(o0)), atol=5e-6 * sc)
