@@ -163,6 +163,12 @@ def _xla_scatter_add(payloads, idx, out_size: int):
 #  3. if any frame overflows the K-slot budget (never observed below K=256,
 #     impulse trains peak at 192), a lax.cond falls back to the serialized
 #     scatter over the full tail — exactness never depends on the budget.
+#  W sweep (chip, (8, 934, 2049) with the measured offset mix + 0.8%
+#  far outliers, R64): W=2/4/6/8 = 92.8/76.5/94.0/110.4 ms — W=2's
+#  narrower halo loses more to its 3x outlier tail than it saves in
+#  one-hot generation; W>=6 pays pure generation for cells that do not
+#  exist.  W=4 is the optimum and matches the group-delay bound
+#  (fft/(2*slide) = 2 frames) with 2x slack.
 _REASSIGN_W = 4
 _REASSIGN_K = 256
 
