@@ -39,8 +39,7 @@ import numpy as np
 __all__ = ["batched_scatter_add", "columnar_scatter_add",
            "reassign_blocked_scatter_add"]
 
-_RADIX = 32
-_RADIX_SHIFT = 5
+_RADIX = 32  # shift derived in _radix_bin_add (int(log2(radix)))
 # grid sizes above this use the XLA scatter fallback: the hi one-hot is
 # (batch, out_size/32, n) and stops paying for itself once it spills HBM
 _RADIX_MAX_OUT = 8192

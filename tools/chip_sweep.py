@@ -148,7 +148,7 @@ def main():
         radix2_exp=11, samplate=SR, slide_length=512).reassign(x)))
     # long-recording class: T*m past the radix budget — TPU takes the
     # blocked halo+tail scatter (ops/scatter.py), CPU the flat path
-    xlong = np.concatenate([x] * 10)  # 10 s -> T ~ 309, out ~ 634k
+    xlong = np.concatenate([x] * 10)  # 10 s -> T ~ 311, out ~ 319k
     check_scatter("Reassign long (blocked)", lambda: jnp.abs(af.Reassign(
         radix2_exp=11, samplate=SR, slide_length=1024).reassign(xlong)))
     cq = af.CQT(num=84, samplate=SR, slide_length=1024)

@@ -96,6 +96,7 @@ def main():
     procs = []
     logs = []
     xmls = []
+    handles = []
     for i, b in enumerate(buckets):
         log = os.path.join(ROOT, f".pytest_worker_{i}.log")
         xml = os.path.join(ROOT, f".pytest_worker_{i}.xml")
@@ -104,13 +105,17 @@ def main():
         cmd = [sys.executable, "-m", "pytest", "-q", f"--junitxml={xml}",
                "-o", "junit_family=xunit2",
                *args.rest, *[os.path.join(TESTS, f) for f in b]]
+        fh = open(log, "w")
+        handles.append(fh)
         procs.append(subprocess.Popen(
-            cmd, cwd=ROOT, stdout=open(log, "w"),
-            stderr=subprocess.STDOUT))
+            cmd, cwd=ROOT, stdout=fh, stderr=subprocess.STDOUT))
 
     rc = 0
     for i, p in enumerate(procs):
         r = p.wait()
+        handles[i].close()
+        if r == 5:  # pytest: no tests collected (e.g. a -k filter missed
+            r = 0   # every test in this bucket) — not a failure
         tail = open(logs[i]).read().splitlines()
         summary = [ln for ln in tail if " passed" in ln or " failed"
                    in ln or "error" in ln.lower()][-1:] or tail[-1:]
@@ -145,9 +150,16 @@ def main():
             except (OSError, ET.ParseError):
                 pass
         if durations:
+            # merge into the existing table: a filtered run (extra pytest
+            # args) must not discard other files' measured durations
+            try:
+                with open(DUR_FILE) as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                merged = {}
+            merged.update({k: round(v, 1) for k, v in durations.items()})
             with open(DUR_FILE, "w") as f:
-                json.dump({k: round(v, 1) for k, v in durations.items()},
-                          f, indent=0, sort_keys=True)
+                json.dump(merged, f, indent=0, sort_keys=True)
     for xml in xmls:
         try:
             os.remove(xml)
