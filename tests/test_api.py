@@ -1,6 +1,8 @@
 """Package-level API surface: imports, one-shot functions, extractor facade,
 weighting, synthesis, display (Agg)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,27 @@ def test_display_smoke(tmp_path, signals):
     out = tmp_path / "p.png"
     p.save(str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_bench_matrix_floor_gate():
+    """A de-routed (regressed) row or a missing floored row must trip the
+    matrix perf gate (VERDICT r4 item 5); healthy rows must pass."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    import sys as _sys
+    argv = _sys.argv
+    _sys.argv = ["bench.py"]  # module-level sys.argv peeks
+    try:
+        spec.loader.exec_module(bench)
+    finally:
+        _sys.argv = argv
+    healthy = [{"metric": m, "value": f * 1.25}
+               for m, f in bench.MATRIX_FLOORS.items()]
+    assert bench._check_matrix_floors(healthy)
+    regressed = [dict(r) for r in healthy]
+    regressed[0]["value"] = bench.MATRIX_FLOORS[regressed[0]["metric"]] * 0.5
+    assert not bench._check_matrix_floors(regressed)
+    assert not bench._check_matrix_floors(healthy[:-1])  # missing row
