@@ -168,3 +168,10 @@ def test_reassign_blocked_config_sweep(re_type, order, result_type,
                                np.asarray(jnp.real(o0)), atol=5e-6 * sc)
     np.testing.assert_allclose(np.asarray(jnp.imag(o1)),
                                np.asarray(jnp.imag(o0)), atol=5e-6 * sc)
+
+
+def test_blocked_scatter_tiny_T():
+    """T smaller than the halo width (2W+1): the shifted-add planes whose
+    offset exceeds T must drop cleanly (the guard in _ola)."""
+    _blocked_case(7, T=3, m=41, C=60, spread=2, W=4)
+    _blocked_case(8, T=1, m=33, C=40, spread=0, W=4)
