@@ -1005,6 +1005,13 @@ def sharded_batch_fn(fn, mesh: Mesh, batch_axis: str = "data"):
     ``batch_axis`` — the batch-of-files configuration (SURVEY §2.10 row 1).
     Bit-equal to the unsharded ``fn``: partitioning a batch axis reorders
     nothing.
+
+    Pass an UN-jitted graph builder: this wrapper traces ``fn`` under the
+    native-fft pin (see ``_pin_native_fft``); a callable that was already
+    traced elsewhere reuses its cached jaxpr — Pallas custom calls and
+    all — and GSPMD may replicate those kernels on a real pod.  For
+    kernel-bearing pipelines prefer :func:`sharded_batch_map_fn`, which
+    needs no pin at all.
     """
     def run(x):
         x = jax.lax.with_sharding_constraint(
