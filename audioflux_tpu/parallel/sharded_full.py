@@ -37,7 +37,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audioflux_tpu.ops import fft as afft
-from audioflux_tpu.types import SpectralFilterBankScaleType
 
 __all__ = ["sharded_cwt_fn", "sharded_pwt_fn", "sharded_synsq_fn",
            "sharded_wsst_fn", "sharded_st_fn", "sharded_fst_fn",
