@@ -104,7 +104,16 @@ def _radix_bin_add(payloads, idx, out_size: int, radix: int = _RADIX):
     Returns list of (nb, out_size).  ``radix`` trades one-hot generation
     (n_hi = out/radix rows of compares) against masked-lane selects
     (radix per payload) — 32 won the r4 sweep at out 2049; wider local
-    grids (the blocked reassign halo, out ~18k) shift the balance."""
+    grids (the blocked reassign halo, out ~18k) shift the balance.
+
+    NOTE (measured r5, don't retry): packing BOTH payloads' masked lanes
+    into one dot (concat on q -> 2*radix output lanes, sharing the lane
+    mask) looked like a 2x lane-fill win for the two big halo einsums
+    (trace: 14.9 ms each at R64, lanes only half full), but R32-packed
+    measured 83.7 ms vs 76.5 separate-R64 end-to-end, and R64/R128
+    packed consistently CRASH the axon remote compiler (HTTP 500) — the
+    sublane concat materializes and breaks the one-hot producer fusion,
+    the same class as r3's stacked re/im columnar regression."""
     n_hi = (out_size + radix) // radix  # ceil over grid incl. trash slot
     grid = n_hi * radix
     lo = idx & (radix - 1)
